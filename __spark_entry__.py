@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 as
+(spark, sf_dir) -> DataFrame callables.
+``oracle_sql()`` — DuckDB-runnable ANSI-SQL twins for the hash compare.
 """
 
 from __future__ import annotations
@@ -16,23 +15,64 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from debezium_server_bigquery_spark.plans.analytics import q1_pricing_summary
+
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from debezium_server_bigquery_spark.plans import analytics, cdc_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(analytics.QUERIES)
+    out.update(cdc_queries.QUERIES)
+    try:
+        from debezium_server_bigquery_spark.plans import pipeline_queries
+
+        out.update(pipeline_queries.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from debezium_server_bigquery_spark.functions import (
+            dedup_fuzzy,
+            similarity,
+            text,
+            multimodal,
+        )
+
+        out.update(dedup_fuzzy.QUERIES)
+        out.update(similarity.QUERIES)
+        out.update(text.QUERIES)
+        out.update(multimodal.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from debezium_server_bigquery_spark.plans import analytics, cdc_queries
+
+    out: dict[str, str] = {}
+    out.update(analytics.ORACLES)
+    out.update(cdc_queries.ORACLES)
+    try:
+        from debezium_server_bigquery_spark.plans import pipeline_queries
+
+        out.update(pipeline_queries.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from debezium_server_bigquery_spark.functions import (
+            dedup_fuzzy,
+            similarity,
+            text,
+            multimodal,
+        )
+
+        out.update(dedup_fuzzy.ORACLES)
+        out.update(similarity.ORACLES)
+        out.update(text.ORACLES)
+        out.update(multimodal.ORACLES)
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,162 @@
+"""S6 — destination-table management over parquet (SURVEY §2.1).
+
+The reference creates/evolves BigQuery tables with month partitioning on
+``__ts_ms`` and PK+ts clustering (StreamBigqueryChangeConsumer.java:262-345,
+BatchBigqueryChangeConsumer.java:69-77,103-110; BaseRecordConverter:181-223).
+
+Spark-native equivalent: a directory-backed parquet table.
+
+- **Append tables** partition by ``__part_month = date_format(__ts_ms,
+  'yyyy-MM')`` -> readers get partition pruning on time predicates, the
+  analog of BigQuery time partitioning.
+- **Upsert tables** partition by a stable key-hash bucket ``__kb =
+  pmod(xxhash64(pk...), n_buckets)``.  A primary key always lands in the
+  same partition, so a MERGE rewrites only the buckets present in the batch
+  and never has to chase a key across time partitions.  (Month partitioning
+  is wrong for upsert targets: an update that moves a key's ``__ts_ms`` to a
+  new month would strand the old version in the old partition.)
+- **Clustering** -> ``sortWithinPartitions(pk..., __source_ts_ms)`` before
+  write, so parquet row-group min/max stats give data skipping on PK
+  lookups — the BigQuery clustering analog.
+- **Schema evolution** -> ``unionByName(allowMissingColumns=True)`` against
+  the live schema + ``mergeSchema`` on read (reference: stream mode ALTERs
+  the table :314-345; batch mode sets ALLOW_FIELD_ADDITION :72-77).
+
+Exactly-once: appends are guarded by an epoch marker file per
+(table, epoch_id) — replaying a failed micro-batch skips already-committed
+epochs, the parquet-native version of Delta's ``txnAppId`` guard
+(risk noted in SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PART_MONTH = "__part_month"
+KEY_BUCKET = "__kb"
+
+
+class ParquetTable:
+    """A destination table: parquet directory + engine-tracked metadata.
+
+    Metadata (primary key, partition mode, clustering columns) lives in
+    ``_engine_meta.json`` beside the data — Spark does not enforce
+    constraints, but the engine tracks PK like the reference declares
+    BigQuery ``tableConstraints`` (BaseRecordConverter.java:181-196).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        key_cols: Sequence[str] = (),
+        mode: str = "append",  # "append" (month parts) | "upsert" (key buckets)
+        n_buckets: int = 32,
+        clustering_field: str = "__source_ts_ms",
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.mode = mode
+        self.n_buckets = n_buckets
+        self.clustering_field = clustering_field
+
+    # -- metadata ----------------------------------------------------------
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.path, "_engine_meta.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.meta_path)
+
+    def _write_meta(self, schema_json: str) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self.meta_path, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "key_cols": self.key_cols,
+                    "mode": self.mode,
+                    "n_buckets": self.n_buckets,
+                    "clustering": self.clustering_cols(),
+                    "schema": json.loads(schema_json),
+                },
+                fh,
+            )
+
+    def clustering_cols(self) -> list[str]:
+        """<=3 PK columns + clustering field — BigQuery's 4-field limit,
+        BaseRecordConverter.java:218-221."""
+        cols = self.key_cols[:3]
+        if self.clustering_field:
+            cols = cols + [self.clustering_field]
+        return cols
+
+    # -- partitioning ------------------------------------------------------
+    def partition_col(self) -> str:
+        return KEY_BUCKET if self.mode == "upsert" else PART_MONTH
+
+    def with_partition_col(self, df: DataFrame) -> DataFrame:
+        if self.mode == "upsert":
+            if not self.key_cols:
+                raise ValueError("upsert table requires key columns")
+            bucket = F.pmod(
+                F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
+            ).cast("int")
+            return df.withColumn(KEY_BUCKET, bucket)
+        month = F.date_format(F.col("__ts_ms"), "yyyy-MM")
+        return df.withColumn(PART_MONTH, F.coalesce(month, F.lit("unknown")))
+
+    # -- io ----------------------------------------------------------------
+    def read(self) -> DataFrame:
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        return df.drop(self.partition_col())
+
+    def _epoch_marker(self, epoch_id: int | None) -> str | None:
+        if epoch_id is None:
+            return None
+        return os.path.join(self.path, "_epochs", f"{epoch_id}.json")
+
+    def epoch_committed(self, epoch_id: int | None) -> bool:
+        marker = self._epoch_marker(epoch_id)
+        return marker is not None and os.path.exists(marker)
+
+    def _commit_epoch(self, epoch_id: int | None, rows: int) -> None:
+        marker = self._epoch_marker(epoch_id)
+        if marker is None:
+            return
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w", encoding="utf-8") as fh:
+            json.dump({"epoch": epoch_id, "rows": rows}, fh)
+
+    def _cluster_sort(self, df: DataFrame) -> DataFrame:
+        cols = [c for c in self.clustering_cols() if c in df.columns]
+        return df.sortWithinPartitions(*cols) if cols else df
+
+    def append(self, df: DataFrame, epoch_id: int | None = None) -> None:
+        """S3 analog — append a uniform-schema batch, evolving the table
+        schema if the batch adds columns."""
+        if self.epoch_committed(epoch_id):
+            return
+        out = self.with_partition_col(df)
+        if self.exists():
+            live = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+            missing = [f for f in live.schema.fields if f.name not in out.columns]
+            for f in missing:
+                out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        out = self._cluster_sort(out)
+        out.write.mode("append").partitionBy(self.partition_col()).parquet(self.path)
+        self._write_meta(df.schema.json())
+        self._commit_epoch(epoch_id, -1)
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Dynamic partition overwrite — rewrites only partitions present in
+        ``df`` (session sets partitionOverwriteMode=dynamic)."""
+        out = self._cluster_sort(df)
+        out.write.mode("overwrite").partitionBy(self.partition_col()).parquet(self.path)
+        self._write_meta(df.drop(self.partition_col()).schema.json())

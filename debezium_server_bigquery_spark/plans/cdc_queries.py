@@ -1,0 +1,237 @@
+"""CDC operator queries — the reference's dataflow stages (SURVEY §2.1-§2.4)
+expressed as oracle-checkable DataFrame plans over the synthesized CDC
+stream (sources/cdc.py) derived from the ``events`` table.
+
+Each query exercises one reference operator; the DuckDB twin recomputes the
+same synthesis + operator in ANSI SQL, so the driver's hash compare covers
+the operator end-to-end (FIXTURES.md §D replay strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.operators.dedup import dedup_last_writer
+from debezium_server_bigquery_spark.operators.routing import (
+    filter_heartbeats,
+    rewrite_destination,
+)
+from debezium_server_bigquery_spark.sources.cdc import (
+    cdc_synth_oracle_sql,
+    synthesize_cdc_events,
+)
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+# The oracle CTE shared by every query: synthesized CDC rows.
+_CDC_CTE = f"WITH cdc AS ({cdc_synth_oracle_sql('events')})"
+
+# Oracle twin of the A2 ordering: dedup column desc, then op priority desc,
+# then event_id desc as a final deterministic tiebreak.
+_OP_PRI = "CASE __op WHEN 'c' THEN 1 WHEN 'r' THEN 2 WHEN 'u' THEN 3 WHEN 'd' THEN 4 ELSE 0 END"
+
+
+def _cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# S2/S1 — the flattened change-event stream itself (schema + meta columns).
+# --------------------------------------------------------------------------
+def cdc_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cdc(spark, sf_dir)
+
+
+CDC_FLATTEN_SQL = f"{_CDC_CTE} SELECT * FROM cdc"
+
+
+# --------------------------------------------------------------------------
+# R1-R3 — heartbeat filter + destination rewrite + per-table grouping.
+# The regexp collapses the three physical partitions events_p0/1/2 into one
+# logical table (fan-in, docs/configuration.md:5-6).
+# --------------------------------------------------------------------------
+def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = filter_heartbeats(_cdc(spark, sf_dir))
+    df = rewrite_destination(df, r"_p\d+$", "")
+    return (
+        df.groupBy("destination")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("__table").alias("n_source_tables"))
+        .orderBy("destination")
+    )
+
+
+CDC_ROUTE_SQL = f"""{_CDC_CTE}
+SELECT regexp_replace(regexp_replace(destination, '_p\\d+$', ''), '\\.', '_', 'g') AS destination,
+       COUNT(*) AS n_events, COUNT(DISTINCT __table) AS n_source_tables
+FROM cdc
+WHERE destination NOT LIKE '\\_\\_debezium-heartbeat%' ESCAPE '\\'
+GROUP BY 1 ORDER BY destination
+"""
+
+
+# --------------------------------------------------------------------------
+# A1/A2 — in-batch last-writer-wins dedup per (destination, PK).
+# --------------------------------------------------------------------------
+def cdc_dedup_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = filter_heartbeats(_cdc(spark, sf_dir))
+    out = dedup_last_writer(
+        df, ["destination", "user_id"], order_col="__source_ts_ns", tiebreak=("event_id",)
+    )
+    return out.select(
+        "destination", "user_id", "event_id", "event_type", "value", "__op", "__source_ts_ns"
+    ).orderBy("destination", "user_id")
+
+
+CDC_DEDUP_SQL = f"""{_CDC_CTE}
+SELECT destination, user_id, event_id, event_type, value, __op, __source_ts_ns
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY destination, user_id
+      ORDER BY __source_ts_ns DESC, {_OP_PRI} DESC, event_id DESC) AS rn
+  FROM cdc
+  WHERE destination NOT LIKE '\\_\\_debezium-heartbeat%' ESCAPE '\\'
+)
+WHERE rn = 1 ORDER BY destination, user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# S5/A3 — upsert final state: last writer per key, deletes applied
+# (the destination table a user queries after replication).
+# --------------------------------------------------------------------------
+def cdc_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = filter_heartbeats(_cdc(spark, sf_dir))
+    last = dedup_last_writer(
+        df, ["destination", "user_id"], order_col="__source_ts_ns", tiebreak=("event_id",)
+    )
+    return (
+        last.filter(F.col("__op") != "d")
+        .select("destination", "user_id", "event_id", "event_type", "value", "__deleted")
+        .orderBy("destination", "user_id")
+    )
+
+
+CDC_UPSERT_FINAL_SQL = f"""{_CDC_CTE}
+SELECT destination, user_id, event_id, event_type, value, __deleted
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY destination, user_id
+      ORDER BY __source_ts_ns DESC, {_OP_PRI} DESC, event_id DESC) AS rn
+  FROM cdc
+  WHERE destination NOT LIKE '\\_\\_debezium-heartbeat%' ESCAPE '\\'
+)
+WHERE rn = 1 AND __op <> 'd' ORDER BY destination, user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 keep-deletes variant: deleted keys stay as tombstone rows with
+# __deleted = true (upsert-keep-deletes, StreamConsumerConfig.java:71-73).
+# --------------------------------------------------------------------------
+def cdc_upsert_keep_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = filter_heartbeats(_cdc(spark, sf_dir))
+    last = dedup_last_writer(
+        df, ["destination", "user_id"], order_col="__source_ts_ns", tiebreak=("event_id",)
+    )
+    return (
+        last.groupBy("destination")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(F.col("__op") == "d", 1).otherwise(0)).alias("n_deleted"),
+            F.sum(F.when(F.col("__deleted") == "true", 1).otherwise(0)).alias("n_tombstones"),
+        )
+        .orderBy("destination")
+    )
+
+
+CDC_KEEP_DELETES_SQL = f"""{_CDC_CTE}
+SELECT destination, COUNT(*) AS n_keys,
+  SUM(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS n_deleted,
+  SUM(CASE WHEN __deleted = 'true' THEN 1 ELSE 0 END) AS n_tombstones
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY destination, user_id
+      ORDER BY __source_ts_ns DESC, {_OP_PRI} DESC, event_id DESC) AS rn
+  FROM cdc
+  WHERE destination NOT LIKE '\\_\\_debezium-heartbeat%' ESCAPE '\\'
+)
+WHERE rn = 1
+GROUP BY destination ORDER BY destination
+"""
+
+
+# --------------------------------------------------------------------------
+# S3 — append-mode stats: every change kept (audit-log semantics), counts
+# per destination x op after routing.
+# --------------------------------------------------------------------------
+def cdc_append_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = filter_heartbeats(_cdc(spark, sf_dir))
+    return (
+        df.groupBy("destination", "__op")
+        .agg(F.count("*").alias("n_rows"), F.countDistinct("user_id").alias("n_keys"))
+        .orderBy("destination", "__op")
+    )
+
+
+CDC_APPEND_SQL = f"""{_CDC_CTE}
+SELECT destination, __op, COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_keys
+FROM cdc
+WHERE destination NOT LIKE '\\_\\_debezium-heartbeat%' ESCAPE '\\'
+GROUP BY destination, __op ORDER BY destination, __op
+"""
+
+
+# --------------------------------------------------------------------------
+# F5/F7/F8 — scalar coercions: epoch-ms -> TIMESTAMP (__ts_ms meta
+# override), epoch-days -> DATE, string bool -> BOOL.  Values synthesized
+# from the event timestamp so the oracle can recompute them.
+# --------------------------------------------------------------------------
+def cdc_coerce_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cdc(spark, sf_dir)
+    epoch_days = (F.col("__ts_ms") / F.lit(86_400_000)).cast("long")
+    return df.select(
+        "event_id",
+        # F7: epoch-ms -> timestamp, rendered as DATE for cross-engine hash.
+        F.timestamp_millis(F.col("__ts_ms")).cast("date").alias("ts_date"),
+        # F5: epoch-days -> DATE (date_from_unix_date == dateFromDays).
+        F.date_from_unix_date(epoch_days.cast("int")).alias("days_date"),
+        # F8: string "true"/"false" -> BOOL.
+        F.col("__deleted").cast("boolean").alias("deleted_bool"),
+        # F6: trailing-Z strip on an ISO string derived from the ts.
+        F.regexp_replace(
+            F.concat(F.date_format(F.timestamp_millis(F.col("__ts_ms")), "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")),
+            r"(\d)Z$",
+            r"$1",
+        ).alias("iso_no_z"),
+    ).orderBy("event_id")
+
+
+CDC_COERCE_SQL = f"""{_CDC_CTE}
+SELECT event_id,
+  CAST(make_timestamp(__ts_ms * 1000) AS DATE) AS ts_date,
+  CAST(DATE '1970-01-01' + to_days(CAST(__ts_ms // 86400000 AS INTEGER)) AS DATE) AS days_date,
+  CAST(__deleted AS BOOLEAN) AS deleted_bool,
+  regexp_replace(strftime(make_timestamp(__ts_ms * 1000), '%Y-%m-%dT%H:%M:%S') || 'Z', '(\\d)Z$', '\\1') AS iso_no_z
+FROM cdc ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "cdc_flatten": cdc_flatten,
+    "cdc_route": cdc_route,
+    "cdc_dedup_last_writer": cdc_dedup_last_writer,
+    "cdc_upsert_final_state": cdc_upsert_final_state,
+    "cdc_upsert_keep_deletes": cdc_upsert_keep_deletes,
+    "cdc_append_stats": cdc_append_stats,
+    "cdc_coerce_scalars": cdc_coerce_scalars,
+}
+
+ORACLES = {
+    "cdc_flatten": CDC_FLATTEN_SQL,
+    "cdc_route": CDC_ROUTE_SQL,
+    "cdc_dedup_last_writer": CDC_DEDUP_SQL,
+    "cdc_upsert_final_state": CDC_UPSERT_FINAL_SQL,
+    "cdc_upsert_keep_deletes": CDC_KEEP_DELETES_SQL,
+    "cdc_append_stats": CDC_APPEND_SQL,
+    "cdc_coerce_scalars": CDC_COERCE_SQL,
+}

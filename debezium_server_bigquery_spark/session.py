@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference tunes throughput with batch-size waits and bounded parallel
+uploads (BaseChangeConsumer.java:83-86, batchsizewait/*); on Spark the
+equivalent levers are AQE, shuffle-partition sizing, and broadcast
+thresholds, set once here so every entry point (tests, bench, driver)
+gets the same envelope.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "debezium-server-bigquery-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned defaults.
+
+    Defaults are chosen for correctness at small SF and sanity at scale:
+
+    - AQE on (runtime coalesce + skew-join splitting): at 100 TB the static
+      shuffle-partition count is always wrong somewhere; AQE re-plans.
+    - ``partitionOverwriteMode=dynamic``: the upsert MERGE rewrites only the
+      partitions a micro-batch touches (operators/merge.py).
+    - session timezone UTC: epoch-ms coercions (F7) and the DuckDB oracle
+      agree on instants.
+    - Arrow enabled: any unavoidable Python stage is Arrow-batched.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's events.parquet stores ts as TIMESTAMP(NANOS); Spark
+        # has no nanos timestamp — read as long, converted in sources/tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

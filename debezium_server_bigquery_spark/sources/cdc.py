@@ -1,0 +1,154 @@
+"""CDC event sources.
+
+Two inputs feed the pipeline:
+
+1. ``read_cdc_ndjson`` — newline-delimited Debezium JSON event files
+   (payload + embedded schema), the same wire format the reference consumes
+   via DebeziumSerdes (reference BaseChangeConsumer.java:65-66,88-94).
+2. ``synthesize_cdc_events`` — a deterministic transform of the driver's
+   ``events`` parquet table into flattened CDC change rows, mirroring the
+   shape produced by Debezium's ExtractNewRecordState transform
+   (reference DebeziumConfig.java:62-80): payload columns plus
+   ``__op/__table/__db/__ts_ms/__source_ts_ms/__source_ts_ns/__deleted``
+   meta columns (docs/configuration.md:21-25,56-59).
+
+The synthesizer is pure column algebra (no UDFs) and has an exact SQL twin
+(``CDC_SYNTH_SQL``) used by the DuckDB oracle, so every downstream CDC
+operator is hash-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.schema import debezium_schema_to_struct
+
+# Deterministic event_type -> CDC op mapping. 'r' is snapshot-read, as in the
+# reference's op-priority map {c:1, r:2, u:3, d:4}
+# (StreamBigqueryChangeConsumer.java:62).
+OP_CASE = (
+    "CASE event_type WHEN 'signup' THEN 'c' WHEN 'view' THEN 'r' "
+    "WHEN 'click' THEN 'u' WHEN 'purchase' THEN 'u' ELSE 'd' END"
+)
+
+HEARTBEAT_PREFIX = "__debezium-heartbeat"
+
+
+def synthesize_cdc_events(events: DataFrame) -> DataFrame:
+    """events(event_id, ts, user_id, event_type, value, props) -> CDC rows.
+
+    Key (primary key) for upsert scenarios is ``user_id``; destination fans
+    the stream out over three partition-suffixed tables plus a heartbeat
+    topic (exercises R1-R3 of SURVEY §2.2).
+    """
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "view", F.lit("r"))
+        .when(F.col("event_type").isin("click", "purchase"), F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    suffix = (F.col("event_id") % 3).cast("string")
+    dest = F.when(
+        F.col("event_id") % 50 == 0, F.lit(f"{HEARTBEAT_PREFIX}.testc")
+    ).otherwise(F.concat(F.lit("testc.inventory.events_p"), suffix))
+    if "ts_ns" in events.columns:
+        # Nanos from the loader (TIMESTAMP(NANOS) source), truncated to
+        # microsecond precision: DuckDB (the correctness oracle) coerces
+        # TIMESTAMP_NS to micros on read, so sub-micro digits are not
+        # observable cross-engine.  Dedup stays deterministic — ties fall
+        # through to op-priority then event_id.
+        ts_ns = F.expr("(ts_ns div 1000) * 1000")
+        ts_ms = F.expr("ts_ns div 1000000")
+    else:
+        ts_ms = F.unix_millis(F.col("ts"))
+        ts_ns = F.unix_micros(F.col("ts")) * 1000
+    return events.select(
+        dest.alias("destination"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        op.alias("__op"),
+        F.concat(F.lit("events_p"), suffix).alias("__table"),
+        F.lit("testc").alias("__db"),
+        ts_ms.alias("__ts_ms"),
+        ts_ms.alias("__source_ts_ms"),
+        ts_ns.alias("__source_ts_ns"),
+        F.when(op == "d", F.lit("true")).otherwise(F.lit("false")).alias("__deleted"),
+    )
+
+
+def cdc_synth_oracle_sql(events_rel: str = "events") -> str:
+    """DuckDB SQL producing byte-identical rows to synthesize_cdc_events."""
+    return f"""
+    SELECT
+      CASE WHEN event_id % 50 = 0 THEN '{HEARTBEAT_PREFIX}.testc'
+           ELSE 'testc.inventory.events_p' || CAST(event_id % 3 AS VARCHAR) END AS destination,
+      event_id, user_id, event_type, value, props,
+      {OP_CASE} AS __op,
+      'events_p' || CAST(event_id % 3 AS VARCHAR) AS __table,
+      'testc' AS __db,
+      epoch_ms(ts) AS __ts_ms,
+      epoch_ms(ts) AS __source_ts_ms,
+      epoch_us(ts) * 1000 AS __source_ts_ns,
+      CASE WHEN {OP_CASE} = 'd' THEN 'true' ELSE 'false' END AS __deleted
+    FROM {events_rel}
+    """
+
+
+def read_cdc_ndjson(
+    spark: SparkSession,
+    path: str,
+    *,
+    streaming: bool = False,
+    schema_hint: dict | None = None,
+) -> DataFrame:
+    """Read newline-delimited Debezium change events.
+
+    Each line is ``{"schema": {...}, "payload": {...}}`` (or a bare flattened
+    payload). The Debezium schema node is translated to a Spark StructType
+    driver-side (schema.py); the payload is parsed with ``from_json`` on
+    executors — schema inference never runs on the cluster.
+
+    When ``streaming`` is True this returns a Structured Streaming DataFrame
+    (file source), the engine's analog of the Debezium engine thread feeding
+    handleBatch (reference BaseChangeConsumer.java:138-167).
+    """
+    if schema_hint is None:
+        # Sample one line driver-side to obtain the embedded schema node —
+        # the reference likewise re-reads the schema from raw event bytes
+        # (BatchBigqueryChangeConsumer.java:180-188).
+        sample_file = path
+        if os.path.isdir(path):
+            names = [n for n in sorted(os.listdir(path)) if not n.startswith(("_", "."))]
+            if not names:
+                raise ValueError(f"no event files under {path}")
+            sample_file = os.path.join(path, names[0])
+        with open(sample_file, "r", encoding="utf-8") as fh:
+            first = json.loads(fh.readline())
+        schema_hint = first.get("schema")
+        if schema_hint is None:
+            raise ValueError(
+                "events carry no embedded schema; pass schema_hint= explicitly "
+                "(reference requires schemas.enable=true, DebeziumConfig.java:34-40)"
+            )
+    struct = debezium_schema_to_struct(schema_hint)
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.text(path)
+    parsed = raw.select(
+        F.from_json(F.col("value"), "struct<payload:string,schema:string>").alias("env"),
+        F.col("value"),
+    )
+    # Tombstones (null payload) are preserved as null structs and filtered by
+    # the pipeline's R5 stage, not here.
+    return parsed.select(
+        F.from_json(
+            F.coalesce(F.get_json_object(F.col("value"), "$.payload"), F.col("value")),
+            struct,
+        ).alias("payload")
+    ).select("payload.*")

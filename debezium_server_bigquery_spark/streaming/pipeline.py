@@ -1,0 +1,136 @@
+"""The end-to-end CDC replication pipeline (SURVEY §3).
+
+One Structured Streaming query replaces the reference's consumer hierarchy:
+
+    readStream(Debezium JSON / synthesized CDC rows)
+      -> foreachBatch(epoch):                      # == handleBatch
+           heartbeat filter (R2) -> tombstone drop (R5)
+           -> destination rewrite (R3)
+           -> per destination (R1):
+                coerce to target schema
+                -> append (S3)  |  dedup (A1/A2) + MERGE (S5)
+
+Checkpointing subsumes the reference's BigQuery offset store (S7):
+source offsets + sink commit log live in the checkpoint dir
+(BigqueryOffsetBackingStore.java is replaced wholesale, SURVEY §1.5).
+Epoch markers on each table give idempotent re-delivery on restart.
+
+Per-table writes run in a thread pool (T6 parity — the reference bounds
+parallel uploads with a semaphore over virtual threads,
+BaseChangeConsumer.java:83-86,209-274); each table's Spark jobs are
+independent, and the local scheduler interleaves their stages.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.operators.dedup import dedup_last_writer
+from debezium_server_bigquery_spark.operators.merge import merge_upsert
+from debezium_server_bigquery_spark.operators.routing import (
+    destinations_in,
+    drop_tombstones,
+    filter_heartbeats,
+    rewrite_destination,
+)
+from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+
+@dataclass
+class CdcPipeline:
+    """Config mirrors the ``debezium.sink.*`` keys the reference exposes
+    (CommonConfig/BatchConsumerConfig/StreamConsumerConfig)."""
+
+    spark: SparkSession
+    target_root: str
+    mode: str = "append"  # "append" (bigquerybatch) | "upsert" (bigquerystream+upsert)
+    key_cols: tuple[str, ...] = ()
+    keep_deletes: bool = False  # debezium.sink.bigquerystream.upsert-keep-deletes
+    destination_regexp: str = ""  # debezium.sink.batch.destination-regexp
+    destination_regexp_replace: str = ""
+    concurrent_uploads: int = 4  # debezium.sink.batch.concurrent-uploads
+    dedup_order_col: str = "__source_ts_ns"  # ...upsert-dedup-column
+    n_buckets: int = 32
+    tables: dict[str, ParquetTable] = field(default_factory=dict)
+
+    def table_for(self, destination: str) -> ParquetTable:
+        if destination not in self.tables:
+            self.tables[destination] = ParquetTable(
+                self.spark,
+                os.path.join(self.target_root, destination),
+                key_cols=self.key_cols if self.mode == "upsert" else (),
+                mode=self.mode,
+                n_buckets=self.n_buckets,
+            )
+        return self.tables[destination]
+
+    # -- the micro-batch body (== handleBatch, BaseChangeConsumer.java:139) --
+    def process_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        batch = filter_heartbeats(batch)
+        batch = drop_tombstones(batch)
+        batch = rewrite_destination(
+            batch, self.destination_regexp, self.destination_regexp_replace
+        )
+        dests = destinations_in(batch)
+        if not dests:
+            return
+        # Cache the filtered batch once; each destination slice re-reads it.
+        batch.persist()
+        try:
+            def upload(dest: str) -> None:
+                part = batch.filter(F.col("destination") == dest).drop("destination")
+                table = self.table_for(dest)
+                if self.mode == "upsert" and self.key_cols:
+                    merge_upsert(
+                        table,
+                        part,
+                        keep_deletes=self.keep_deletes,
+                        order_col=self.dedup_order_col,
+                        epoch_id=epoch_id,
+                    )
+                else:
+                    table.append(part, epoch_id=epoch_id)
+
+            if self.concurrent_uploads > 1 and len(dests) > 1:
+                with ThreadPoolExecutor(max_workers=self.concurrent_uploads) as pool:
+                    list(pool.map(upload, sorted(dests)))
+            else:
+                for dest in sorted(dests):
+                    upload(dest)
+        finally:
+            batch.unpersist()
+
+    # -- batch entry (bigquerybatch parity over a static DataFrame) ---------
+    def run_batch(self, df: DataFrame) -> None:
+        self.process_batch(df, epoch_id=None)
+
+    # -- streaming entry ----------------------------------------------------
+    def run_stream(
+        self,
+        source: DataFrame,
+        checkpoint_dir: str,
+        *,
+        available_now: bool = True,
+        processing_time: str | None = None,
+    ):
+        """Start the streaming query.  ``available_now=True`` drains the
+        source then stops — the analog of MaxBatchSizeWait batching
+        everything available (SURVEY §2.7 T3)."""
+        writer = (
+            source.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(lambda df, eid: self.process_batch(df, eid))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def read_table(self, destination: str) -> DataFrame:
+        return self.table_for(destination).read()

@@ -1,0 +1,119 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given SF, then compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted).
+
+Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    try:
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return v.replace(tzinfo=None).isoformat()
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+    except Exception:
+        pass
+    try:
+        from decimal import Decimal
+
+        if isinstance(v, Decimal):
+            return repr(float(v))
+    except Exception:
+        pass
+    return v
+
+
+def compare(spark_rows, spark_cols, duck_rows, duck_cols):
+    if sorted(spark_cols) != sorted(duck_cols):
+        return f"COLS spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    if len(spark_rows) != len(duck_rows):
+        return f"ROWS spark={len(spark_rows)} duck={len(duck_rows)}"
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s = sorted(tuple(_norm(r[i]) for i in order) for r in spark_rows)
+    d = sorted(tuple(_norm(r[i]) for i in dorder) for r in duck_rows)
+    if s != d:
+        for i, (a, b) in enumerate(zip(s, d)):
+            if a != b:
+                return f"VALUES first-diff row {i}:\n  spark={a}\n  duck ={b}"
+        return "VALUES differ (tail)"
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from debezium_server_bigquery_spark import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_cols = sdf.columns
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows={len(spark_rows)}) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            duck_cols = [c[0] for c in cur.description]
+            duck_rows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        diff = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        if diff:
+            failures.append(name)
+            print(f"FAIL {name}: {diff}")
+        else:
+            print(f"OK   {name} rows={len(spark_rows)} [{time.time()-t0:.1f}s]")
+    print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
