@@ -1,0 +1,83 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full plan runs distributed, no
+driver-side collect bottleneck in the timing) except for intentionally
+small results where collect() is the realistic terminal operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from debezium_server_bigquery_spark import get_spark
+    from debezium_server_bigquery_spark.plans import analytics, cdc_queries
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        ("q1_pricing_summary", analytics.q1_pricing_summary),
+        ("q3_shipping_priority", analytics.q3_shipping_priority),
+        ("q5_local_supplier_volume", analytics.q5_local_supplier_volume),
+        ("q6_forecast_revenue", analytics.q6_forecast_revenue),
+        ("q_segment_order_stats", analytics.q_segment_order_stats),
+        ("q_top_customers", analytics.q_top_customers),
+        ("q_events_daily", analytics.q_events_daily),
+        ("cdc_dedup_last_writer", cdc_queries.cdc_dedup_last_writer),
+        ("cdc_upsert_final_state", cdc_queries.cdc_upsert_final_state),
+        ("cdc_append_stats", cdc_queries.cdc_append_stats),
+    ]
+    try:
+        from debezium_server_bigquery_spark.functions import dedup_fuzzy, similarity, text
+
+        headline += [
+            ("dedup_exact", dedup_fuzzy.QUERIES["dedup_exact"]),
+            ("dedup_minhash_lsh", dedup_fuzzy.QUERIES["dedup_minhash_lsh"]),
+            ("ann_cosine_topk", similarity.QUERIES["ann_cosine_topk"]),
+            ("text_quality_score", text.QUERIES["text_quality_score"]),
+        ]
+    except (ImportError, KeyError):
+        pass
+
+    # Warm the JVM + parquet footers once so timings measure the plans.
+    analytics.q6_forecast_revenue(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in headline:
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        try:
+            df.write.mode("overwrite").format("noop").save()
+        except Exception:
+            df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

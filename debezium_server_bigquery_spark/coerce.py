@@ -77,12 +77,13 @@ def _coerce_node(col: Column, node: dict[str, Any], name: str | None) -> Column:
             wkb_node = next(
                 (f for f in node.get("fields", []) if f.get("field") == "wkb"), {}
             )
-            return F.struct(
+            geom = F.struct(
                 col.getField("srid").cast("long").alias("srid"),
                 geometry_wkb_hex(
                     col.getField("wkb"), wkb_node.get("type") == "bytes"
                 ).alias("wkb"),
             )
+            return F.when(col.isNull(), F.lit(None)).otherwise(geom)
         # F3 — recurse into sub-fields (:281-291).
         sub = [
             _coerce_node(col.getField(f["field"]), f, f["field"]).alias(f["field"])

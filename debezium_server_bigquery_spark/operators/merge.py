@@ -59,10 +59,11 @@ def merge_upsert(
     deduped = dedup_last_writer(batch, table.key_cols, order_col=order_col)
     src = table.with_partition_col(deduped).withColumn(_SRC_RANK, F.lit(1))
 
-    if table.exists():
-        # Prune to affected buckets: tiny driver-side list (<= n_buckets).
-        buckets = [r[0] for r in src.select(KEY_BUCKET).distinct().collect()]
-        live = table.spark.read.option("mergeSchema", "true").parquet(table.path)
+    # Affected buckets: tiny driver-side list (<= n_buckets) that prunes the
+    # target scan and bounds the partition rewrite.
+    buckets = [r[0] for r in src.select(KEY_BUCKET).distinct().collect()]
+    live = table.read_raw() if table.exists() else None
+    if live is not None:
         live = live.filter(F.col(KEY_BUCKET).isin(buckets)).withColumn(
             _SRC_RANK, F.lit(0)
         )
@@ -78,5 +79,5 @@ def merge_upsert(
         result = winner
     else:
         result = winner.filter(F.col("__op") != "d")
-    table.overwrite_partitions(result.drop(_SRC_RANK))
+    table.overwrite_partitions(result.drop(_SRC_RANK), expected_partitions=buckets)
     table._commit_epoch(epoch_id, -1)

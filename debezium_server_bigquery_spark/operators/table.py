@@ -109,13 +109,43 @@ class ParquetTable:
                 F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
             ).cast("int")
             return df.withColumn(KEY_BUCKET, bucket)
-        month = F.date_format(F.col("__ts_ms"), "yyyy-MM")
+        if "__ts_ms" not in df.columns:
+            return df.withColumn(PART_MONTH, F.lit("unknown"))
+        ts = F.col("__ts_ms")
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["__ts_ms"].dataType, (T.LongType, T.IntegerType)):
+            # raw (pre-coercion) rows carry epoch-ms; partition value must be
+            # identical either way so a table can mix coerced/raw batches.
+            ts = F.timestamp_millis(ts)
+        month = F.date_format(ts, "yyyy-MM")
         return df.withColumn(PART_MONTH, F.coalesce(month, F.lit("unknown")))
 
     # -- io ----------------------------------------------------------------
     def read(self) -> DataFrame:
-        df = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        try:
+            df = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        except Exception:
+            # Table exists but holds zero data files (e.g. a MERGE deleted
+            # every row): serve an empty frame with the last-known schema.
+            if not self.exists():
+                raise
+            from pyspark.sql import types as T
+
+            with open(self.meta_path, "r", encoding="utf-8") as fh:
+                meta = json.load(fh)
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(meta["schema"])
+            )
         return df.drop(self.partition_col())
+
+    def read_raw(self) -> DataFrame | None:
+        """Live rows including the partition column, or None if the table
+        holds no data files yet."""
+        try:
+            return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        except Exception:
+            return None
 
     def _epoch_marker(self, epoch_id: int | None) -> str | None:
         if epoch_id is None:
@@ -144,8 +174,8 @@ class ParquetTable:
         if self.epoch_committed(epoch_id):
             return
         out = self.with_partition_col(df)
-        if self.exists():
-            live = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        live = self.read_raw() if self.exists() else None
+        if live is not None:
             missing = [f for f in live.schema.fields if f.name not in out.columns]
             for f in missing:
                 out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -154,9 +184,45 @@ class ParquetTable:
         self._write_meta(df.schema.json())
         self._commit_epoch(epoch_id, -1)
 
-    def overwrite_partitions(self, df: DataFrame) -> None:
-        """Dynamic partition overwrite — rewrites only partitions present in
-        ``df`` (session sets partitionOverwriteMode=dynamic)."""
+    def overwrite_partitions(
+        self, df: DataFrame, expected_partitions: Sequence[object] = ()
+    ) -> None:
+        """Replace whole partitions with the content of ``df`` — parquet-
+        native copy-on-write, Hive ``INSERT OVERWRITE ... PARTITION`` style.
+
+        ``df`` may (and in a MERGE, does) read from this very table, so a
+        direct in-place dynamic overwrite would delete input files mid-scan.
+        Instead the result is fully materialized into a staging directory
+        first, then partition directories are swapped in — at cluster scale
+        the swap is the metastore's partition-location update, here a local
+        rename.  A partition the caller intended to rewrite that came back
+        empty (``expected_partitions``) is dropped — "replace with nothing"
+        (the MERGE deleted every key in that bucket).
+        """
+        import shutil
+        import uuid
+
+        part_col = self.partition_col()
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
         out = self._cluster_sort(df)
-        out.write.mode("overwrite").partitionBy(self.partition_col()).parquet(self.path)
-        self._write_meta(df.drop(self.partition_col()).schema.json())
+        out.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+        try:
+            staged = {
+                d
+                for d in os.listdir(staging)
+                if d.startswith(f"{part_col}=") and os.path.isdir(os.path.join(staging, d))
+            }
+            for d in staged:
+                target = os.path.join(self.path, d)
+                if os.path.exists(target):
+                    shutil.rmtree(target)
+                os.replace(os.path.join(staging, d), target)
+            for value in expected_partitions:
+                d = f"{part_col}={value}"
+                if d not in staged:
+                    stale = os.path.join(self.path, d)
+                    if os.path.exists(stale):
+                        shutil.rmtree(stale)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        self._write_meta(df.drop(part_col).schema.json())

@@ -69,10 +69,30 @@ class CdcPipeline:
             )
         return self.tables[destination]
 
+    @staticmethod
+    def _coerce_meta(df: DataFrame) -> DataFrame:
+        """Destination-table meta types (reference docs/configuration.md:56-59):
+        ``__ts_ms``/``__source_ts_ms`` epoch-ms -> TIMESTAMP (F7),
+        ``__deleted`` string -> BOOL (F8).  Applied only when the batch still
+        carries wire types, so coerced and raw inputs land identically."""
+        from pyspark.sql import types as T
+
+        for c in ("__ts_ms", "__source_ts_ms"):
+            if c in df.columns and isinstance(
+                df.schema[c].dataType, (T.LongType, T.IntegerType)
+            ):
+                df = df.withColumn(c, F.timestamp_millis(F.col(c)))
+        if "__deleted" in df.columns and isinstance(
+            df.schema["__deleted"].dataType, T.StringType
+        ):
+            df = df.withColumn("__deleted", F.col("__deleted").cast("boolean"))
+        return df
+
     # -- the micro-batch body (== handleBatch, BaseChangeConsumer.java:139) --
     def process_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
         batch = filter_heartbeats(batch)
         batch = drop_tombstones(batch)
+        batch = self._coerce_meta(batch)
         batch = rewrite_destination(
             batch, self.destination_regexp, self.destination_regexp_replace
         )

@@ -1,0 +1,40 @@
+"""A1/A2 dedup tests — mirror of testDeduplicateBatch
+(StreamBigqueryChangeConsumerMysqlUpsertTest.java:127-166; FIXTURES.md §B6)."""
+
+from __future__ import annotations
+
+from debezium_server_bigquery_spark.operators.dedup import dedup_last_writer
+
+COLS = "id long, first_name string, __op string, __source_ts_ns long"
+
+
+def test_keep_higher_ts(spark):
+    # B6 case 1: same key, (op=r, ts=3) vs (op=u, ts=1) -> ts=3 wins.
+    df = spark.createDataFrame([(1, "row1-r", "r", 3), (1, "row1-u", "u", 1)], COLS)
+    out = dedup_last_writer(df, ["id"]).collect()
+    assert len(out) == 1
+    assert out[0].first_name == "row1-r" and out[0]["__op"] == "r"
+
+
+def test_ts_tie_falls_to_op_priority(spark):
+    # B6 case 2: equal ts, ops r vs u -> u wins (priority c<r<u<d).
+    df = spark.createDataFrame([(1, "row1-r", "r", 1), (1, "row1-u", "u", 1)], COLS)
+    out = dedup_last_writer(df, ["id"]).collect()
+    assert len(out) == 1
+    assert out[0]["__op"] == "u"
+
+
+def test_delete_beats_update_on_tie(spark):
+    df = spark.createDataFrame([(1, "u", "u", 5), (1, "d", "d", 5)], COLS)
+    out = dedup_last_writer(df, ["id"]).collect()
+    assert out[0]["__op"] == "d"
+
+
+def test_multiple_keys_and_empty_keys_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "c", 1), (1, "b", "u", 2), (2, "c", "c", 1)], COLS
+    )
+    out = {r.id: r.first_name for r in dedup_last_writer(df, ["id"]).collect()}
+    assert out == {1: "b", 2: "c"}
+    # PK-less: dedup is a no-op (append fallback handles these tables).
+    assert dedup_last_writer(df, []).count() == 3
