@@ -1,0 +1,315 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each plan):
+
+- **exact**: one hash-aggregate over the corpus; map-side combine makes the
+  shuffle proportional to distinct texts, not rows.
+- **minhash_lsh**: shingle -> k minhashes -> band signatures -> bucket
+  join.  Candidate generation never compares all pairs: cost is
+  O(rows x shingles) for signatures plus a self-join on (band, signature)
+  whose output is only the colliding pairs.  This is the 100 TB path —
+  banding keeps bucket sizes tiny for non-duplicate data.
+- **simhash**: 60-bit signature per doc from token-hash bit votes; near-dup
+  = small hamming distance.  Signature build is one aggregation; the pair
+  scan here is a bounded self-join (fine at test SF; at scale you bucket
+  by signature prefix exactly like LSH bands).
+- **ngram_jaccard**: exact Jaccard via the shingle inverted index
+  (explode -> join on shingle -> count shared), never a full cross join;
+  only pairs sharing >= 1 shingle materialize.
+
+Cross-engine hashing: ``bigint(md5)`` — first 15 hex chars of md5 as a
+60-bit int — computes identically in Spark (`conv`) and DuckDB
+(`'0x'||... ::BIGINT`), so every operator is oracle-checkable.  Production
+fast path would swap ``F.xxhash64`` in (same plans, cheaper hash).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+MINHASH_K = 12  # minhashes per doc
+BAND_R = 3  # rows per band -> 4 bands
+SIMHASH_BITS = 60  # fits a signed BIGINT, positive
+SIMHASH_MAX_HAMMING = 18
+JACCARD_THRESHOLD = 0.25
+
+
+def hash60(col: Column) -> Column:
+    """60-bit integer hash from md5 — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def words(col: Column) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (1-based element_at to mirror DuckDB
+    list indexing)."""
+    toks = words(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_SHINGLES_SQL = r"""
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+         THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+         ELSE [] END AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup — keep-first by content hash.
+# --------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("is_kept", F.col("doc_id") == F.col("keeper_id"))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id, md5(text) AS text_hash,
+  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+  COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+  doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_kept
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH candidate pairs.
+# --------------------------------------------------------------------------
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    # k seeded hashes per (doc, shingle); min per (doc, seed) = signature row.
+    hashed = shingled.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1)))
+    ).select(
+        "doc_id",
+        "seed",
+        hash60(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+    )
+    sig = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
+    # band signature = md5 of the band's r minhashes in seed order
+    bands = (
+        sig.withColumn("band", F.floor(F.col("seed") / BAND_R))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "minh"))),
+                        lambda x: x.getField("minh").cast("string"),
+                    ),
+                )
+            ).alias("sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(sh) AS sh FROM shingled WHERE len(sh) > 0
+),
+hashed AS (
+  SELECT doc_id, seed, {_hash60_sql("seed || ':' || sh")} AS h
+  FROM exploded, (SELECT unnest(range({MINHASH_K})) AS seed)
+),
+sig AS (
+  SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {BAND_R} AS band,
+         md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS sig
+  FROM sig GROUP BY doc_id, seed // {BAND_R}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures + near-dup pairs by hamming distance.
+# --------------------------------------------------------------------------
+def _simhash_signature(docs: DataFrame) -> DataFrame:
+    toks = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("tok")
+    ).withColumn("h", hash60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"w{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _simhash_signature(docs)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_VOTES_SQL = ",\n    ".join(
+    f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS w{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIG_SQL = " + ".join(
+    f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+hashed AS (SELECT doc_id, {_hash60_sql("tok")} AS h FROM toks),
+votes AS (
+  SELECT doc_id,
+    {_VOTES_SQL}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (SELECT doc_id, ({_SIG_SQL})::BIGINT AS simhash FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard over the shingle inverted index.
+# --------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = shingled.select("doc_id", F.explode("sh").alias("sh"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+inv AS (SELECT doc_id, unnest(sh) AS sh FROM shingled),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+  round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+}

@@ -1,0 +1,287 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+- **ann_cosine_topk** — brute-force cosine top-k: the correctness baseline.
+  Query set is broadcast; the big side streams once; per-row arithmetic is
+  a JVM-side fold (zip_with + aggregate), no Python.  At 100 TB this is the
+  "exact re-rank" stage, never the full search.
+- **ann_lsh_bucketed** — random-hyperplane LSH: 8 deterministic md5-seeded
+  hyperplanes -> 8-bit bucket; candidates share a bucket, then exact cosine
+  re-ranks.  The scale path: bucketing turns the cross join into a
+  per-bucket join (expected bucket occupancy n/256), and the same bucket
+  column is a natural partition key for a 1000-executor layout.
+- **embedding_neardup_pairs** — cosine-threshold near-duplicate pairs.
+- **embedding_centroid_by_label** — per-label centroids (posexplode +
+  decimal-sum aggregation; map-side combinable).
+
+Determinism: dot products fold left-to-right over the array in both
+engines (Spark ``aggregate``, DuckDB ``list_reduce``), elements cast to
+double first, so doubles are bit-identical and rank order is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import _hash60_sql, hash60
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+N_PLANES = 8
+TOPK = 5
+NEARDUP_COSINE = 0.25
+NEARDUP_SCOPE = 200  # vec_id bound for the pairwise near-dup demo query
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in double precision (JVM codegen, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot(a, b) / (norm_a * norm_b)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+# --------------------------------------------------------------------------
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    joined = broadcast(queries).join(emb, F.col("query_id") != F.col("vec_id"))
+    sim = cosine(F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql("embedding", "embedding")}) AS norm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    {_dot_sql("q.embedding", "e.embedding")} / (q.norm * e.norm) AS sim,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY {_dot_sql("q.embedding", "e.embedding")} / (q.norm * e.norm) DESC,
+               e.vec_id ASC) AS rank
+  FROM normed q JOIN normed e ON q.vec_id <> e.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine_sim
+FROM scored WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+def _bucket_expr() -> Column:
+    """8-bit random-hyperplane bucket.  Hyperplane j component i is +/-1
+    from the parity of the md5-derived 60-bit hash of "j:i" (1-based i to
+    mirror DuckDB list indexing)."""
+    bits = []
+    for j in range(N_PLANES):
+        proj = F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x.cast("double")
+                * F.when(
+                    hash60(
+                        F.concat(F.lit(f"{j}:"), (i + 1).cast("string"))
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _bucket_expr()
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = broadcast(queries).join(
+        emb,
+        (F.col("q_bucket") == F.col("bucket"))
+        & (F.col("query_id") != F.col("vec_id")),
+    )
+    sim = cosine(F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cands.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("bucket"),
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _build_lsh_sql() -> str:
+    bit_exprs = []
+    for j in range(N_PLANES):
+        seed = "'" + str(j) + ":' || i"
+        sign = (
+            f"(CASE WHEN ({_hash60_sql(seed)} & 1) = 1 "
+            "THEN 1.0 ELSE -1.0 END)"
+        )
+        proj = (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            "list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * {sign})), (x, y) -> x + y)"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bit_exprs)
+    return f"""
+WITH normed AS (
+  SELECT vec_id, embedding,
+    sqrt({_dot_sql("embedding", "embedding")}) AS norm,
+    {bucket} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, q.bucket AS bucket,
+    {_dot_sql("q.embedding", "e.embedding")} / (q.norm * e.norm) AS sim,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY {_dot_sql("q.embedding", "e.embedding")} / (q.norm * e.norm) DESC,
+               e.vec_id ASC) AS rank
+  FROM normed q JOIN normed e
+    ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+  WHERE q.vec_id < 20
+)
+SELECT query_id, rank, neighbor_id, bucket, round(sim, 6) AS cosine_sim
+FROM scored WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < NEARDUP_SCOPE)
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    sim = cosine(F.col("emb_a"), F.col("emb_b"), F.col("norm_a"), F.col("norm_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMB_NEARDUP_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql("embedding", "embedding")}) AS norm
+  FROM embeddings WHERE vec_id < {NEARDUP_SCOPE}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round({_dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cosine_sim
+FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+WHERE {_dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= {NEARDUP_COSINE}
+ORDER BY vec_a, vec_b
+"""
+
+
+# --------------------------------------------------------------------------
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("val").cast("double").cast("decimal(20,10)")).alias("s"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("centroid_val"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+EMB_CENTROID_SQL = """
+SELECT label, u.pos AS pos, COUNT(*) AS n,
+  round(CAST(SUM(CAST(CAST(u.val AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS centroid_val
+FROM (SELECT label,
+        unnest(list_transform(range(1, len(embedding) + 1),
+                              i -> {'pos': i, 'val': embedding[i]})) AS u
+      FROM embeddings)
+GROUP BY label, u.pos ORDER BY label, pos
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_centroid_by_label": embedding_centroid_by_label,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ANN_TOPK_SQL,
+    "ann_lsh_bucketed": _build_lsh_sql(),
+    "embedding_neardup_pairs": EMB_NEARDUP_SQL,
+    "embedding_centroid_by_label": EMB_CENTROID_SQL,
+}

@@ -1,0 +1,265 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is pure ``pyspark.sql.functions`` column algebra — no
+Python UDFs — so at 100 TB each operator is a single codegen'd scan stage
+over the ``documents`` table with zero shuffle (per-row transforms) or one
+map-side-combined aggregation.
+
+Each operator has a DuckDB SQL twin for the correctness gate.  Where a
+production deployment would use Spark's native ``xxhash64`` (fastest), the
+oracle-checked variants use an md5-derived hash that both engines compute
+identically; the two differ only in the hash constant, not the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+# Tiny per-language marker profiles for the n-gram/stopword language-ID
+# heuristic.  Deterministic and engine-agnostic; real deployments swap in
+# fastText/CLD3 behind the same column contract.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "von"],
+    "fr": ["le", "et", "de"],
+    "es": ["el", "y", "de"],
+    "zh": ["de", "le", "he"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer split
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (empty-string artifacts removed)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count_bpeish(col: Column) -> Column:
+    """Count of BPE-style pre-tokens: letter runs, digit runs, single
+    punctuation — the standard pre-tokenization a BPE vocab sees."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def word_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def rolling_hash(col: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters — document fingerprint.
+
+    ``h = fold(h*base + code(ch) mod p)``, expressible identically in DuckDB
+    (list_reduce) for the oracle.  Production fast path: ``F.xxhash64(text)``
+    (one JVM intrinsic; not oracle-comparable across engines).
+    """
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda h, ch: F.pmod(h * base + F.ascii(ch), F.lit(mod)),
+    )
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    toks = tokens(F.lower(col))
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        score = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        out.append((lang, score))
+    return out
+
+
+# --------------------------------------------------------------------------
+# queries() entries
+# --------------------------------------------------------------------------
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        word_count(F.col("text")).alias("n_words"),
+        token_count_bpeish(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_words,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens,
+  length(text) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, stopword ratio, punctuation ratio, mean word
+    length folded into one [0,1] score (heuristic quality filter of the
+    C4/RefinedWeb style, expressed as one scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nw = word_count(F.col("text"))
+    score = (
+        F.when((nw >= 10) & (nw <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stopword_ratio(F.col("text")) > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio(F.col("text")) < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+        F.round(score, 2).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w,
+    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS wl
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    len(list_filter(wl, t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t)))
+      / greatest(len(wl), 1) AS stop_ratio_raw,
+    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1) AS punct_ratio_raw,
+    list_sum(list_transform(w, t -> length(t))) / greatest(len(w), 1) AS mwl_raw
+  FROM toks
+)
+SELECT doc_id, n_words,
+  round(stop_ratio_raw, 6) AS stop_ratio,
+  round(punct_ratio_raw, 6) AS punct_ratio,
+  round(mwl_raw, 6) AS mean_word_len,
+  round(
+    (CASE WHEN n_words BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN stop_ratio_raw > 0.01 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN punct_ratio_raw < 0.1 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+FROM stats ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: argmax over per-language marker hit counts,
+    deterministic tie-break by language code; 'und' when no markers hit."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", *[
+        s.alias(f"score_{lang}") for lang, s in lang_scores(F.col("text"))
+    ])
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earliest alphabetical wins ties
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.cast("long").alias("best_score"),
+    ).orderBy("doc_id")
+
+
+_LANG_SCORE_SQL = ",\n  ".join(
+    "len(list_filter(wl, t -> list_contains({m}, t))) AS score_{lg}".format(
+        m="[" + ",".join(f"'{w}'" for w in LANG_MARKERS[lg]) + "]", lg=lg
+    )
+    for lg in sorted(LANG_MARKERS)
+)
+_BEST_SQL = "greatest(" + ", ".join(f"score_{lg}" for lg in sorted(LANG_MARKERS)) + ")"
+_PRED_SQL = "CASE WHEN " + _BEST_SQL + " = 0 THEN 'und' " + " ".join(
+    f"WHEN score_{lg} = {_BEST_SQL} THEN '{lg}'" for lg in sorted(LANG_MARKERS)
+) + " ELSE 'und' END"
+
+TEXT_LANG_ID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS wl
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+  {_LANG_SCORE_SQL}
+  FROM toks
+)
+SELECT doc_id, lang AS labeled_lang, {_PRED_SQL} AS predicted_lang,
+       CAST({_BEST_SQL} AS BIGINT) AS best_score
+FROM scored ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(range(1, length(text) + 1), i -> unicode(text[i]))),
+    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def docs_by_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.avg(word_count(F.col("text"))).alias("avg_words"),
+        )
+        .withColumn("avg_words", F.round("avg_words", 6))
+        .orderBy("lang")
+    )
+
+
+DOCS_BY_LANG_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+  round(AVG(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))), 6) AS avg_words
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "docs_by_lang_summary": docs_by_lang_summary,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality_score": TEXT_QUALITY_SQL,
+    "text_lang_id": TEXT_LANG_ID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "docs_by_lang_summary": DOCS_BY_LANG_SQL,
+}

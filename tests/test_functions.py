@@ -1,0 +1,156 @@
+"""Unit tests for the data-pipeline function library (text analysis,
+fuzzy dedup, similarity, multimodal plumbing) on tiny inline data; the
+sf0.01 oracle gate covers the same operators at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_token_and_quality_columns(spark):
+    from debezium_server_bigquery_spark.functions.text import (
+        punct_ratio,
+        rolling_hash,
+        stopword_ratio,
+        token_count_bpeish,
+        word_count,
+    )
+
+    df = spark.createDataFrame([("the cat, and the dog!",)], "text string")
+    row = df.select(
+        word_count(F.col("text")).alias("w"),
+        token_count_bpeish(F.col("text")).alias("b"),
+        stopword_ratio(F.col("text")).alias("s"),
+        punct_ratio(F.col("text")).alias("p"),
+        rolling_hash(F.col("text")).alias("h"),
+    ).collect()[0]
+    assert row.w == 5
+    assert row.b == 7  # the, cat, ',', and, the, dog, '!'
+    assert abs(row.s - 3 / 5) < 1e-9  # the, and, the
+    assert row.p == 2 / 21
+    # rolling hash: deterministic fold h*31 + ascii mod 1e9+7
+    expect = 0
+    for ch in "the cat, and the dog!":
+        expect = (expect * 31 + ord(ch)) % 1_000_000_007
+    assert row.h == expect
+
+
+def test_exact_dedup_keep_first(spark):
+    from debezium_server_bigquery_spark.functions import dedup_fuzzy
+
+    # monkey-load via a temp view is overkill: call the internal pieces
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique")], "doc_id long, text string"
+    )
+    hashed = df.select("doc_id", F.md5("text").alias("h"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("h")
+    out = {
+        r.doc_id: (r.keeper, r.n)
+        for r in hashed.withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .collect()
+    }
+    assert out[1] == (1, 2) and out[2] == (1, 2) and out[3] == (3, 1)
+
+
+def test_shingles_and_minhash_detect_neardup(spark, tmp_path, sf_dir):
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import shingles
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # high overlap
+    far = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sh = {r.doc_id: set(r.s) for r in df.select("doc_id", shingles(F.col("text")).alias("s")).collect()}
+    j12 = len(sh[1] & sh[2]) / len(sh[1] | sh[2])
+    j13 = len(sh[1] & sh[3]) / len(sh[1] | sh[3])
+    assert j12 > 0.8 and j13 == 0.0
+    # degenerate input: fewer words than the shingle width
+    tiny = spark.createDataFrame([(9, "two words")], "doc_id long, text string")
+    assert tiny.select(shingles(F.col("text")).alias("s")).collect()[0].s == []
+
+
+def test_minhash_lsh_flags_planted_duplicates(spark, sf_dir):
+    # the driver's documents table has planted near-dups; LSH must agree
+    # with exact jaccard on the strongest pair
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    lsh_pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    exact = dedup_ngram_jaccard(spark, sf_dir)
+    strong = {
+        (r.doc_a, r.doc_b)
+        for r in exact.filter(F.col("jaccard") > 0.8).collect()
+    }
+    assert strong, "test data should contain strong near-duplicates"
+    assert strong <= lsh_pairs  # no false negatives on strong pairs
+
+
+def test_cosine_identities(spark):
+    from debezium_server_bigquery_spark.functions.similarity import dot, with_norm
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [2.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    n = with_norm(df)
+    rows = {r.vec_id: r.norm for r in n.collect()}
+    assert rows[1] == 1.0 and rows[2] == 2.0
+    d = (
+        n.alias("a")
+        .join(n.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            (dot(F.col("a.embedding"), F.col("b.embedding"))
+             / (F.col("a.norm") * F.col("b.norm"))).alias("sim"),
+        )
+        .collect()
+    )
+    sims = {(r.i, r.j): r.sim for r in d}
+    assert sims[(1, 2)] == 0.0  # orthogonal
+    assert sims[(1, 3)] == 1.0  # parallel
+
+
+def test_multimodal_stub_contract(spark):
+    from debezium_server_bigquery_spark.functions.multimodal import (
+        FRAME_SIZE,
+        decode_image_stub,
+        with_binary_payload,
+        _extract_features,
+        _sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")
+
+    docs = _docs(spark, [(1, "x" * 200, "en", "s", 200)])
+    binary = with_binary_payload(docs)
+    row = binary.collect()[0]
+    assert bytes(row.payload) == b"x" * 200
+    assert row.meta.n_bytes == 200
+
+    from debezium_server_bigquery_spark.functions.multimodal import (
+        FEATURE_SCHEMA,
+        FRAME_SCHEMA,
+    )
+
+    feats = binary.mapInPandas(_extract_features, FEATURE_SCHEMA).collect()
+    assert feats[0].n_bytes == 200
+    assert feats[0].head_hex == ("78" * 16).upper()
+
+    frames = binary.mapInPandas(_sample_frames, FRAME_SCHEMA).collect()
+    # 200 bytes -> 4 frames (64,64,64,8), stride 2 keeps idx 0 and 2
+    assert [(f.frame_idx, f.frame_bytes) for f in frames] == [(0, FRAME_SIZE), (2, FRAME_SIZE)]
