@@ -46,6 +46,7 @@ def merge_upsert(
     *,
     keep_deletes: bool = False,
     order_col: str = "__source_ts_ns",
+    tiebreak: tuple[str, ...] = (),
     epoch_id: int | None = None,
 ) -> None:
     """Apply one deduplicated CDC micro-batch to ``table`` by primary key."""
@@ -56,7 +57,9 @@ def merge_upsert(
     if table.epoch_committed(epoch_id):
         return
 
-    deduped = dedup_last_writer(batch, table.key_cols, order_col=order_col)
+    deduped = dedup_last_writer(
+        batch, table.key_cols, order_col=order_col, tiebreak=tiebreak
+    )
     src = table.with_partition_col(deduped).withColumn(_SRC_RANK, F.lit(1))
 
     # Affected buckets: tiny driver-side list (<= n_buckets) that prunes the

@@ -1,0 +1,185 @@
+"""End-to-end pipeline queries — the driver's correctness gate pointed at
+the REAL replication operators.
+
+Unlike plans/cdc_queries.py (which expresses the CDC semantics as
+declarative plans), these entries run the actual engine — CdcPipeline ->
+routing -> dedup -> ParquetTable append / merge_upsert -> parquet on disk —
+then read the materialized destination tables back.  The DuckDB oracle
+recomputes the expected final state from raw events, so a hash match proves
+the physical write path (bucketing, partition swap, delete application,
+meta coercion) end-to-end, the way the reference's @QuarkusTest integration
+tests assert on live BigQuery tables (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.sources.cdc import (
+    cdc_synth_oracle_sql,
+    synthesize_cdc_events,
+)
+from debezium_server_bigquery_spark.sources.tables import load_table
+from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline
+
+_CDC_CTE = f"WITH cdc AS ({cdc_synth_oracle_sql('events')})"
+_OP_PRI = "CASE __op WHEN 'c' THEN 1 WHEN 'r' THEN 2 WHEN 'u' THEN 3 WHEN 'd' THEN 4 ELSE 0 END"
+_TABLE_NAME_SQL = "regexp_replace(destination, '\\.', '_', 'g')"
+_NOT_HEARTBEAT = "destination NOT LIKE '\\_\\_debezium-heartbeat%' ESCAPE '\\'"
+
+
+def _run_pipeline(spark: SparkSession, sf_dir: str, **kw) -> CdcPipeline:
+    target = tempfile.mkdtemp(prefix="dsbq_e2e_")
+    p = CdcPipeline(spark, target, **kw)
+    p.run_batch(synthesize_cdc_events(load_table(spark, sf_dir, "events")))
+    return p
+
+
+def _union_tables(p: CdcPipeline, cols: list[str]) -> DataFrame:
+    import os
+
+    dfs = []
+    for dest in sorted(os.listdir(p.target_root)):
+        if dest.startswith((".", "_")):
+            continue
+        df = p.read_table(dest).withColumn("table_name", F.lit(dest))
+        dfs.append(df.select("table_name", *cols))
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+# --------------------------------------------------------------------------
+def pipeline_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full upsert replication: synthesize -> route -> dedup -> MERGE into
+    key-bucketed parquet tables -> read back final state."""
+    p = _run_pipeline(
+        spark,
+        sf_dir,
+        mode="upsert",
+        key_cols=("user_id",),
+        n_buckets=8,
+        dedup_tiebreak=("event_id",),
+    )
+    return _union_tables(
+        p, ["user_id", "event_id", "event_type", "value", "__op"]
+    ).orderBy("table_name", "user_id")
+
+
+PIPELINE_UPSERT_SQL = f"""{_CDC_CTE}
+SELECT {_TABLE_NAME_SQL} AS table_name, user_id, event_id, event_type, value, __op
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY destination, user_id
+      ORDER BY __source_ts_ns DESC, {_OP_PRI} DESC, event_id DESC) AS rn
+  FROM cdc WHERE {_NOT_HEARTBEAT}
+)
+WHERE rn = 1 AND __op <> 'd'
+ORDER BY table_name, user_id
+"""
+
+
+def pipeline_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full append replication (bigquerybatch parity): every change lands;
+    month partitioning + meta coercion on disk."""
+    p = _run_pipeline(spark, sf_dir, mode="append")
+    df = _union_tables(p, ["user_id", "event_id", "event_type", "__op", "__deleted", "__ts_ms"])
+    return (
+        df.groupBy("table_name", "__op")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.sum(F.when(F.col("__deleted"), 1).otherwise(0)).alias("n_deleted"),
+            F.min(F.col("__ts_ms").cast("date")).alias("first_day"),
+        )
+        .orderBy("table_name", "__op")
+    )
+
+
+PIPELINE_APPEND_SQL = f"""{_CDC_CTE}
+SELECT {_TABLE_NAME_SQL} AS table_name, __op, COUNT(*) AS n_rows,
+  COUNT(DISTINCT user_id) AS n_keys,
+  SUM(CASE WHEN __deleted = 'true' THEN 1 ELSE 0 END) AS n_deleted,
+  CAST(MIN(make_timestamp(__ts_ms * 1000)) AS DATE) AS first_day
+FROM cdc WHERE {_NOT_HEARTBEAT}
+GROUP BY 1, 2 ORDER BY table_name, __op
+"""
+
+
+def pipeline_keep_deletes_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert with upsert-keep-deletes: tombstones persist flagged."""
+    p = _run_pipeline(
+        spark,
+        sf_dir,
+        mode="upsert",
+        key_cols=("user_id",),
+        n_buckets=8,
+        keep_deletes=True,
+        dedup_tiebreak=("event_id",),
+    )
+    df = _union_tables(p, ["user_id", "__op", "__deleted"])
+    return (
+        df.groupBy("table_name")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(F.col("__op") == "d", 1).otherwise(0)).alias("n_tombstones"),
+        )
+        .orderBy("table_name")
+    )
+
+
+PIPELINE_KEEP_DELETES_SQL = f"""{_CDC_CTE}
+SELECT {_TABLE_NAME_SQL} AS table_name, COUNT(*) AS n_keys,
+  SUM(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS n_tombstones
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY destination, user_id
+      ORDER BY __source_ts_ns DESC, {_OP_PRI} DESC, event_id DESC) AS rn
+  FROM cdc WHERE {_NOT_HEARTBEAT}
+)
+WHERE rn = 1
+GROUP BY 1 ORDER BY table_name
+"""
+
+
+def pipeline_fanin_rewrite_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destination-regexp fan-in (R3): the three physical partitions
+    events_p0/1/2 collapse into ONE destination table, reproducing the
+    reference's tableA_ptt1/2 -> tableA mapping (docs/configuration.md:5-6)."""
+    p = _run_pipeline(
+        spark, sf_dir, mode="append", destination_regexp=r"_p\d+$",
+        destination_regexp_replace="",
+    )
+    df = _union_tables(p, ["event_id", "__op"])
+    return (
+        df.groupBy("table_name")
+        .agg(F.count("*").alias("n_rows"), F.countDistinct("event_id").alias("n_events"))
+        .orderBy("table_name")
+    )
+
+
+PIPELINE_FANIN_SQL = f"""{_CDC_CTE}
+SELECT regexp_replace({_TABLE_NAME_SQL}, '_p\\d+$', '') AS table_name,
+       COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_events
+FROM cdc WHERE {_NOT_HEARTBEAT}
+GROUP BY 1 ORDER BY table_name
+"""
+
+
+QUERIES = {
+    "pipeline_upsert_e2e": pipeline_upsert_e2e,
+    "pipeline_append_e2e": pipeline_append_e2e,
+    "pipeline_keep_deletes_e2e": pipeline_keep_deletes_e2e,
+    "pipeline_fanin_rewrite_e2e": pipeline_fanin_rewrite_e2e,
+}
+
+ORACLES = {
+    "pipeline_upsert_e2e": PIPELINE_UPSERT_SQL,
+    "pipeline_append_e2e": PIPELINE_APPEND_SQL,
+    "pipeline_keep_deletes_e2e": PIPELINE_KEEP_DELETES_SQL,
+    "pipeline_fanin_rewrite_e2e": PIPELINE_FANIN_SQL,
+}

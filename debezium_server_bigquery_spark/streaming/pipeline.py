@@ -55,6 +55,7 @@ class CdcPipeline:
     destination_regexp_replace: str = ""
     concurrent_uploads: int = 4  # debezium.sink.batch.concurrent-uploads
     dedup_order_col: str = "__source_ts_ns"  # ...upsert-dedup-column
+    dedup_tiebreak: tuple[str, ...] = ()  # extra deterministic ordering cols
     n_buckets: int = 32
     tables: dict[str, ParquetTable] = field(default_factory=dict)
 
@@ -111,6 +112,7 @@ class CdcPipeline:
                         part,
                         keep_deletes=self.keep_deletes,
                         order_col=self.dedup_order_col,
+                        tiebreak=self.dedup_tiebreak,
                         epoch_id=epoch_id,
                     )
                 else:
