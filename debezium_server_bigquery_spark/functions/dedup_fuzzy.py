@@ -82,7 +82,7 @@ _SHINGLES_SQL = r"""
 # Exact dedup — keep-first by content hash.
 # --------------------------------------------------------------------------
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
     w = Window.partitionBy("text_hash")
     return (
@@ -106,33 +106,54 @@ FROM documents ORDER BY doc_id
 # MinHash + LSH candidate pairs.
 # --------------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
-    # k seeded hashes per (doc, shingle); min per (doc, seed) = signature row.
-    hashed = shingled.withColumn(
-        "seed", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1)))
-    ).select(
-        "doc_id",
-        "seed",
-        hash60(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+    """Shingle-explode once, compute the k seed-hashes as k *columns* of the
+    exploded row (never a k-times row blowup), then one map-side-combinable
+    ``groupBy(doc_id)`` of k ``min``s — the shuffle carries 12 longs per doc
+    per map partition.  The band self-join is the only other exchange, on
+    (band, sig) whose cardinality is ~4 rows/doc regardless of doc size:
+    that is the 100 TB path.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    shingled = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
     )
-    sig = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
+    hcols = [
+        hash60(F.concat(F.lit(f"{seed}:"), F.col("sh"))).alias(f"h{seed}")
+        for seed in range(MINHASH_K)
+    ]
+    sig = (
+        shingled.select("doc_id", *hcols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{seed}").alias(f"m{seed}") for seed in range(MINHASH_K)])
+    )
     # band signature = md5 of the band's r minhashes in seed order
-    bands = (
-        sig.withColumn("band", F.floor(F.col("seed") / BAND_R))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "minh"))),
-                        lambda x: x.getField("minh").cast("string"),
-                    ),
-                )
-            ).alias("sig")
-        )
-    )
+    n_bands = MINHASH_K // BAND_R
+    band_sigs = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{band * BAND_R + r}").cast("string")
+                    for r in range(BAND_R)
+                ],
+            )
+        ).alias(f"b{band}")
+        for band in range(n_bands)
+    ]
+    bands = sig.select("doc_id", *band_sigs).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).cast("long").alias("band"),
+                        F.col(f"b{band}").alias("sig"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -199,7 +220,7 @@ def _simhash_signature(docs: DataFrame) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sig = _simhash_signature(docs)
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -248,7 +269,7 @@ ORDER BY doc_a, doc_b
 # Exact n-gram Jaccard over the shingle inverted index.
 # --------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     shingled = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
     sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
     inv = shingled.select("doc_id", F.explode("sh").alias("sh"))

@@ -122,7 +122,7 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> Arrow-batched feature extraction -> manifest.
     Oracle-checkable end-to-end because the stub decode is deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     binary = with_binary_payload(docs)
     feats = binary.mapInPandas(_extract_features, FEATURE_SCHEMA)
     meta = binary.select("doc_id", F.col("meta.n_bytes").alias("meta_bytes"))
@@ -147,7 +147,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: 1 -> N rows per payload through
     mapInPandas.  Chunking and stride are deterministic, so even the
     exploded output is oracle-checkable via blob substrings."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     binary = with_binary_payload(docs)
     return binary.mapInPandas(_sample_frames, FRAME_SCHEMA).orderBy(
         "doc_id", "frame_idx"

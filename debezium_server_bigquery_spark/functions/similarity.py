@@ -64,7 +64,7 @@ def _dot_sql(a: str, b: str) -> str:
 
 # --------------------------------------------------------------------------
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = with_norm(load_table(spark, sf_dir, "embeddings", spread=True))
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -134,7 +134,7 @@ def _bucket_expr() -> Column:
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+    emb = with_norm(load_table(spark, sf_dir, "embeddings", spread=True)).withColumn(
         "bucket", _bucket_expr()
     )
     queries = emb.filter(F.col("vec_id") < 20).select(
@@ -206,7 +206,7 @@ FROM scored WHERE rank <= 3 ORDER BY query_id, rank
 # --------------------------------------------------------------------------
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_norm(
-        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < NEARDUP_SCOPE)
+        load_table(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < NEARDUP_SCOPE)
     )
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
@@ -243,7 +243,7 @@ ORDER BY vec_a, vec_b
 
 # --------------------------------------------------------------------------
 def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     exploded = emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
     return (
         exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))

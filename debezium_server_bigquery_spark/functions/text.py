@@ -96,7 +96,7 @@ def lang_scores(col: Column) -> list[tuple[str, Column]]:
 # queries() entries
 # --------------------------------------------------------------------------
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         word_count(F.col("text")).alias("n_words"),
@@ -118,7 +118,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, stopword ratio, punctuation ratio, mean word
     length folded into one [0,1] score (heuristic quality filter of the
     C4/RefinedWeb style, expressed as one scan)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     nw = word_count(F.col("text"))
     score = (
         F.when((nw >= 10) & (nw <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
@@ -165,7 +165,7 @@ FROM stats ORDER BY doc_id
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: argmax over per-language marker hit counts,
     deterministic tie-break by language code; 'und' when no markers hit."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     scored = docs.select("doc_id", "lang", *[
         s.alias(f"score_{lang}") for lang, s in lang_scores(F.col("text"))
     ])
@@ -211,7 +211,7 @@ FROM scored ORDER BY doc_id
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id", rolling_hash(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
@@ -228,7 +228,7 @@ FROM documents ORDER BY doc_id
 
 
 def docs_by_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return (
         docs.groupBy("lang")
         .agg(

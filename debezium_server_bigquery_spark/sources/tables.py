@@ -27,8 +27,24 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one star-schema table.
+
+    ``spread=True`` round-robins the scan across the cluster before a
+    CPU-heavy narrow stage (shingling, hashing, vector math).  The file
+    layout at test SF is a single small parquet file — one input split —
+    which would pin all downstream per-row compute to one core.  At 100 TB
+    the source has thousands of splits and the repartition collapses to a
+    cheap rebalance; the flag exists so *selective* operators opt in and
+    pure scan/agg plans keep their no-exchange path.
+    """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     # events.ts is parquet TIMESTAMP(NANOS), surfaced as a nanos long via
     # spark.sql.legacy.parquet.nanosAsLong. Normalize: keep the exact nanos
     # in ts_ns (the CDC dedup column must not lose precision — SURVEY §7
