@@ -21,10 +21,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from debezium_server_bigquery_spark.plans import analytics, cdc_queries
+    from debezium_server_bigquery_spark.plans import (
+        analytics,
+        analytics_ext,
+        cdc_queries,
+    )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(analytics.QUERIES)
+    out.update(analytics_ext.QUERIES)
     out.update(cdc_queries.QUERIES)
     try:
         from debezium_server_bigquery_spark.plans import pipeline_queries
@@ -50,10 +55,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from debezium_server_bigquery_spark.plans import analytics, cdc_queries
+    from debezium_server_bigquery_spark.plans import (
+        analytics,
+        analytics_ext,
+        cdc_queries,
+    )
 
     out: dict[str, str] = {}
     out.update(analytics.ORACLES)
+    out.update(analytics_ext.ORACLES)
     out.update(cdc_queries.ORACLES)
     try:
         from debezium_server_bigquery_spark.plans import pipeline_queries

@@ -23,7 +23,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from debezium_server_bigquery_spark import get_spark
-    from debezium_server_bigquery_spark.plans import analytics, cdc_queries
+    from debezium_server_bigquery_spark.plans import analytics, analytics_ext, cdc_queries
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -36,6 +36,10 @@ def main() -> None:
         ("q_segment_order_stats", analytics.q_segment_order_stats),
         ("q_top_customers", analytics.q_top_customers),
         ("q_events_daily", analytics.q_events_daily),
+        ("q4_order_priority", analytics_ext.q4_order_priority),
+        ("q9_product_profit", analytics_ext.q9_product_profit),
+        ("q13_customer_distribution", analytics_ext.q13_customer_distribution),
+        ("q18_large_volume_customers", analytics_ext.q18_large_volume_customers),
         ("cdc_dedup_last_writer", cdc_queries.cdc_dedup_last_writer),
         ("cdc_upsert_final_state", cdc_queries.cdc_upsert_final_state),
         ("cdc_append_stats", cdc_queries.cdc_append_stats),
