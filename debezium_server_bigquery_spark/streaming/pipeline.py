@@ -104,19 +104,29 @@ class CdcPipeline:
         batch.persist()
         try:
             def upload(dest: str) -> None:
+                from debezium_server_bigquery_spark.streaming.schema_history import (
+                    schema_groups,
+                )
+
                 part = batch.filter(F.col("destination") == dest).drop("destination")
                 table = self.table_for(dest)
-                if self.mode == "upsert" and self.key_cols:
-                    merge_upsert(
-                        table,
-                        part,
-                        keep_deletes=self.keep_deletes,
-                        order_col=self.dedup_order_col,
-                        tiebreak=self.dedup_tiebreak,
-                        epoch_id=epoch_id,
+                # R4: uniform-schema sub-batches in event order (one group in
+                # the common case; >1 only when DDL landed mid-batch).
+                for gi, (_fp, group) in enumerate(schema_groups(part)):
+                    sub_epoch = (
+                        None if epoch_id is None else epoch_id * 16 + gi
                     )
-                else:
-                    table.append(part, epoch_id=epoch_id)
+                    if self.mode == "upsert" and self.key_cols:
+                        merge_upsert(
+                            table,
+                            group,
+                            keep_deletes=self.keep_deletes,
+                            order_col=self.dedup_order_col,
+                            tiebreak=self.dedup_tiebreak,
+                            epoch_id=sub_epoch,
+                        )
+                    else:
+                        table.append(group, epoch_id=sub_epoch)
 
             if self.concurrent_uploads > 1 and len(dests) > 1:
                 with ThreadPoolExecutor(max_workers=self.concurrent_uploads) as pool:
