@@ -24,12 +24,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from debezium_server_bigquery_spark.plans import (
         analytics,
         analytics_ext,
+        analytics_windows,
         cdc_queries,
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(analytics.QUERIES)
     out.update(analytics_ext.QUERIES)
+    out.update(analytics_windows.QUERIES)
     out.update(cdc_queries.QUERIES)
     try:
         from debezium_server_bigquery_spark.plans import pipeline_queries
@@ -58,12 +60,14 @@ def oracle_sql() -> dict[str, str]:
     from debezium_server_bigquery_spark.plans import (
         analytics,
         analytics_ext,
+        analytics_windows,
         cdc_queries,
     )
 
     out: dict[str, str] = {}
     out.update(analytics.ORACLES)
     out.update(analytics_ext.ORACLES)
+    out.update(analytics_windows.ORACLES)
     out.update(cdc_queries.ORACLES)
     try:
         from debezium_server_bigquery_spark.plans import pipeline_queries

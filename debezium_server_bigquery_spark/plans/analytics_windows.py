@@ -1,0 +1,350 @@
+"""Window-function, set-operation, and grouping-set query coverage.
+
+SURVEY §2.5: the reference has no window/sort/set operators of its own —
+they are BigQuery-side user SQL on the replicated tables.  For engine
+completeness those shapes are first-class here, each with a DuckDB oracle:
+
+- window frames (cumulative, moving average), lag/lead, ntile, dense_rank
+- INTERSECT / EXCEPT on key sets
+- ROLLUP / CUBE multi-level aggregation
+
+Scale notes: every window below is partitioned (no global WindowExec move
+to a single partition) except the final small-relation ranking steps that
+run over already-aggregated data; ROLLUP/CUBE use Spark's native Expand
+operator which partial-aggregates before the exchange.
+
+Decimal convention follows plans/analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from debezium_server_bigquery_spark.plans.analytics import _dec
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Cumulative spend per customer (running-total frame).
+# --------------------------------------------------------------------------
+def w_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 100
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+W_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+  ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders WHERE o_custkey < 100
+ORDER BY o_custkey, order_seq
+"""
+
+
+# --------------------------------------------------------------------------
+# 7-day moving average of daily event volume (frame over aggregate).
+# --------------------------------------------------------------------------
+def w_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        F.round(F.avg("n_events").over(w), 4).alias("ma7"),
+        F.min("n_events").over(w).alias("min7"),
+        F.max("n_events").over(w).alias("max7"),
+    ).orderBy("day")
+
+
+W_MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, n_events,
+  round(AVG(n_events) OVER w, 4) AS ma7,
+  MIN(n_events) OVER w AS min7,
+  MAX(n_events) OVER w AS max7
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# Days since previous order per customer (lag + date arithmetic).
+# --------------------------------------------------------------------------
+def w_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            # -1 = first order for the customer (kept NULL-free so value
+            # hashing is engine-agnostic).
+            F.coalesce(
+                F.datediff(F.col("o_orderdate").cast("date"), prev), F.lit(-1)
+            ).alias("gap_days"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+W_ORDER_GAP_SQL = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  COALESCE(date_diff('day',
+    LAG(CAST(o_orderdate AS DATE)) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+    CAST(o_orderdate AS DATE)), -1) AS gap_days
+FROM orders WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Customer spend quartiles (ntile over aggregate, then per-quartile stats).
+# --------------------------------------------------------------------------
+def w_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+            F.round(F.max("spend"), 2).alias("max_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+W_QUARTILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT o_custkey, spend, NTILE(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+  FROM spend
+)
+SELECT quartile, COUNT(*) AS n_customers,
+  round(SUM(spend), 2) AS total_spend,
+  round(MIN(spend), 2) AS min_spend,
+  round(MAX(spend), 2) AS max_spend
+FROM tiled GROUP BY quartile ORDER BY quartile
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-3 parts per brand by revenue (dense_rank in a partitioned window).
+# --------------------------------------------------------------------------
+def w_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
+    return (
+        rev.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", "revenue")
+        .orderBy("p_brand", "rk", "p_partkey")
+    )
+
+
+W_TOP_PARTS_SQL = """
+WITH rev AS (
+  SELECT p_brand, p_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, rk, p_partkey, revenue
+FROM (
+  SELECT p_brand, p_partkey, revenue,
+    DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+  FROM rev
+)
+WHERE rk <= 3
+ORDER BY p_brand, rk, p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations: returned-order keys vs open-order keys.
+# --------------------------------------------------------------------------
+def set_returned_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    def _count_as(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).withColumn("which", F.lit(label))
+
+    both = _count_as(returned.intersect(open_orders), "returned_and_open")
+    only_ret = _count_as(
+        returned.distinct().exceptAll(open_orders.distinct()), "returned_not_open"
+    )
+    only_open = _count_as(
+        open_orders.distinct().exceptAll(returned.distinct()), "open_not_returned"
+    )
+    return both.unionByName(only_ret).unionByName(only_open).select("which", "n").orderBy("which")
+
+
+SET_OPS_SQL = """
+WITH returned AS (SELECT DISTINCT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R'),
+     open_o AS (SELECT DISTINCT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'O')
+SELECT 'returned_and_open' AS which, COUNT(*) AS n FROM (SELECT okey FROM returned INTERSECT SELECT okey FROM open_o)
+UNION ALL
+SELECT 'returned_not_open', COUNT(*) FROM (SELECT okey FROM returned EXCEPT SELECT okey FROM open_o)
+UNION ALL
+SELECT 'open_not_returned', COUNT(*) FROM (SELECT okey FROM open_o EXCEPT SELECT okey FROM returned)
+ORDER BY which
+"""
+
+
+# --------------------------------------------------------------------------
+# ROLLUP revenue by nation/year (multi-level totals in one pass).
+# --------------------------------------------------------------------------
+def rollup_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    joined = (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.col("o_totalprice"),
+        )
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias("year"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("nation", "year")
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(n_name, 'ALL') AS nation,
+  COALESCE(CAST(o_year AS VARCHAR), 'ALL') AS year,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM (
+  SELECT n_name, year(o_orderdate) AS o_year, o_totalprice
+  FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+  WHERE o_custkey % 10 = 0
+)
+GROUP BY ROLLUP (n_name, o_year)
+ORDER BY nation, year
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE order stats over (status, priority).
+# --------------------------------------------------------------------------
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+QUERIES = {
+    "w_running_customer_spend": w_running_customer_spend,
+    "w_moving_avg_events": w_moving_avg_events,
+    "w_order_gap_days": w_order_gap_days,
+    "w_spend_quartiles": w_spend_quartiles,
+    "w_top_parts_per_brand": w_top_parts_per_brand,
+    "set_returned_open_orders": set_returned_open_orders,
+    "rollup_nation_year_revenue": rollup_nation_year_revenue,
+    "cube_status_priority": cube_status_priority,
+}
+
+ORACLES = {
+    "w_running_customer_spend": W_RUNNING_SQL,
+    "w_moving_avg_events": W_MOVING_AVG_SQL,
+    "w_order_gap_days": W_ORDER_GAP_SQL,
+    "w_spend_quartiles": W_QUARTILES_SQL,
+    "w_top_parts_per_brand": W_TOP_PARTS_SQL,
+    "set_returned_open_orders": SET_OPS_SQL,
+    "rollup_nation_year_revenue": ROLLUP_SQL,
+    "cube_status_priority": CUBE_SQL,
+}

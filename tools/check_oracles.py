@@ -51,8 +51,12 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
         return f"ROWS spark={len(spark_rows)} duck={len(duck_rows)}"
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-    s = sorted(tuple(_norm(r[i]) for i in order) for r in spark_rows)
-    d = sorted(tuple(_norm(r[i]) for i in dorder) for r in duck_rows)
+
+    # NULL-safe, type-stable row sort: (is_null, type tag, value) per cell.
+    s = sorted((tuple(_norm(r[i]) for i in order) for r in spark_rows),
+               key=lambda t: tuple((v is None, str(type(v)), 0 if v is None else v) for v in t))
+    d = sorted((tuple(_norm(r[i]) for i in dorder) for r in duck_rows),
+               key=lambda t: tuple((v is None, str(type(v)), 0 if v is None else v) for v in t))
     if s != d:
         for i, (a, b) in enumerate(zip(s, d)):
             if a != b:
