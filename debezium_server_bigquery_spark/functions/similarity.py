@@ -108,24 +108,34 @@ FROM scored WHERE rank <= {TOPK} ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
-def _bucket_expr() -> Column:
+def _hash60_py(s: str) -> int:
+    """Python twin of ``hash60`` — md5 is identical across engines."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _bucket_expr(dim: int) -> Column:
     """8-bit random-hyperplane bucket.  Hyperplane j component i is +/-1
     from the parity of the md5-derived 60-bit hash of "j:i" (1-based i to
-    mirror DuckDB list indexing)."""
+    mirror DuckDB list indexing).
+
+    The signs depend only on (plane, index), so they are folded driver-side
+    into literal arrays — the executor-side cost is 8 dot products per row,
+    not 8*dim md5 digests per row (which also bloated codegen past JIT
+    limits).  The DuckDB oracle still derives the same signs from md5 in
+    SQL, pinning the Python constant-folding to the cross-engine formula.
+    """
     bits = []
     for j in range(N_PLANES):
+        signs = F.array(
+            *[
+                F.lit(1.0 if _hash60_py(f"{j}:{i}") & 1 else -1.0)
+                for i in range(1, dim + 1)
+            ]
+        )
         proj = F.aggregate(
-            F.transform(
-                F.col("embedding"),
-                lambda x, i: x.cast("double")
-                * F.when(
-                    hash60(
-                        F.concat(F.lit(f"{j}:"), (i + 1).cast("string"))
-                    ).bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -134,9 +144,10 @@ def _bucket_expr() -> Column:
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = with_norm(load_table(spark, sf_dir, "embeddings", spread=True)).withColumn(
-        "bucket", _bucket_expr()
-    )
+    raw = load_table(spark, sf_dir, "embeddings", spread=True)
+    # planning-time constant: hyperplane literals need the static dimension
+    dim = len(raw.select("embedding").head()["embedding"])
+    emb = with_norm(raw).withColumn("bucket", _bucket_expr(dim))
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -117,20 +117,52 @@ FROM documents ORDER BY doc_id
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, stopword ratio, punctuation ratio, mean word
     length folded into one [0,1] score (heuristic quality filter of the
-    C4/RefinedWeb style, expressed as one scan)."""
+    C4/RefinedWeb style, expressed as one scan).
+
+    Staged selects keep each tokenization computed exactly once: the naive
+    single-projection form re-evaluated the regex split per derived column,
+    which bloats the codegen method past JIT limits (observed 20x slowdowns
+    when HotSpot bails to the interpreter) — same class of fix as the
+    MinHash double-hashing change.
+    """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    nw = word_count(F.col("text"))
-    score = (
-        F.when((nw >= 10) & (nw <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when(stopword_ratio(F.col("text")) > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio(F.col("text")) < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
-    )
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        nw.alias("n_words"),
-        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
-        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+        "text",
+        tokens(F.col("text")).alias("w"),
+        tokens(F.lower(F.col("text"))).alias("wl"),
+    )
+    raw = base.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        (
+            F.size(F.filter(F.col("wl"), lambda t: t.isin(*STOPWORDS)))
+            / F.greatest(F.size("wl"), F.lit(1))
+        ).alias("stop_ratio_raw"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio_raw"),
+        (
+            F.aggregate(
+                F.transform(F.col("w"), lambda t: F.length(t)),
+                F.lit(0),
+                lambda a, x: a + x,
+            )
+            / F.greatest(F.size("w"), F.lit(1))
+        ).alias("mwl_raw"),
+    )
+    score = (
+        F.when((F.col("n_words") >= 10) & (F.col("n_words") <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("stop_ratio_raw") > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio_raw") < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return raw.select(
+        "doc_id",
+        "n_words",
+        F.round("stop_ratio_raw", 6).alias("stop_ratio"),
+        F.round("punct_ratio_raw", 6).alias("punct_ratio"),
+        F.round("mwl_raw", 6).alias("mean_word_len"),
         F.round(score, 2).alias("quality_score"),
     ).orderBy("doc_id")
 
@@ -166,9 +198,24 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: argmax over per-language marker hit counts,
     deterministic tie-break by language code; 'und' when no markers hit."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    scored = docs.select("doc_id", "lang", *[
-        s.alias(f"score_{lang}") for lang, s in lang_scores(F.col("text"))
-    ])
+    # Tokenize once; the five marker filters run over the same array column
+    # (single split per row, small codegen method — see text_quality_score).
+    wl = docs.select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("wl")
+    )
+    def _marker_pred(markers: list[str]):
+        # single-argument lambda: a second parameter would be bound to the
+        # array *index* by Spark's higher-order functions
+        return lambda t: t.isin(*markers)
+
+    scored = wl.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(F.col("wl"), _marker_pred(markers))).alias(f"score_{lang}")
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ],
+    )
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
     pred = F.lit("und")
