@@ -56,8 +56,18 @@ def main() -> None:
     except (ImportError, KeyError):
         pass
 
-    # Warm the JVM + parquet footers once so timings measure the plans.
-    analytics.q6_forecast_revenue(spark, sf_dir).collect()
+    # Warm-up: run every headline plan once at the smallest SF.  Spark's
+    # codegen cache keys on generated source, so the identical plan shape at
+    # the bench SF reuses the already-JIT-compiled classes — timings then
+    # measure the plans, not HotSpot compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for _name, fn in headline:
+        try:
+            fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in headline:
