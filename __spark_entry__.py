@@ -40,6 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     except ImportError:
         pass
     try:
+        from debezium_server_bigquery_spark.streaming import sessions
+
+        out.update(sessions.QUERIES)
+    except ImportError:
+        pass
+    try:
         from debezium_server_bigquery_spark.functions import (
             dedup_fuzzy,
             similarity,
@@ -73,6 +79,12 @@ def oracle_sql() -> dict[str, str]:
         from debezium_server_bigquery_spark.plans import pipeline_queries
 
         out.update(pipeline_queries.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from debezium_server_bigquery_spark.streaming import sessions
+
+        out.update(sessions.ORACLES)
     except ImportError:
         pass
     try:

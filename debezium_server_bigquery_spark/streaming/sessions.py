@@ -1,0 +1,301 @@
+"""Sessionization — the custom stateful operator surface.
+
+The reference keeps no cross-batch state (SURVEY §2.7 negative space:
+dedup is within-batch only); a training-data/event pipeline at 100 TB
+needs stateful event-time operators, so this module provides both forms:
+
+- ``sessionize`` — batch/declarative: gap-based sessions as a lag +
+  cumulative-sum window pair.  Fully SQL-expressible, oracle-checked.
+  At scale: a single shuffle on user_id; both windows share the same
+  partitioning, so Catalyst plans one exchange + one sort.
+- ``sessionize_stream`` — incremental: ``applyInPandasWithState`` keyed on
+  user_id with a processing-time timeout, the Structured Streaming analog
+  of Flink-style session windows.  State per key is (session_start,
+  last_ts, n_events, sum_value); a micro-batch closes every session whose
+  gap to the batch's newest event exceeds the gap, emitting closed
+  sessions downstream — the streaming twin of the batch operator.
+
+- ``windowed_event_counts`` / ``windowed_event_counts_stream`` — tumbling
+  event-time windows; the streaming form carries a watermark so late data
+  past the threshold is dropped and state is bounded.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+from pyspark.sql.window import Window
+
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+# --------------------------------------------------------------------------
+# Batch (declarative) sessionization — oracle-checked.
+# --------------------------------------------------------------------------
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to the
+    previous event exceeds SESSION_GAP_MIN minutes.
+
+    Both window functions share ``partitionBy(user_id) orderBy(ts, ...)``,
+    so the physical plan is one exchange + one sort serving both — verified
+    via .explain: a single Window node chain, no second shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+    return sessions
+
+
+SESSIONIZE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+    epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END AS is_new
+  FROM gaps
+), seq AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM seq GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming sessionization — applyInPandasWithState.
+# --------------------------------------------------------------------------
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", LongType()),  # epoch us
+        StructField("last_ts", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("session_seq", LongType()),
+    ]
+)
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("closed", StringType()),
+    ]
+)
+
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+
+def _session_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session accumulator.
+
+    Events inside a micro-batch are sorted by event time; sessions that end
+    >gap before the group's max event time are emitted as ``closed='true'``
+    and removed from state; the trailing open session stays in state (and is
+    flushed by the timeout path when the key goes quiet).
+    """
+    (user_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+
+    if state.hasTimedOut:
+        if state.exists:
+            s_start, s_last, n, sv, seq = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_seq": [seq],
+                    "session_start": [pd.Timestamp(s_start, unit="us")],
+                    "session_end": [pd.Timestamp(s_last, unit="us")],
+                    "n_events": [n],
+                    "total_value": [round(sv, 2)],
+                    "closed": ["timeout"],
+                }
+            )
+        return
+
+    rows = rows.sort_values(["ts", "event_id"])
+    # normalize to epoch-us regardless of pandas datetime64 resolution
+    ts_us = (
+        pd.to_datetime(rows["ts"]).astype("datetime64[us]").astype("int64")
+    ).tolist()
+    vals = rows["value"].astype(float).tolist()
+
+    if state.exists:
+        s_start, s_last, n, sv, seq = state.get
+    else:
+        s_start, s_last, n, sv, seq = None, None, 0, 0.0, 0
+
+    out = []
+    for t, v in zip(ts_us, vals):
+        if s_last is None:
+            seq += 1
+            s_start, s_last, n, sv = t, t, 1, v
+        elif t - s_last > _GAP_US:
+            out.append((seq, s_start, s_last, n, sv))
+            seq += 1
+            s_start, s_last, n, sv = t, t, 1, v
+        else:
+            s_last, n, sv = t, n + 1, sv + v
+
+    batch_max = max(ts_us) if ts_us else None
+    if s_last is not None and batch_max is not None and batch_max - s_last > _GAP_US:
+        out.append((seq, s_start, s_last, n, sv))
+        s_last = None
+
+    if s_last is not None:
+        state.update((int(s_start), int(s_last), int(n), float(sv), int(seq)))
+        state.setTimeoutDuration(60_000)
+    elif state.exists:
+        state.remove()
+
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_seq": [o[0] for o in out],
+                "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+                "n_events": [o[3] for o in out],
+                "total_value": [round(o[4], 2) for o in out],
+                "closed": ["true"] * len(out),
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Incremental sessionization over a (streaming or batch) events frame.
+
+    ``applyInPandasWithState`` keyed on user_id: state is one open session
+    per key; Arrow moves each group as pandas batches.  At 100 TB scale the
+    state store shards by key across executors and only open sessions are
+    retained — memory is O(active users), not O(events).
+    """
+    return events.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Tumbling event-time windows (+ watermark in the streaming form).
+# --------------------------------------------------------------------------
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows — the batch twin of the watermarked stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+WINDOWED_COUNTS_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def windowed_event_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming form: the watermark bounds state — windows older than the
+    watermark finalize and evict; later-arriving events are dropped (the
+    late-data policy the reference lacks, SURVEY §2.7)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+QUERIES = {
+    "sessionize_events": sessionize,
+    "windowed_event_counts": windowed_event_counts,
+}
+
+ORACLES = {
+    "sessionize_events": SESSIONIZE_SQL,
+    "windowed_event_counts": WINDOWED_COUNTS_SQL,
+}
