@@ -46,6 +46,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     except ImportError:
         pass
     try:
+        from debezium_server_bigquery_spark.operators import asof
+
+        out.update(asof.QUERIES)
+    except ImportError:
+        pass
+    try:
         from debezium_server_bigquery_spark.functions import (
             dedup_fuzzy,
             similarity,
@@ -85,6 +91,12 @@ def oracle_sql() -> dict[str, str]:
         from debezium_server_bigquery_spark.streaming import sessions
 
         out.update(sessions.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from debezium_server_bigquery_spark.operators import asof
+
+        out.update(asof.ORACLES)
     except ImportError:
         pass
     try:

@@ -1,0 +1,130 @@
+"""As-of (time-travel) join — a custom operator Spark lacks natively.
+
+Implementation is the scalable *union trick*: tag both inputs, union them,
+and propagate the right side's latest row with
+``last_value(..., ignorenulls) over (partition by key order by ts, tag)``.
+Cost is one shuffle on the key (the union sorts within partitions) — no
+range join, no per-row probe, no data explosion; this is the standard
+distributed as-of pattern (used by kdb-style tick stores and Flink temporal
+joins) and holds at 100 TB because state per key is one running value.
+
+The DuckDB oracle uses its native ``ASOF JOIN`` so the two engines agree by
+construction on the semantics: match the greatest right.ts <= left.ts,
+inclusive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` for the same ``key`` (inclusive, last wins on
+    exact ties after ordering by the right's own columns).
+
+    Returns the left rows plus ``asof_<col>`` for each requested right col.
+    """
+    rcols = list(right_cols)
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__rv"),
+    )
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+        *[F.col(c) for c in lcols],
+    )
+    unioned = r.select("__k", "__t", "__tag", "__rv", *[
+        F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols
+    ]).unionByName(l)
+    # right rows (tag 0) sort before left rows at equal ts -> inclusive match
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__last", F.last("__rv", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__tag") == 1).select(
+        *lcols,
+        *[F.col("__last").getField(c).alias(f"asof_{c}") for c in rcols],
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# queries() entry: purchase -> most recent preceding view of the same user.
+# --------------------------------------------------------------------------
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # one view per (user, ts): keep max event_id so exact-tie matches are
+    # deterministic in both engines
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("view_event_id", "ts"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("asof_view_event_id"), F.lit(-1)).alias(
+            "prev_view_event_id"
+        ),
+        (
+            F.when(
+                F.col("asof_ts").isNotNull(),
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")),
+            ).otherwise(F.lit(-1))
+        ).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+# CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS to microseconds,
+# matching the Spark loader's precision (sources/tables.py).
+ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT p.event_id, p.user_id,
+  COALESCE(v.view_event_id, -1) AS prev_view_event_id,
+  COALESCE(epoch_us(p.ts) - epoch_us(v.ts), -1) AS gap_us
+FROM purchases p
+  ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
+QUERIES = {"asof_purchase_last_view": asof_purchase_last_view}
+ORACLES = {"asof_purchase_last_view": ASOF_SQL}
