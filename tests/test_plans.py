@@ -1,0 +1,76 @@
+"""Physical-plan assertions — the performance properties the engine relies
+on at scale, locked in as tests:
+
+- dimension joins are broadcast hash joins (no fact-table shuffle)
+- filters reach the parquet scan as PushedFilters
+- scans prune to the referenced columns (ReadSchema)
+- aggregations partial-aggregate before the exchange
+"""
+
+from __future__ import annotations
+
+import re
+
+from debezium_server_bigquery_spark.plans import analytics, analytics_ext
+
+
+def _plan(df) -> str:
+    df.sparkSession.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(analytics.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # lineitem (fact) must not be exchanged before the join
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_all_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(analytics.q5_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(analytics.q6_forecast_revenue(spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no PushedFilters in scan"
+    pushed = m.group(1)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    plan = _plan(analytics.q6_forecast_revenue(spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # only the four referenced columns are read, not all 11
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(analytics.q1_pricing_summary(spark, sf_dir))
+    # partial_ functions before the exchange == map-side combine
+    assert "partial_" in plan
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    semi = _plan(analytics_ext.q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in semi
+    anti = _plan(analytics_ext.q22_idle_customers(spark, sf_dir))
+    assert "LeftAnti" in anti
+
+
+def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
+    # AQE materializes codegen stages only at execution; run the query, then
+    # the final adaptive plan must show the scan+filter+partial-agg fused
+    # into WholeStageCodegen spans.
+    df = analytics.q6_forecast_revenue(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # "*(N)" prefixes mark WholeStageCodegen spans; span 1 must fuse
+    # scan->filter->project->partial agg
+    assert "*(1) HashAggregate" in plan and "*(1) Filter" in plan
