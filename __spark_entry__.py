@@ -55,12 +55,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from debezium_server_bigquery_spark.functions import (
             dedup_fuzzy,
             similarity,
+            sketches,
             text,
             multimodal,
         )
 
         out.update(dedup_fuzzy.QUERIES)
         out.update(similarity.QUERIES)
+        out.update(sketches.QUERIES)
         out.update(text.QUERIES)
         out.update(multimodal.QUERIES)
     except ImportError:
