@@ -24,6 +24,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from debezium_server_bigquery_spark.plans import (
         analytics,
         analytics_ext,
+        analytics_tpch2,
         analytics_windows,
         cdc_queries,
     )
@@ -31,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(analytics.QUERIES)
     out.update(analytics_ext.QUERIES)
+    out.update(analytics_tpch2.QUERIES)
     out.update(analytics_windows.QUERIES)
     out.update(cdc_queries.QUERIES)
     try:
@@ -74,6 +76,7 @@ def oracle_sql() -> dict[str, str]:
     from debezium_server_bigquery_spark.plans import (
         analytics,
         analytics_ext,
+        analytics_tpch2,
         analytics_windows,
         cdc_queries,
     )
@@ -81,6 +84,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(analytics.ORACLES)
     out.update(analytics_ext.ORACLES)
+    out.update(analytics_tpch2.ORACLES)
     out.update(analytics_windows.ORACLES)
     out.update(cdc_queries.ORACLES)
     try:

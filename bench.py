@@ -23,7 +23,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from debezium_server_bigquery_spark import get_spark
-    from debezium_server_bigquery_spark.plans import analytics, analytics_ext, cdc_queries
+    from debezium_server_bigquery_spark.plans import (
+        analytics,
+        analytics_ext,
+        analytics_tpch2,
+        cdc_queries,
+    )
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,6 +45,8 @@ def main() -> None:
         ("q9_product_profit", analytics_ext.q9_product_profit),
         ("q13_customer_distribution", analytics_ext.q13_customer_distribution),
         ("q18_large_volume_customers", analytics_ext.q18_large_volume_customers),
+        ("q8_market_share", analytics_tpch2.q8_market_share),
+        ("q21_sole_return_supplier", analytics_tpch2.q21_sole_return_supplier),
         ("cdc_dedup_last_writer", cdc_queries.cdc_dedup_last_writer),
         ("cdc_upsert_final_state", cdc_queries.cdc_upsert_final_state),
         ("cdc_append_stats", cdc_queries.cdc_append_stats),

@@ -215,6 +215,149 @@ FROM scored WHERE rank <= 3 ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
+NPROBE = 2
+IVF_TOPK = 3
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Left-fold squared L2 distance (same fold order as the DuckDB twin)."""
+    d = F.zip_with(a, b, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Coarse-quantizer cells: the per-label mean vector.
+
+    Computed distributed (posexplode -> decimal-sum per (label, pos) ->
+    re-assemble array ordered by pos); the result is k rows, broadcast
+    everywhere it is used.  A production IVF trains cells with k-means —
+    the label centroid is one deterministic Lloyd's-style assignment step,
+    which keeps the DuckDB oracle exact while exercising the identical
+    dataflow (train small -> broadcast -> assign -> partition by cell).
+    """
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+    per_pos = exploded.groupBy("label", "pos0").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(20,10)")).cast("double")
+            / F.count("*")
+        ).alias("cval")
+    )
+    return per_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "cval"))), lambda s: s["cval"]
+        ).alias("centroid")
+    ).select(F.col("label").alias("cell_id"), "centroid")
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse cell, probe
+    the query's ``NPROBE`` nearest cells, exact-cosine re-rank inside them.
+
+    Scale path vs the LSH variant: the inverted file is a *data layout* —
+    at 100 TB the assignment writes ``partitionBy(cell_id)`` once, and each
+    query then scans only nprobe/k of the corpus (partition pruning on the
+    cell column), with the centroid table (k rows) broadcast.  Here the
+    whole flow runs inline so the oracle can replay it.
+    """
+    emb = with_norm(load_table(spark, sf_dir, "embeddings", spread=True))
+    cents = ivf_centroids(emb)
+    scored = emb.crossJoin(broadcast(cents)).withColumn(
+        "dist", _sq_dist(F.col("embedding"), F.col("centroid"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+    ranked = scored.withColumn("crank", F.row_number().over(w_cell))
+
+    data = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "embedding", "norm", "cell_id"
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < 10) & (F.col("crank") <= NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("cell_id").alias("probe_cell"),
+    )
+    cands = broadcast(probes).join(
+        data,
+        (F.col("probe_cell") == F.col("cell_id"))
+        & (F.col("query_id") != F.col("vec_id")),
+    )
+    sim = cosine(F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cands.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell_id").alias("cell"),
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQDIST_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - {c}[i]) * (CAST({a}[i] AS DOUBLE) - {c}[i]))), "
+    "(x, y) -> x + y)"
+)
+
+ANN_IVF_SQL = f"""
+WITH cent_pos AS (
+  SELECT label AS cell_id, u.pos AS pos,
+    CAST(SUM(CAST(CAST(u.val AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cval
+  FROM (SELECT label,
+          unnest(list_transform(range(1, len(embedding) + 1),
+                                i -> {{'pos': i, 'val': embedding[i]}})) AS u
+        FROM embeddings)
+  GROUP BY label, u.pos
+),
+cents AS (
+  SELECT cell_id, list(cval ORDER BY pos) AS centroid FROM cent_pos GROUP BY cell_id
+),
+normed AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql("embedding", "embedding")}) AS norm
+  FROM embeddings
+),
+dists AS (
+  SELECT vec_id, embedding, norm, cell_id,
+    {_SQDIST_SQL.format(a="embedding", c="centroid")} AS dist
+  FROM normed CROSS JOIN cents
+),
+ranked AS (
+  SELECT vec_id, embedding, norm, cell_id,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS crank
+  FROM dists
+),
+data AS (
+  SELECT vec_id, embedding, norm, cell_id FROM ranked WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cell_id AS probe_cell
+  FROM ranked WHERE vec_id < 10 AND crank <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, d.vec_id AS neighbor_id, d.cell_id AS cell,
+    {_dot_sql("p.q_emb", "d.embedding")} / (p.q_norm * d.norm) AS sim
+  FROM probes p JOIN data d
+    ON p.probe_cell = d.cell_id AND p.query_id <> d.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, cell, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cell, round(sim, 6) AS cosine_sim
+FROM topk WHERE rank <= {IVF_TOPK} ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_norm(
         load_table(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < NEARDUP_SCOPE)
@@ -286,6 +429,7 @@ GROUP BY label, u.pos ORDER BY label, pos
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf": ann_ivf,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_centroid_by_label": embedding_centroid_by_label,
 }
@@ -293,6 +437,7 @@ QUERIES = {
 ORACLES = {
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_lsh_bucketed": _build_lsh_sql(),
+    "ann_ivf": ANN_IVF_SQL,
     "embedding_neardup_pairs": EMB_NEARDUP_SQL,
     "embedding_centroid_by_label": EMB_CENTROID_SQL,
 }

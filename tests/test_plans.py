@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import re
 
-from debezium_server_bigquery_spark.plans import analytics, analytics_ext
+from debezium_server_bigquery_spark.plans import analytics, analytics_ext, analytics_tpch2
 
 
 def _plan(df) -> str:
@@ -61,6 +61,35 @@ def test_semi_and_anti_join_strategies(spark, sf_dir):
     assert "LeftSemi" in semi
     anti = _plan(analytics_ext.q22_idle_customers(spark, sf_dir))
     assert "LeftAnti" in anti
+
+
+def test_q8_dims_all_broadcast(spark, sf_dir):
+    # 7 broadcast joins (part, orders, customer, 2x nation, region, supplier);
+    # lineitem must reach the year-groupBy without a single pre-join shuffle.
+    plan = _plan(analytics_tpch2.q8_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_window_input_preaggregated(spark, sf_dir):
+    # the min-over-part window must run on the (part,supplier) aggregate,
+    # not raw lineitem: partial agg happens before the partkey exchange.
+    plan = _plan(analytics_tpch2.q2_min_cost_supplier(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    plan = _plan(analytics_tpch2.q16_supplier_count(spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q11_scalar_subquery_broadcast(spark, sf_dir):
+    # the global total must come back as a broadcast (IdentityBroadcastMode
+    # nested-loop), never a shuffled join against the per-part aggregate.
+    plan = _plan(analytics_tpch2.q11_important_values(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
