@@ -48,9 +48,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     except ImportError:
         pass
     try:
-        from debezium_server_bigquery_spark.operators import asof
+        from debezium_server_bigquery_spark.operators import asof, rangejoin, skewjoin
 
         out.update(asof.QUERIES)
+        out.update(rangejoin.QUERIES)
+        out.update(skewjoin.QUERIES)
     except ImportError:
         pass
     try:
@@ -100,9 +102,11 @@ def oracle_sql() -> dict[str, str]:
     except ImportError:
         pass
     try:
-        from debezium_server_bigquery_spark.operators import asof
+        from debezium_server_bigquery_spark.operators import asof, rangejoin, skewjoin
 
         out.update(asof.ORACLES)
+        out.update(rangejoin.ORACLES)
+        out.update(skewjoin.ORACLES)
     except ImportError:
         pass
     try:

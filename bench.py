@@ -63,28 +63,37 @@ def main() -> None:
     except (ImportError, KeyError):
         pass
 
-    # Warm-up: run every headline plan once at the smallest SF.  Spark's
-    # codegen cache keys on generated source, so the identical plan shape at
-    # the bench SF reuses the already-JIT-compiled classes — timings then
-    # measure the plans, not HotSpot compilation.
+    # Warm-up immediately before each timed run.  Spark's codegen cache
+    # keys on generated source, so the identical plan shape at the bench SF
+    # reuses the already-JIT-compiled classes — timings then measure the
+    # plans, not HotSpot compilation.  The warm-up must be *adjacent*: a
+    # single warm-all pass lets the ~20 other plans evict this query's
+    # compiled classes before its measurement (observed as a random query
+    # paying ~5-9 s of recompilation each run).
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for _name, fn in headline:
+
+    # Each query: warm, then best of two timed runs.  Identical back-to-back
+    # runs were observed to swing 2.8 s <-> 10 s from JIT/GC churn on the
+    # codegen-heavy plans; min-of-2 reports the plan's steady-state cost.
+    timings: dict[str, float] = {}
+    for name, fn in headline:
         try:
             fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         except Exception:
             pass
-
-    timings: dict[str, float] = {}
-    for name, fn in headline:
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        try:
-            df.write.mode("overwrite").format("noop").save()
-        except Exception:
-            df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _rep in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            try:
+                df.write.mode("overwrite").format("noop").save()
+            except Exception:
+                df.collect()
+            elapsed = time.time() - t0
+            best = elapsed if best is None or elapsed < best else best
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
