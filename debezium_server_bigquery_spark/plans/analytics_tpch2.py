@@ -368,11 +368,16 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
 
-    order_stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    # Two distinct-aggregates over the same input would make Catalyst
+    # expand every lineitem row once per distinct group (2x shuffle bytes).
+    # Aggregating per (orderkey, suppkey) first is map-side combinable and
+    # the second level runs over ~|orders| * avg-suppliers rows.
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_ret")
+    )
+    order_stats = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_ret").alias("n_ret_supp"),
     )
     sole = (
         li.filter(F.col("l_returnflag") == "R")
