@@ -10,9 +10,9 @@ Scale design (the point of each plan):
   whose output is only the colliding pairs.  This is the 100 TB path —
   banding keeps bucket sizes tiny for non-duplicate data.
 - **simhash**: 60-bit signature per doc from token-hash bit votes; near-dup
-  = small hamming distance.  Signature build is one aggregation; the pair
-  scan here is a bounded self-join (fine at test SF; at scale you bucket
-  by signature prefix exactly like LSH bands).
+  = hamming <= 3, found via 4x15-bit pigeonhole bands (Manku WWW'07): an
+  equi-join on (band_id, band_value) with provably exact recall — a pair
+  within hamming 3 cannot differ in all 4 bands.  No all-pairs scan.
 - **ngram_jaccard**: exact Jaccard via the shingle inverted index
   (explode -> join on shingle -> count shared), never a full cross join;
   only pairs sharing >= 1 shingle materialize.
@@ -36,7 +36,14 @@ from debezium_server_bigquery_spark.sources.tables import load_table
 MINHASH_K = 12  # minhashes per doc
 BAND_R = 3  # rows per band -> 4 bands
 SIMHASH_BITS = 60  # fits a signed BIGINT, positive
-SIMHASH_MAX_HAMMING = 18
+# Manku et al. (WWW'07) configuration: near-dup = hamming <= 3, found by
+# splitting the signature into SIMHASH_MAX_HAMMING + 1 = 4 bands of 15 bits.
+# Pigeonhole: any pair within hamming 3 has >= 1 band bit-identical, so an
+# equi-join on (band_id, band_value) finds EVERY qualifying pair — exact
+# recall with no all-pairs scan.
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1  # 4 bands x 15 bits
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 JACCARD_THRESHOLD = 0.25
 
 
@@ -238,11 +245,47 @@ def _simhash_signature(docs: DataFrame) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by simhash, hamming <= 3, via 4x15-bit pigeonhole
+    bands (Manku et al., WWW'07 — reference dedup is an unrelated keyed
+    reduce, StreamBigqueryChangeConsumer.java:207-223; this operator is the
+    LLM-pipeline extension).
+
+    Scale shape: candidate generation is an equi-join on (band_id,
+    band_value) — shuffle-partitionable, output only colliding pairs — and
+    pigeonhole makes it EXACT for hamming <= SIMHASH_MAX_HAMMING: a pair
+    differing in <= 3 bits cannot differ in all 4 bands.  No cartesian
+    anywhere; each side of the join is 4 rows per doc.
+    """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     sig = _simhash_signature(docs)
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), k * SIMHASH_BAND_BITS
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for k in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -250,8 +293,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .orderBy("doc_a", "doc_b")
+        # a pair can collide in several bands — dedup candidates
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING).orderBy(
+        "doc_a", "doc_b"
     )
 
 
@@ -274,10 +320,16 @@ votes AS (
     {_VOTES_SQL}
   FROM hashed GROUP BY doc_id
 ),
-sig AS (SELECT doc_id, ({_SIG_SQL})::BIGINT AS simhash FROM votes)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+sig AS (SELECT doc_id, ({_SIG_SQL})::BIGINT AS simhash FROM votes),
+banded AS (
+  SELECT doc_id, simhash, k.band_id,
+         (simhash >> (k.band_id * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
+  FROM sig, (SELECT unnest(range({SIMHASH_BANDS})) AS band_id) k
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY doc_a, doc_b
 """

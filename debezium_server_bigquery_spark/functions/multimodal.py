@@ -136,7 +136,7 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_MANIFEST_SQL = """
 SELECT doc_id,
   octet_length(encode(text)) AS n_bytes,
-  octet_length(encode(text)) AS meta_bytes,
+  CAST(octet_length(encode(text)) AS INTEGER) AS meta_bytes,
   substr(hex(encode(text)), 1, 32) AS head_hex,
   'stub' AS kind
 FROM documents ORDER BY doc_id

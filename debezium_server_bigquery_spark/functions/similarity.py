@@ -31,7 +31,10 @@ from debezium_server_bigquery_spark.sources.tables import load_table
 N_PLANES = 8
 TOPK = 5
 NEARDUP_COSINE = 0.25
-NEARDUP_SCOPE = 200  # vec_id bound for the pairwise near-dup demo query
+# OR-of-ANDs LSH for the near-dup pair scan: the 8 hyperplanes split into
+# 2 bands x 4 planes; a pair is a candidate iff some band's 4 sign bits all
+# agree.  More bands -> higher recall, more candidates.
+NEARDUP_BANDS = 2
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -102,7 +105,7 @@ scored AS (
   FROM normed q JOIN normed e ON q.vec_id <> e.vec_id
   WHERE q.vec_id < 10
 )
-SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine_sim
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(sim, 6) AS cosine_sim
 FROM scored WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
@@ -115,10 +118,10 @@ def _hash60_py(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-def _bucket_expr(dim: int) -> Column:
-    """8-bit random-hyperplane bucket.  Hyperplane j component i is +/-1
-    from the parity of the md5-derived 60-bit hash of "j:i" (1-based i to
-    mirror DuckDB list indexing).
+def _plane_bits(dim: int) -> list[Column]:
+    """One '1'/'0' sign bit per random hyperplane.  Hyperplane j component
+    i is +/-1 from the parity of the md5-derived 60-bit hash of "j:i"
+    (1-based i to mirror DuckDB list indexing).
 
     The signs depend only on (plane, index), so they are folded driver-side
     into literal arrays — the executor-side cost is 8 dot products per row,
@@ -140,7 +143,12 @@ def _bucket_expr(dim: int) -> Column:
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return bits
+
+
+def _bucket_expr(dim: int) -> Column:
+    """8-bit random-hyperplane bucket (all plane bits concatenated)."""
+    return F.concat(*_plane_bits(dim))
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,7 +217,7 @@ scored AS (
     ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
   WHERE q.vec_id < 20
 )
-SELECT query_id, rank, neighbor_id, bucket, round(sim, 6) AS cosine_sim
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, bucket, round(sim, 6) AS cosine_sim
 FROM scored WHERE rank <= 3 ORDER BY query_id, rank
 """
 
@@ -352,47 +360,105 @@ topk AS (
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, rank, neighbor_id, cell, round(sim, 6) AS cosine_sim
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cell, round(sim, 6) AS cosine_sim
 FROM topk WHERE rank <= {IVF_TOPK} ORDER BY query_id, rank
 """
 
 
 # --------------------------------------------------------------------------
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = with_norm(
-        load_table(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < NEARDUP_SCOPE)
+    """Near-duplicate embedding pairs via OR-of-ANDs hyperplane LSH.
+
+    Candidate pairs come ONLY from the band equi-join (2 bands x 4 sign
+    bits): the plan is a shuffle-partitionable join on (band_id, bucket),
+    never an all-pairs scan — the round-1 ``vec_id < 200`` crutch is gone.
+    Exact cosine then filters candidates at ``NEARDUP_COSINE``; a pair
+    colliding in both bands is emitted once (distinct on the rounded
+    deterministic fold).  Recall < 1 by design — that is the LSH contract;
+    raise NEARDUP_BANDS for higher recall at more candidates.
+    """
+    raw = load_table(spark, sf_dir, "embeddings", spread=True)
+    dim = len(raw.select("embedding").head()["embedding"])
+    emb = with_norm(raw)
+    bits = _plane_bits(dim)
+    per = N_PLANES // NEARDUP_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_id"),
+                F.concat(*bits[k * per : (k + 1) * per]).alias("bucket"),
+            )
+            for k in range(NEARDUP_BANDS)
+        ]
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
+    banded = emb.select(
+        "vec_id", "embedding", "norm", F.explode(bands).alias("bd")
+    ).select("vec_id", "embedding", "norm", "bd.band_id", "bd.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    sim = cosine(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.norm"), F.col("b.norm")
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-    )
-    sim = cosine(F.col("emb_a"), F.col("emb_b"), F.col("norm_a"), F.col("norm_b"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", sim)
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
         .filter(F.col("sim") >= NEARDUP_COSINE)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
+        .distinct()
         .orderBy("vec_a", "vec_b")
     )
 
 
-EMB_NEARDUP_SQL = f"""
+def _build_neardup_sql() -> str:
+    per = N_PLANES // NEARDUP_BANDS
+    bit_exprs = []
+    for j in range(N_PLANES):
+        seed = "'" + str(j) + ":' || i"
+        sign = (
+            f"(CASE WHEN ({_hash60_sql(seed)} & 1) = 1 "
+            "THEN 1.0 ELSE -1.0 END)"
+        )
+        proj = (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            "list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * {sign})), (x, y) -> x + y)"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
+    band_cols = ", ".join(
+        " || ".join(bit_exprs[k * per : (k + 1) * per]) + f" AS bucket{k}"
+        for k in range(NEARDUP_BANDS)
+    )
+    band_structs = ", ".join(
+        f"{{'band_id': {k}, 'bucket': bucket{k}}}" for k in range(NEARDUP_BANDS)
+    )
+    return f"""
 WITH normed AS (
-  SELECT vec_id, embedding, sqrt({_dot_sql("embedding", "embedding")}) AS norm
-  FROM embeddings WHERE vec_id < {NEARDUP_SCOPE}
+  SELECT vec_id, embedding, sqrt({_dot_sql("embedding", "embedding")}) AS norm,
+    {band_cols}
+  FROM embeddings
+),
+banded AS (
+  SELECT vec_id, embedding, norm, u.band_id AS band_id, u.bucket AS bucket
+  FROM (SELECT *, unnest([{band_structs}]) AS u FROM normed)
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
   round({_dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cosine_sim
-FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= {NEARDUP_COSINE}
 ORDER BY vec_a, vec_b
 """
+
+
+EMB_NEARDUP_SQL = _build_neardup_sql()
 
 
 # --------------------------------------------------------------------------
@@ -416,7 +482,7 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_CENTROID_SQL = """
-SELECT label, u.pos AS pos, COUNT(*) AS n,
+SELECT label, CAST(u.pos AS INTEGER) AS pos, COUNT(*) AS n,
   round(CAST(SUM(CAST(CAST(u.val AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS centroid_val
 FROM (SELECT label,
         unnest(list_transform(range(1, len(embedding) + 1),

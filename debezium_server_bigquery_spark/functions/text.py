@@ -107,9 +107,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_TOKEN_STATS_SQL = r"""
 SELECT doc_id,
-  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_words,
-  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens,
-  length(text) AS n_chars_actual
+  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INTEGER) AS n_words,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS INTEGER) AS n_bpe_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_actual
 FROM documents ORDER BY doc_id
 """
 
@@ -182,14 +182,14 @@ WITH toks AS (
     list_sum(list_transform(w, t -> length(t))) / greatest(len(w), 1) AS mwl_raw
   FROM toks
 )
-SELECT doc_id, n_words,
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
   round(stop_ratio_raw, 6) AS stop_ratio,
   round(punct_ratio_raw, 6) AS punct_ratio,
   round(mwl_raw, 6) AS mean_word_len,
-  round(
+  CAST(round(
     (CASE WHEN n_words BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
     + (CASE WHEN stop_ratio_raw > 0.01 THEN 0.3 ELSE 0.0 END)
-    + (CASE WHEN punct_ratio_raw < 0.1 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+    + (CASE WHEN punct_ratio_raw < 0.1 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality_score
 FROM stats ORDER BY doc_id
 """
 
@@ -289,7 +289,7 @@ def docs_by_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOCS_BY_LANG_SQL = r"""
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
   round(AVG(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))), 6) AS avg_words
 FROM documents GROUP BY lang ORDER BY lang
 """

@@ -100,8 +100,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec("l_extendedprice") * (F.lit(1).cast(RATE) - _dec("l_discount", RATE))
     )
     return (
+        # orders is fact-sized: no broadcast hint — AQE converts the join
+        # at runtime when the filtered side happens to be small, and the
+        # plan survives a 100x scale-up (a forced hint would OOM).
         li.join(
-            broadcast(orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -127,8 +130,8 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
-# Q5 — local supplier volume: 6-way join; all dims broadcast, lineitem
-# never shuffles before the aggregation.
+# Q5 — local supplier volume: 6-way join; dims broadcast, the orders side
+# left to AQE (fact-sized — a forced broadcast would OOM at scale).
 # --------------------------------------------------------------------------
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -145,7 +148,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nr = nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)
     return (
-        li.join(broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        # no hint on orders (fact-sized; AQE decides) — dims stay hinted
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(
             broadcast(cust),
@@ -327,7 +331,7 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_EVENTS_PROPS_SQL = """
 SELECT event_type,
-  SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
   COUNT(*) AS n_rows,
   MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type

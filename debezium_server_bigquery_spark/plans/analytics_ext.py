@@ -184,7 +184,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        li.join(broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        # orders unhinted (fact-sized; AQE decides) — dims stay broadcast
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
@@ -220,7 +221,8 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        # unfiltered orders MUST NOT carry a broadcast hint — scale-killer
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
@@ -232,8 +234,8 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_linestatus
@@ -251,7 +253,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") != "F"
     )
     per_cust = (
-        cust.join(broadcast(orders), cust.c_custkey == orders.o_custkey, "left_outer")
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("c_count"))
     )

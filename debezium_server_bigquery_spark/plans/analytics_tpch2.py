@@ -157,7 +157,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _disc_price()
     return (
         li.join(broadcast(part), li.l_partkey == part.p_partkey)
-        .join(broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        # orders unhinted (fact-sized; AQE decides) — dims stay broadcast
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(amer_cust), orders.o_custkey == F.col("c_custkey"))
         .join(broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -381,7 +382,8 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sole = (
         li.filter(F.col("l_returnflag") == "R")
-        .join(broadcast(orders.select("o_orderkey")), li.l_orderkey == F.col("o_orderkey"))
+        # ~|orders| keys: no broadcast hint; AQE picks the strategy
+        .join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
         .join(
             order_stats.filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)),
             "l_orderkey",

@@ -146,8 +146,8 @@ def cdc_upsert_keep_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_KEEP_DELETES_SQL = f"""{_CDC_CTE}
 SELECT destination, COUNT(*) AS n_keys,
-  SUM(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS n_deleted,
-  SUM(CASE WHEN __deleted = 'true' THEN 1 ELSE 0 END) AS n_tombstones
+  CAST(SUM(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+  CAST(SUM(CASE WHEN __deleted = 'true' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones
 FROM (
   SELECT *, ROW_NUMBER() OVER (
       PARTITION BY destination, user_id

@@ -103,7 +103,7 @@ def pipeline_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_APPEND_SQL = f"""{_CDC_CTE}
 SELECT {_TABLE_NAME_SQL} AS table_name, __op, COUNT(*) AS n_rows,
   COUNT(DISTINCT user_id) AS n_keys,
-  SUM(CASE WHEN __deleted = 'true' THEN 1 ELSE 0 END) AS n_deleted,
+  CAST(SUM(CASE WHEN __deleted = 'true' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
   CAST(MIN(make_timestamp(__ts_ms * 1000)) AS DATE) AS first_day
 FROM cdc WHERE {_NOT_HEARTBEAT}
 GROUP BY 1, 2 ORDER BY table_name, __op
@@ -134,7 +134,7 @@ def pipeline_keep_deletes_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_KEEP_DELETES_SQL = f"""{_CDC_CTE}
 SELECT {_TABLE_NAME_SQL} AS table_name, COUNT(*) AS n_keys,
-  SUM(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS n_tombstones
+  CAST(SUM(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones
 FROM (
   SELECT *, ROW_NUMBER() OVER (
       PARTITION BY destination, user_id

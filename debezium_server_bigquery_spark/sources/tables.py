@@ -27,6 +27,56 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _read_with_long_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet file whose TIMESTAMP(NANOS) columns Spark rejects.
+
+    Metadata-only pyarrow probe (no data read on the driver) builds an
+    explicit Spark schema with nanos columns typed LongType; Spark's
+    vectorized reader then accepts the file.  Used only as a fallback when
+    ``spark.sql.legacy.parquet.nanosAsLong`` cannot be set.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    arrow_schema = pq.read_schema(path)
+    fields = []
+    for f in arrow_schema:
+        t = str(f.type)
+        if t.startswith("timestamp[ns"):
+            st: T.DataType = T.LongType()
+        elif t.startswith("timestamp"):
+            st = T.TimestampType()
+        elif t in ("int64", "uint64"):
+            st = T.LongType()
+        elif t in ("int32", "uint32", "int16", "int8"):
+            st = T.IntegerType()
+        elif t == "double":
+            st = T.DoubleType()
+        elif t == "float":
+            st = T.FloatType()
+        elif t in ("string", "large_string"):
+            st = T.StringType()
+        elif t == "bool":
+            st = T.BooleanType()
+        elif t == "date32[day]":
+            st = T.DateType()
+        elif t in ("binary", "large_binary"):
+            st = T.BinaryType()
+        elif t.startswith("list<item: float") or t.startswith("list<element: float"):
+            st = T.ArrayType(T.FloatType())
+        elif t.startswith("list<item: double") or t.startswith("list<element: double"):
+            st = T.ArrayType(T.DoubleType())
+        elif t.startswith("list"):
+            st = T.ArrayType(T.StringType())
+        elif t.startswith("decimal128"):
+            prec, scale = t[t.index("(") + 1 : t.index(")")].split(",")
+            st = T.DecimalType(int(prec), int(scale))
+        else:
+            st = T.StringType()
+        fields.append(T.StructField(f.name, st, True))
+    return spark.read.schema(T.StructType(fields)).parquet(path)
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
@@ -40,7 +90,22 @@ def load_table(
     cheap rebalance; the flag exists so *selective* operators opt in and
     pure scan/agg plans keep their no-exchange path.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # events.parquet carries parquet TIMESTAMP(NANOS), which Spark rejects
+    # unless spark.sql.legacy.parquet.nanosAsLong is on.  That conf is a
+    # runtime SQL conf, so set it HERE — correctness must not depend on who
+    # constructed the session (the external harness builds its own, without
+    # session.py's defaults).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf rejected on exotic builds
+        pass
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Fallback: force the nanos column to a plain long via explicit
+        # schema, for sessions where the legacy conf does not take.
+        df = _read_with_long_schema(spark, path)
     if spread:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

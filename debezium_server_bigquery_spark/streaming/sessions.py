@@ -94,8 +94,8 @@ WITH gaps AS (
   FROM gaps
 ), seq AS (
   SELECT user_id, ts, value,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM marked
 )
 SELECT user_id, session_seq,

@@ -92,6 +92,34 @@ def test_q11_scalar_subquery_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_no_forced_fact_broadcast_hints():
+    """No plan may FORCE a broadcast of a fact-sized input (orders /
+    lineitem / events).  Hints override autoBroadcastJoinThreshold, so a
+    forced fact broadcast is a guaranteed OOM at 100x scale; size-based
+    broadcast (Catalyst stats or AQE) remains allowed and picks the same
+    join at small SF.  Source-level lint over every plan module."""
+    import pathlib
+    import re
+
+    plans_dir = pathlib.Path(analytics.__file__).parent
+    pat = re.compile(r"broadcast\(\s*(orders|li|lineitem|ev|events)\b")
+    offenders = []
+    for py in plans_dir.glob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if pat.search(line):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, "forced fact-table broadcast hints:\n" + "\n".join(offenders)
+
+
+def test_q12_unfiltered_orders_join_not_forced_broadcast(spark, sf_dir):
+    # q12 joins UNFILTERED orders; the logical plan must carry no broadcast
+    # hint on that side (the round-1 scale-killer).  Strategy choice is
+    # left to stats/AQE.
+    df = analytics_ext.q12_priority_class(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+
+
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     # AQE materializes codegen stages only at execution; run the query, then
     # the final adaptive plan must show the scan+filter+partial-agg fused

@@ -66,15 +66,30 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
     import __spark_entry__ as E
-    from debezium_server_bigquery_spark import get_spark
 
-    spark = get_spark("oracle-check")
+    if plain:
+        # Replicate the driver: a bare session with none of session.py's
+        # defaults.  Correctness must not depend on session construction.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-plain")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
+    else:
+        from debezium_server_bigquery_spark import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for name in (
         "region nation customer supplier part orders lineitem events documents embeddings"
