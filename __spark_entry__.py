@@ -113,12 +113,14 @@ def oracle_sql() -> dict[str, str]:
         from debezium_server_bigquery_spark.functions import (
             dedup_fuzzy,
             similarity,
+            sketches,
             text,
             multimodal,
         )
 
         out.update(dedup_fuzzy.ORACLES)
         out.update(similarity.ORACLES)
+        out.update(sketches.ORACLES)
         out.update(text.ORACLES)
         out.update(multimodal.ORACLES)
     except ImportError:

@@ -1,0 +1,191 @@
+"""S10 — properties-file launcher: ``engine run --conf application.properties``.
+
+The reference is driven by an ``application.properties`` file of
+``debezium.sink.*`` keys (docs/configuration.md) through a thin Python
+launcher (debezium-server-bigquery-dist/.../debezium.py:21-106).  This module
+is the Spark-native twin: it parses the same key names and maps them onto
+:class:`CdcPipeline` fields, plus a small ``engine.*`` namespace for the
+things BigQuery config implied (where data lands, where events come from)
+that a filesystem/Spark deployment must name explicitly.
+
+Recognized keys (reference key -> pipeline field):
+
+- ``debezium.sink.type``                      bigquerybatch -> append mode,
+                                              bigquerystream -> stream mode
+- ``debezium.sink.bigquerystream.upsert``     true -> upsert MERGE mode
+- ``debezium.sink.bigquerystream.upsert-keep-deletes``  keep_deletes
+- ``debezium.sink.bigquerystream.upsert-dedup-column``  dedup_order_col
+- ``debezium.sink.batch.destination-regexp``            destination_regexp
+- ``debezium.sink.batch.destination-regexp-replace``    destination_regexp_replace
+- ``debezium.sink.batch.concurrent-uploads``            concurrent_uploads
+- ``debezium.sink.batch.batch-size-wait``     No|Max|DynamicBatchSizeWait
+- ``debezium.sink.<type>.partition-type``     YEAR|MONTH|DAY|HOUR
+- ``debezium.sink.<type>.partition-field``    partition_field
+- ``debezium.sink.<type>.clustering-field``   clustering_field
+- ``debezium.sink.<type>.dataset``            subdirectory under target root
+
+Engine namespace:
+
+- ``engine.target-root``       destination directory (required)
+- ``engine.key-columns``       comma-separated PK for upsert tables
+- ``engine.checkpoint-dir``    streaming checkpoint location
+- ``engine.source``            synthetic | ndjson | kafka
+- ``engine.source.sf-dir``     synthetic: testdata dir holding events.parquet
+- ``engine.source.path``       ndjson: file or directory of event lines
+- ``engine.source.kafka.bootstrap-servers`` / ``engine.source.kafka.topics``
+- ``engine.streaming``         true -> run_stream (availableNow), else run_batch
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_properties(path: str) -> dict[str, str]:
+    """Java-style .properties: ``k=v`` lines, ``#``/``!`` comments,
+    trailing-backslash continuations."""
+    props: dict[str, str] = {}
+    pending = ""
+    with open(path, "r", encoding="utf-8") as fh:
+        for raw in fh:
+            line = pending + raw.strip()
+            pending = ""
+            if not line or line.startswith(("#", "!")):
+                continue
+            if line.endswith("\\"):
+                pending = line[:-1]
+                continue
+            for sep in ("=", ":"):
+                if sep in line:
+                    k, _, v = line.partition(sep)
+                    props[k.strip()] = v.strip()
+                    break
+    return props
+
+
+def _bool(v: str | None, default: bool = False) -> bool:
+    if v is None:
+        return default
+    return v.strip().lower() in ("true", "1", "yes")
+
+
+def build_pipeline(spark, props: dict[str, str]):
+    """Map reference config keys onto a CdcPipeline (no side effects)."""
+    import os
+
+    from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline
+
+    sink_type = props.get("debezium.sink.type", "bigquerybatch")
+    if sink_type not in ("bigquerybatch", "bigquerystream"):
+        raise ValueError(f"unsupported debezium.sink.type: {sink_type}")
+    upsert = sink_type == "bigquerystream" and _bool(
+        props.get("debezium.sink.bigquerystream.upsert")
+    )
+    target_root = props.get("engine.target-root")
+    if not target_root:
+        raise ValueError("engine.target-root is required")
+    dataset = props.get(f"debezium.sink.{sink_type}.dataset")
+    if dataset:
+        target_root = os.path.join(target_root, dataset)
+    key_cols = tuple(
+        c.strip() for c in props.get("engine.key-columns", "").split(",") if c.strip()
+    )
+    sink = f"debezium.sink.{sink_type}"
+    return CdcPipeline(
+        spark,
+        target_root,
+        mode="upsert" if upsert else "append",
+        key_cols=key_cols,
+        keep_deletes=_bool(
+            props.get("debezium.sink.bigquerystream.upsert-keep-deletes"), True
+        ),
+        destination_regexp=props.get("debezium.sink.batch.destination-regexp", ""),
+        destination_regexp_replace=props.get(
+            "debezium.sink.batch.destination-regexp-replace", ""
+        ),
+        concurrent_uploads=int(
+            props.get("debezium.sink.batch.concurrent-uploads", "1")
+        ),
+        dedup_order_col=props.get(
+            "debezium.sink.bigquerystream.upsert-dedup-column", "__source_ts_ns"
+        ),
+        partition_type=props.get(f"{sink}.partition-type", "MONTH"),
+        partition_field=props.get(f"{sink}.partition-field", "__ts_ms"),
+        clustering_field=props.get(f"{sink}.clustering-field", "__source_ts_ms"),
+    )
+
+
+def build_source(spark, props: dict[str, str]):
+    """Materialize the configured event source as a DataFrame."""
+    kind = props.get("engine.source", "synthetic")
+    streaming = _bool(props.get("engine.streaming"))
+    if kind == "synthetic":
+        from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+        from debezium_server_bigquery_spark.sources.tables import load_table
+
+        sf_dir = props.get("engine.source.sf-dir", "/root/testdata/sf0.001")
+        return synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    if kind == "ndjson":
+        from debezium_server_bigquery_spark.sources.cdc import read_cdc_ndjson
+
+        return read_cdc_ndjson(
+            spark, props["engine.source.path"], streaming=streaming
+        )
+    if kind == "kafka":
+        import json
+
+        from debezium_server_bigquery_spark.sources.cdc import read_cdc_kafka
+
+        hint = props.get("engine.source.kafka.schema-json")
+        return read_cdc_kafka(
+            spark,
+            props["engine.source.kafka.bootstrap-servers"],
+            props["engine.source.kafka.topics"],
+            json.loads(hint) if hint else None,
+            streaming=streaming,
+        )
+    raise ValueError(f"unsupported engine.source: {kind}")
+
+
+def run(conf_path: str, spark=None) -> dict:
+    """Launch the configured pipeline once; returns a summary dict."""
+    props = parse_properties(conf_path)
+    if spark is None:
+        from debezium_server_bigquery_spark.session import get_spark
+
+        spark = get_spark("engine-run")
+    pipeline = build_pipeline(spark, props)
+    source = build_source(spark, props)
+    if _bool(props.get("engine.streaming")):
+        ckpt = props.get("engine.checkpoint-dir")
+        if not ckpt:
+            raise ValueError("engine.checkpoint-dir is required when streaming")
+        q = pipeline.run_stream(source, ckpt, available_now=True)
+        q.awaitTermination()
+    else:
+        pipeline.run_batch(source)
+    tables = sorted(pipeline.tables)
+    return {
+        "mode": pipeline.mode,
+        "tables": tables,
+        "rows": {t: pipeline.read_table(t).count() for t in tables},
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="engine")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run a pipeline from application.properties")
+    runp.add_argument("--conf", required=True, help="path to application.properties")
+    args = ap.parse_args(argv)
+    if args.cmd == "run":
+        summary = run(args.conf)
+        for t in summary["tables"]:
+            print(f"{t}\t{summary['rows'][t]}")
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

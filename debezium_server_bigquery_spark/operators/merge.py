@@ -47,7 +47,7 @@ def merge_upsert(
     keep_deletes: bool = False,
     order_col: str = "__source_ts_ns",
     tiebreak: tuple[str, ...] = (),
-    epoch_id: int | None = None,
+    epoch_id: int | str | None = None,
 ) -> None:
     """Apply one deduplicated CDC micro-batch to ``table`` by primary key."""
     if not table.key_cols:

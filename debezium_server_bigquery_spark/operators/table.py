@@ -40,6 +40,18 @@ from pyspark.sql import functions as F
 PART_MONTH = "__part_month"
 KEY_BUCKET = "__kb"
 
+# Time-partition granularities, parity with the reference's partition-type
+# HOUR/DAY/MONTH/YEAR (BatchConsumerConfig.java:39-49,
+# StreamConsumerConfig.java:38-48 — BigQuery TimePartitioning types).
+# Granularity-specific column names keep mixed-granularity writes from
+# silently colliding in one partition column.
+PART_FORMATS = {
+    "YEAR": ("__part_year", "yyyy"),
+    "MONTH": (PART_MONTH, "yyyy-MM"),
+    "DAY": ("__part_day", "yyyy-MM-dd"),
+    "HOUR": ("__part_hour", "yyyy-MM-dd-HH"),
+}
+
 
 class ParquetTable:
     """A destination table: parquet directory + engine-tracked metadata.
@@ -56,16 +68,25 @@ class ParquetTable:
         path: str,
         *,
         key_cols: Sequence[str] = (),
-        mode: str = "append",  # "append" (month parts) | "upsert" (key buckets)
+        mode: str = "append",  # "append" (time parts) | "upsert" (key buckets)
         n_buckets: int = 32,
         clustering_field: str = "__source_ts_ms",
+        partition_type: str = "MONTH",  # YEAR | MONTH | DAY | HOUR
+        partition_field: str = "__ts_ms",
     ):
+        if partition_type not in PART_FORMATS:
+            raise ValueError(
+                f"partition_type must be one of {sorted(PART_FORMATS)}, "
+                f"got {partition_type!r}"
+            )
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.mode = mode
         self.n_buckets = n_buckets
         self.clustering_field = clustering_field
+        self.partition_type = partition_type
+        self.partition_field = partition_field
 
     # -- metadata ----------------------------------------------------------
     @property
@@ -83,6 +104,8 @@ class ParquetTable:
                     "key_cols": self.key_cols,
                     "mode": self.mode,
                     "n_buckets": self.n_buckets,
+                    "partition_type": self.partition_type,
+                    "partition_field": self.partition_field,
                     "clustering": self.clustering_cols(),
                     "schema": json.loads(schema_json),
                 },
@@ -99,7 +122,9 @@ class ParquetTable:
 
     # -- partitioning ------------------------------------------------------
     def partition_col(self) -> str:
-        return KEY_BUCKET if self.mode == "upsert" else PART_MONTH
+        if self.mode == "upsert":
+            return KEY_BUCKET
+        return PART_FORMATS[self.partition_type][0]
 
     def with_partition_col(self, df: DataFrame) -> DataFrame:
         if self.mode == "upsert":
@@ -109,17 +134,20 @@ class ParquetTable:
                 F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
             ).cast("int")
             return df.withColumn(KEY_BUCKET, bucket)
-        if "__ts_ms" not in df.columns:
-            return df.withColumn(PART_MONTH, F.lit("unknown"))
-        ts = F.col("__ts_ms")
+        part_col, fmt = PART_FORMATS[self.partition_type]
+        if self.partition_field not in df.columns:
+            return df.withColumn(part_col, F.lit("unknown"))
+        ts = F.col(self.partition_field)
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["__ts_ms"].dataType, (T.LongType, T.IntegerType)):
+        if isinstance(
+            df.schema[self.partition_field].dataType, (T.LongType, T.IntegerType)
+        ):
             # raw (pre-coercion) rows carry epoch-ms; partition value must be
             # identical either way so a table can mix coerced/raw batches.
             ts = F.timestamp_millis(ts)
-        month = F.date_format(ts, "yyyy-MM")
-        return df.withColumn(PART_MONTH, F.coalesce(month, F.lit("unknown")))
+        part = F.date_format(ts, fmt)
+        return df.withColumn(part_col, F.coalesce(part, F.lit("unknown")))
 
     # -- io ----------------------------------------------------------------
     def read(self) -> DataFrame:
@@ -147,16 +175,16 @@ class ParquetTable:
         except Exception:
             return None
 
-    def _epoch_marker(self, epoch_id: int | None) -> str | None:
+    def _epoch_marker(self, epoch_id: int | str | None) -> str | None:
         if epoch_id is None:
             return None
         return os.path.join(self.path, "_epochs", f"{epoch_id}.json")
 
-    def epoch_committed(self, epoch_id: int | None) -> bool:
+    def epoch_committed(self, epoch_id: int | str | None) -> bool:
         marker = self._epoch_marker(epoch_id)
         return marker is not None and os.path.exists(marker)
 
-    def _commit_epoch(self, epoch_id: int | None, rows: int) -> None:
+    def _commit_epoch(self, epoch_id: int | str | None, rows: int) -> None:
         marker = self._epoch_marker(epoch_id)
         if marker is None:
             return
@@ -168,7 +196,7 @@ class ParquetTable:
         cols = [c for c in self.clustering_cols() if c in df.columns]
         return df.sortWithinPartitions(*cols) if cols else df
 
-    def append(self, df: DataFrame, epoch_id: int | None = None) -> None:
+    def append(self, df: DataFrame, epoch_id: int | str | None = None) -> None:
         """S3 analog — append a uniform-schema batch, evolving the table
         schema if the batch adds columns."""
         if self.epoch_committed(epoch_id):

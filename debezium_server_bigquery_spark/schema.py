@@ -36,6 +36,11 @@ SEM_MICRO_TIME = "io.debezium.time.MicroTime"
 SEM_JSON = "io.debezium.data.Json"
 SEM_UUID = "io.debezium.data.Uuid"
 SEM_GEOMETRY = "io.debezium.data.geometry.Geometry"
+# decimal.handling.mode=precise wire form: base64 big-endian two's-complement
+# unscaled bytes + {"scale", "connect.decimal.precision"} parameters
+# (DebeziumConfig.java:30-32 defaults the mode to double, in which case the
+# source emits plain float64 and this name never appears).
+SEM_DECIMAL = "org.apache.kafka.connect.data.Decimal"
 
 # Meta-field overrides — TS_MS_FIELDS / BOOLEAN_FIELDS,
 # BaseRecordConverter.java:52-53, applied at :342-344 and :362-364.

@@ -101,6 +101,66 @@ def cdc_synth_oracle_sql(events_rel: str = "events") -> str:
     """
 
 
+def parse_cdc_kafka(raw: DataFrame, schema_hint: dict) -> DataFrame:
+    """Kafka-wire rows -> flattened CDC rows (S1's production path).
+
+    The reference consumes ``ChangeEvent<Object, Object>`` records from the
+    embedded Debezium engine, keyed by destination topic
+    (BaseChangeConsumer.java:138-167).  On Spark the same records arrive via
+    the kafka source as ``(key, value, topic, partition, offset, timestamp)``;
+    the Debezium JSON envelope in ``value`` is parsed exactly like the NDJSON
+    file path — payload via ``from_json`` against the driver-translated
+    schema node — and ``destination`` is the Kafka topic, so the pipeline's
+    R1-R6 routing applies unchanged.
+
+    Kafka tombstones (null ``value``) surface as all-null payloads and are
+    dropped by the pipeline's R5 stage, matching
+    ``debezium.transforms.unwrap.drop.tombstones=true``
+    (docs/configuration.md:24).
+    """
+    struct = debezium_schema_to_struct(schema_hint)
+    val = F.col("value").cast("string")
+    payload = F.from_json(
+        F.coalesce(F.get_json_object(val, "$.payload"), val), struct
+    )
+    return raw.select(
+        F.col("topic").alias("destination"), payload.alias("payload")
+    ).select("destination", "payload.*")
+
+
+def read_cdc_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    schema_hint: dict,
+    *,
+    streaming: bool = True,
+    starting_offsets: str = "earliest",
+    options: dict | None = None,
+) -> DataFrame:
+    """Subscribe to Debezium topics over Kafka and emit flattened CDC rows.
+
+    ``schema_hint`` is required (there is no file to sample the embedded
+    schema node from); pass the ``schema`` object of any event of the topic,
+    exactly as ``debezium.format.value.schemas.enable=true`` embeds it.
+    Feed the result to :meth:`CdcPipeline.run_stream`.
+    """
+    if schema_hint is None:
+        raise ValueError(
+            "kafka source requires schema_hint (the Debezium 'schema' node; "
+            "debezium.format.value.schemas.enable=true)"
+        )
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    reader = (
+        reader.option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return parse_cdc_kafka(reader.load(), schema_hint)
+
+
 def read_cdc_ndjson(
     spark: SparkSession,
     path: str,

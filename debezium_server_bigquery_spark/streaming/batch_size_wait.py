@@ -67,42 +67,46 @@ class DynamicBatchSizeWait:
     """Feedback controller: keep average batch fill in the 85-97% band of
     ``max_batch_size`` by scaling the sleep (DynamicBatchSizeWait.java:51-90).
 
-    3-sample moving averages of batch size and sleep; above 97/95/90% fill
-    the sleep is scaled by 0.5/0.65/0.8, below 85% it grows proportionally;
-    bounds 100 ms <= sleep <= max_wait_ms, and sleeps <= 2000 ms are skipped
-    (:78, :84-90).
+    Exact parity with the reference's ``getWaitMs``: histories seeded
+    ``[1,1,1]`` / ``[100,100,100]`` (constructor :36-42), the 3-sample
+    *batch* average picks the band but the scale applies to the **last**
+    sleep (:62-72), the 0.85-0.90 band returns the last sleep without
+    recording it (:71-73), non-positive counts return the last sleep
+    unchanged (:52-54), growth is ``last * max_batch_size / numRecords``
+    (:76), bounds ``100 <= sleep <= max_wait_ms`` (:79).  ``wait_ms``
+    mirrors ``waitMs`` (:84-90): subtract processing time, skip <= 2000 ms.
     """
 
     def __init__(self, max_batch_size: int = 2048, max_wait_ms: int = 300_000):
         self.max_batch_size = max_batch_size
         self.max_wait_ms = max_wait_ms
-        self.batch_sizes: deque[float] = deque(maxlen=3)
-        self.sleeps: deque[float] = deque(maxlen=3)
+        self.batch_size_history: deque[int] = deque([1, 1, 1], maxlen=3)
+        self.sleep_ms_history: deque[int] = deque([100, 100, 100], maxlen=3)
 
-    def _avg(self, dq: deque[float], default: float) -> float:
-        return sum(dq) / len(dq) if dq else default
-
-    def wait_ms(self, processed_count: int) -> int:
-        self.batch_sizes.append(processed_count)
-        avg_batch = self._avg(self.batch_sizes, 0.0)
-        avg_sleep = self._avg(self.sleeps, self.max_wait_ms / 10)
-        fill = avg_batch / self.max_batch_size if self.max_batch_size else 0.0
+    def get_wait_ms(self, num_records: int) -> int:
+        if num_records <= 0:
+            return self.sleep_ms_history[-1]
+        self.batch_size_history.append(num_records)
+        fill = (
+            sum(self.batch_size_history) / len(self.batch_size_history)
+        ) / self.max_batch_size
+        last = self.sleep_ms_history[-1]
         if fill >= 0.97:
-            sleep = avg_sleep * 0.50
+            sleep = int(last * 0.50)
         elif fill >= 0.95:
-            sleep = avg_sleep * 0.65
+            sleep = int(last * 0.65)
         elif fill >= 0.90:
-            sleep = avg_sleep * 0.80
+            sleep = int(last * 0.80)
         elif fill >= 0.85:
-            sleep = avg_sleep
+            return last
         else:
-            # grow proportionally toward a full batch
-            sleep = avg_sleep / fill if fill > 0 else self.max_wait_ms / 10
-        sleep = max(100.0, min(float(self.max_wait_ms), sleep))
-        self.sleeps.append(sleep)
-        if sleep <= 2000:
-            return 0
-        return int(sleep)
+            sleep = (last * self.max_batch_size) // num_records
+        self.sleep_ms_history.append(min(max(sleep, 100), self.max_wait_ms))
+        return self.sleep_ms_history[-1]
+
+    def wait_ms(self, processed_count: int, processing_time_ms: int = 0) -> int:
+        sleep = max(self.get_wait_ms(processed_count) - processing_time_ms, 0)
+        return sleep if sleep > 2000 else 0
 
     def trigger_kwargs(self) -> dict:
         return {"processingTime": "10 seconds"}

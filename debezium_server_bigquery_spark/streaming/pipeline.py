@@ -57,6 +57,9 @@ class CdcPipeline:
     dedup_order_col: str = "__source_ts_ns"  # ...upsert-dedup-column
     dedup_tiebreak: tuple[str, ...] = ()  # extra deterministic ordering cols
     n_buckets: int = 32
+    partition_type: str = "MONTH"  # debezium.sink.*.partition-type
+    partition_field: str = "__ts_ms"  # debezium.sink.*.partition-field
+    clustering_field: str = "__source_ts_ms"  # ...clustering-field
     tables: dict[str, ParquetTable] = field(default_factory=dict)
 
     def table_for(self, destination: str) -> ParquetTable:
@@ -67,6 +70,9 @@ class CdcPipeline:
                 key_cols=self.key_cols if self.mode == "upsert" else (),
                 mode=self.mode,
                 n_buckets=self.n_buckets,
+                partition_type=self.partition_type,
+                partition_field=self.partition_field,
+                clustering_field=self.clustering_field,
             )
         return self.tables[destination]
 
@@ -113,8 +119,12 @@ class CdcPipeline:
                 # R4: uniform-schema sub-batches in event order (one group in
                 # the common case; >1 only when DDL landed mid-batch).
                 for gi, (_fp, group) in enumerate(schema_groups(part)):
+                    # Composite marker id: "epoch.group" can never collide
+                    # across epochs (an int-arithmetic scheme like e*16+g
+                    # would alias epoch e+1 group 0 once a batch carries >16
+                    # schema groups, silently skipping real data on replay).
                     sub_epoch = (
-                        None if epoch_id is None else epoch_id * 16 + gi
+                        None if epoch_id is None else f"{epoch_id}.{gi}"
                     )
                     if self.mode == "upsert" and self.key_cols:
                         merge_upsert(

