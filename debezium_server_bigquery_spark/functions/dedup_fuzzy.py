@@ -45,6 +45,10 @@ SIMHASH_MAX_HAMMING = 3
 SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1  # 4 bands x 15 bits
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 JACCARD_THRESHOLD = 0.25
+# Stop-shingle document-frequency cap: a shingle present in more than this
+# many documents is boilerplate; its posting list would drive a quadratic
+# candidate join at scale.  Mirrored verbatim in the DuckDB oracle.
+JACCARD_DF_CAP = 500
 
 
 def hash60(col: Column) -> Column:
@@ -339,10 +343,30 @@ ORDER BY doc_a, doc_b
 # Exact n-gram Jaccard over the shingle inverted index.
 # --------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over the stop-shingled inverted index.
+
+    Scale guard: a shingle appearing in more than ``JACCARD_DF_CAP``
+    documents is a stop-shingle — its posting list would contribute a
+    quadratic number of candidate pairs while carrying no similarity signal
+    (every boilerplate phrase co-shingles everything with everything).
+    Dropping it bounds the self-join at |posting list| <= cap per shingle.
+    Jaccard is then computed over the *filtered* shingle space in both
+    engines (sizes come from the filtered index, not the raw arrays), so
+    the Spark result and the DuckDB oracle stay value-identical.  The
+    stop-shingle set is a tiny aggregate -> broadcast anti-join.
+    """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     shingled = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
-    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = shingled.select("doc_id", F.explode("sh").alias("sh"))
+    inv_all = shingled.select("doc_id", F.explode("sh").alias("sh"))
+    # shingles() is distinct per doc, so COUNT(*) per shingle == doc freq.
+    stop = (
+        inv_all.groupBy("sh")
+        .agg(F.count("*").alias("dfreq"))
+        .filter(F.col("dfreq") > JACCARD_DF_CAP)
+        .select("sh")
+    )
+    inv = inv_all.join(F.broadcast(stop), "sh", "left_anti")
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(
@@ -374,8 +398,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_JACCARD_SQL = f"""
 WITH shingled AS ({_SHINGLES_SQL}),
-inv AS (SELECT doc_id, unnest(sh) AS sh FROM shingled),
-sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+inv_all AS (SELECT doc_id, unnest(sh) AS sh FROM shingled),
+stop AS (SELECT sh FROM inv_all GROUP BY sh HAVING COUNT(*) > {JACCARD_DF_CAP}),
+inv AS (SELECT doc_id, sh FROM inv_all WHERE sh NOT IN (SELECT sh FROM stop)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
