@@ -308,6 +308,119 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class IvfIndex:
+    """The IVF inverted file as a *stored* data layout (the 100 TB path).
+
+    ``build`` assigns every vector to its nearest coarse cell and writes the
+    corpus ``partitionBy(cell_id)`` with the centroid table beside it;
+    ``search`` resolves each query's nprobe nearest cells against the tiny
+    centroid table driver-side, then scans **only those cell partitions**
+    (literal ``cell_id IN (...)`` predicate -> partition pruning on the
+    parquet scan, visible as PartitionFilters in the physical plan) and
+    exact-cosine re-ranks inside them.  At 1000 executors a query touches
+    nprobe/k of the corpus files; the build is one shuffle-free write after
+    a broadcast-join assignment.
+
+    ``ann_ivf`` above runs the identical dataflow inline so the DuckDB
+    oracle can replay it; this class is the deployment shape.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.data_path = os.path.join(path, "cells")
+        self.centroid_path = os.path.join(path, "centroids")
+
+    @classmethod
+    def build(cls, spark: SparkSession, emb: DataFrame, path: str) -> "IvfIndex":
+        """Assign-once + partitioned write.  ``emb``: (vec_id, embedding, ...)."""
+        idx = cls(spark, path)
+        emb = with_norm(emb)
+        cents = ivf_centroids(emb)
+        scored = emb.crossJoin(broadcast(cents)).withColumn(
+            "dist", _sq_dist(F.col("embedding"), F.col("centroid"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+        assigned = (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") == 1)
+            .select("vec_id", "embedding", "norm", "cell_id")
+        )
+        assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+            idx.data_path
+        )
+        cents.write.mode("overwrite").parquet(idx.centroid_path)
+        return idx
+
+    def probe_cells(self, queries: list[tuple[int, list[float]]], nprobe: int):
+        """Driver-side cell resolution: k centroids x q queries is tiny."""
+        cents = [
+            (r["cell_id"], r["centroid"])
+            for r in self.spark.read.parquet(self.centroid_path).collect()
+        ]
+        out: dict[int, list] = {}
+        for qid, vec in queries:
+            dists = sorted(
+                (sum((float(a) - c) ** 2 for a, c in zip(vec, cent)), cell)
+                for cell, cent in cents
+            )
+            out[qid] = [cell for _, cell in dists[:nprobe]]
+        return out
+
+    def search(
+        self,
+        queries: DataFrame,
+        nprobe: int = NPROBE,
+        topk: int = IVF_TOPK,
+    ) -> DataFrame:
+        """Top-k cosine neighbors for (query_id, embedding) rows."""
+        qrows = [
+            (r["query_id"], [float(x) for x in r["embedding"]])
+            for r in queries.collect()
+        ]
+        cells = self.probe_cells(qrows, nprobe)
+        all_cells = sorted({c for cs in cells.values() for c in cs})
+        # literal IN-list on the partition column => partition pruning
+        data = self.spark.read.parquet(self.data_path).filter(
+            F.col("cell_id").isin(all_cells)
+        )
+        probes = self.spark.createDataFrame(
+            [
+                (qid, vec, cell)
+                for qid, vec in qrows
+                for cell in cells[qid]
+            ],
+            "query_id long, q_emb array<double>, probe_cell int",
+        )
+        probes = probes.withColumn(
+            "q_norm", F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+        )
+        cands = broadcast(probes).join(
+            data,
+            (F.col("probe_cell") == F.col("cell_id"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        sim = cosine(
+            F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("norm")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+        return (
+            cands.withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select(
+                "query_id",
+                "rank",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("cell_id").alias("cell"),
+                F.round("sim", 6).alias("cosine_sim"),
+            )
+            .orderBy("query_id", "rank")
+        )
+
+
 _SQDIST_SQL = (
     "list_reduce(list_prepend(0.0::DOUBLE, "
     "list_transform(range(1, len({a}) + 1), "

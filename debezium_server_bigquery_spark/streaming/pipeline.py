@@ -24,6 +24,7 @@ independent, and the local scheduler interleaves their stages.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -60,6 +61,18 @@ class CdcPipeline:
     partition_type: str = "MONTH"  # debezium.sink.*.partition-type
     partition_field: str = "__ts_ms"  # debezium.sink.*.partition-field
     clustering_field: str = "__source_ts_ms"  # ...clustering-field
+    # SMT-chain analog (SURVEY §2.8): user transforms applied in order to
+    # each destination's slice before dedup/write.  The reference's only
+    # row-shaping extensibility is Debezium's transform chain
+    # (debezium.transforms*, DebeziumConfig.java:62-80) — config-only; here
+    # the hook takes DataFrame -> DataFrame callables, which is where
+    # pandas_udf stages become available for free.  Key "*" applies to every
+    # destination; a destination-specific chain (keyed by the post-rewrite
+    # destination name, e.g. "testc_inventory_events_p0") runs after the
+    # global one.
+    transforms: dict[str, list[Callable[[DataFrame], DataFrame]]] = field(
+        default_factory=dict
+    )
     tables: dict[str, ParquetTable] = field(default_factory=dict)
 
     def table_for(self, destination: str) -> ParquetTable:
@@ -115,6 +128,10 @@ class CdcPipeline:
                 )
 
                 part = batch.filter(F.col("destination") == dest).drop("destination")
+                for fn in self.transforms.get("*", []) + self.transforms.get(
+                    dest, []
+                ):
+                    part = fn(part)
                 table = self.table_for(dest)
                 # R4: uniform-schema sub-batches in event order (one group in
                 # the common case; >1 only when DDL landed mid-batch).

@@ -1,0 +1,59 @@
+"""IvfIndex — the stored cell-partitioned ANN layout (similarity.py).
+
+The inline ``ann_ivf`` query is the oracle-replayable dataflow; the index
+must produce the identical top-k for the same probe queries, while its scan
+reads only the probed cell partitions (partition pruning)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.functions.similarity import (
+    IVF_TOPK,
+    NPROBE,
+    IvfIndex,
+    ann_ivf,
+)
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+
+def _build(spark, sf_dir, tmp_path) -> IvfIndex:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return IvfIndex.build(spark, emb, str(tmp_path / "ivf"))
+
+
+def test_build_materializes_cell_partitions(spark, sf_dir, tmp_path):
+    idx = _build(spark, sf_dir, tmp_path)
+    cells = [d for d in os.listdir(idx.data_path) if d.startswith("cell_id=")]
+    assert len(cells) > 1  # one directory per coarse cell
+    n = spark.read.parquet(idx.data_path).count()
+    assert n == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_search_matches_inline_ann_ivf(spark, sf_dir, tmp_path):
+    idx = _build(spark, sf_dir, tmp_path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = idx.search(queries, nprobe=NPROBE, topk=IVF_TOPK).collect()
+    expected = ann_ivf(spark, sf_dir).collect()
+    as_tuples = lambda rows: [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"]) for r in rows
+    ]
+    assert as_tuples(got) == as_tuples(expected)
+
+
+def test_search_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    idx = _build(spark, sf_dir, tmp_path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = idx.search(queries)._jdf.queryExecution().executedPlan().toString()
+    # the data scan must carry the cell_id partition filter (pruned read),
+    # not a post-scan filter over the full corpus
+    assert "PartitionFilters" in plan
+    assert "cell_id" in plan.split("PartitionFilters", 1)[1][:200]

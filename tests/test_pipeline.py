@@ -105,3 +105,29 @@ def test_read_cdc_ndjson_with_embedded_schema(spark, tmp_path):
     rows = sorted((r.id, r.name) for r in df.collect())
     assert rows == [(0, "n0"), (1, "n1"), (2, "n2")]
     assert df.schema["id"].dataType.simpleString() == "bigint"
+
+
+def test_per_destination_transform_hook(spark, sf_dir, tmp_path):
+    """SURVEY §2.8 — the SMT-chain analog: user DataFrame->DataFrame
+    transforms per destination ("*" = all), applied before write."""
+    p = CdcPipeline(
+        spark,
+        str(tmp_path / "tgt"),
+        mode="append",
+        transforms={
+            "*": [lambda df: df.withColumn("flagged", F.lit(True))],
+            "testc_inventory_events_p0": [
+                lambda df: df.filter(F.col("event_type") != "view")
+            ],
+        },
+    )
+    cdc = _cdc_df(spark, sf_dir)
+    p.run_batch(cdc)
+    t0 = p.read_table("testc_inventory_events_p0")
+    t1 = p.read_table("testc_inventory_events_p1")
+    # global transform hit every destination
+    assert t0.filter(~F.col("flagged")).count() == 0
+    assert t1.filter(~F.col("flagged")).count() == 0
+    # destination-specific filter applied only to p0
+    assert t0.filter(F.col("event_type") == "view").count() == 0
+    assert t1.filter(F.col("event_type") == "view").count() > 0
