@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sketches,
             text,
             multimodal,
+            packing,
         )
 
         out.update(dedup_fuzzy.QUERIES)
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(sketches.QUERIES)
         out.update(text.QUERIES)
         out.update(multimodal.QUERIES)
+        out.update(packing.QUERIES)
     except ImportError:
         pass
     return out
@@ -116,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
             sketches,
             text,
             multimodal,
+            packing,
         )
 
         out.update(dedup_fuzzy.ORACLES)
@@ -123,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         out.update(sketches.ORACLES)
         out.update(text.ORACLES)
         out.update(multimodal.ORACLES)
+        out.update(packing.ORACLES)
     except ImportError:
         pass
     return out
