@@ -113,6 +113,29 @@ FROM documents ORDER BY doc_id
 """
 
 
+def dedup_exact_stream(
+    docs: DataFrame, ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each content hash.
+
+    The batch form above ranks every copy; a stream cannot wait for "all
+    copies", so the streaming contract is first-writer-wins with bounded
+    state: ``dropDuplicatesWithinWatermark`` keys state by the content hash
+    and evicts entries once the watermark passes them — at 100 TB/day the
+    state store holds only the watermark horizon's worth of hashes, not
+    the full corpus (the batch job remains the exhaustive ground truth).
+    ``docs`` must be a streaming DataFrame carrying an event-time column.
+    """
+    hashed = docs.select(
+        "doc_id", F.md5("text").alias("text_hash"), F.col(ts_col).alias("__ts")
+    )
+    return (
+        hashed.withWatermark("__ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .drop("__ts")
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH candidate pairs.
 # --------------------------------------------------------------------------

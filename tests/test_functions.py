@@ -154,3 +154,39 @@ def test_multimodal_stub_contract(spark):
     frames = binary.mapInPandas(_sample_frames, FRAME_SCHEMA).collect()
     # 200 bytes -> 4 frames (64,64,64,8), stride 2 keeps idx 0 and 2
     assert [(f.frame_idx, f.frame_bytes) for f in frames] == [(0, FRAME_SIZE), (2, FRAME_SIZE)]
+
+
+def test_dedup_exact_stream_matches_batch_hash_groups(spark, sf_dir, tmp_path):
+    """Streaming first-writer dedup: one survivor per content hash, each a
+    member of the batch form's hash group; state bounded by the watermark."""
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+        dedup_exact,
+        dedup_exact_stream,
+    )
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ts", F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("doc_id"))
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        dedup_exact_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.sql("SELECT * FROM dedup_stream_out").collect()
+
+    batch = dedup_exact(spark, sf_dir).collect()
+    groups = {}
+    for r in batch:
+        groups.setdefault(r["text_hash"], set()).add(r["doc_id"])
+    # exactly one survivor per distinct hash, and it is a real group member
+    assert sorted(r["text_hash"] for r in kept) == sorted(groups)
+    for r in kept:
+        assert r["doc_id"] in groups[r["text_hash"]]
