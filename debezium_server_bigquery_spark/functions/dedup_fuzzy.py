@@ -200,7 +200,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a, b = bands.alias("a"), bands.alias("b")
+    # Self-join via shuffle-hash, NOT broadcast: with a broadcast join the
+    # two sides have different exchange types, so Catalyst recomputes the
+    # whole shingle->md5->minhash pipeline twice (the dominant CPU).  A
+    # shuffle-hash join shuffles both (identical) sides on (band, sig) and
+    # the second exchange becomes a ReusedExchange — signatures are computed
+    # once.  Broadcasting the full signature table would also be the wrong
+    # plan at scale.
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(
             b,
