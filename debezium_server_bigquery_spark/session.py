@@ -50,6 +50,16 @@ def get_spark(
         # has no nanos timestamp — read as long, converted in sources/tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Wide codegen'd plans (60-col simhash votes, 12-hash minhash) churn
+        # the default 100-entry generated-class cache and the JVM's JIT code
+        # cache; a workload of ~20 distinct plans then re-compiles classes it
+        # just ran (observed as a random query paying 5-9 s).  A bigger class
+        # cache + a 1 GiB reserved code cache keep steady-state plans hot.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
