@@ -312,6 +312,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    # No join hint: at small scale Catalyst broadcasts the (cheap) signature
+    # table; past the broadcast threshold it picks SMJ, where the two
+    # identical shuffled sides collapse into one ReusedExchange — the right
+    # plan at both ends without forcing either.
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -387,17 +391,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     shingled = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
-    inv_all = shingled.select("doc_id", F.explode("sh").alias("sh"))
+    # Shingle ONCE: explicitly hash-partition the inverted index on sh so
+    # every consumer below — the doc-frequency aggregate, the stop-shingle
+    # anti-join, and the postings aggregate — hangs off the SAME exchange
+    # (ReusedExchange in the physical plan).  Without this the
+    # scan->shingle->explode subtree is recomputed per consumer, and that
+    # subtree is the dominant CPU at every scale.
+    inv_all = shingled.select("doc_id", F.explode("sh").alias("sh")).repartition(
+        "sh"
+    )
     # shingles() is distinct per doc, so COUNT(*) per shingle == doc freq.
+    # Count BEFORE collecting posting lists: a mega-hot shingle must be
+    # dropped by a scalable count aggregate, never buffered into a list.
     stop = (
         inv_all.groupBy("sh")
         .agg(F.count("*").alias("dfreq"))
         .filter(F.col("dfreq") > JACCARD_DF_CAP)
         .select("sh")
     )
-    inv = inv_all.join(F.broadcast(stop), "sh", "left_anti")
+    # Both sides are partitioned on sh already -> co-partitioned anti-join,
+    # no broadcast needed and no fresh exchange.
+    inv = inv_all.join(stop.hint("shuffle_hash"), "sh", "left_anti")
+    # sizes and the self-join both consume the same sh-partitioned exchange;
+    # every agg stays a codegen'd hash agg (no posting-list buffering).
     sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = inv.alias("a"), inv.alias("b")
+    a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
     shared = (
         a.join(
             b,
