@@ -1,0 +1,79 @@
+"""Unit tests for corpus curation (stratified sampling, vocabulary) and
+int8 embedding quantization; the sf0.01 oracle gate covers the same
+operators against DuckDB."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_sample_stratified_caps_and_determinism(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.curation import (
+        SAMPLE_PER_STRATUM,
+        sample_stratified,
+    )
+
+    out = sample_stratified(spark, sf_dir).collect()
+    per_lang: dict[str, list[int]] = {}
+    for r in out:
+        per_lang.setdefault(r.lang, []).append(r.sample_rank)
+    for lang, ranks in per_lang.items():
+        assert len(ranks) <= SAMPLE_PER_STRATUM
+        assert ranks == list(range(1, len(ranks) + 1)), lang
+    # deterministic across runs: same plan, same hash keys
+    again = sample_stratified(spark, sf_dir).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_vocab_top_terms_ordering(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.curation import vocab_top_terms
+
+    rows = vocab_top_terms(spark, sf_dir).collect()
+    assert rows, "vocabulary must be non-empty"
+    freqs = [(r.doc_freq, r.term) for r in rows]
+    # descending doc_freq, ascending term on ties
+    assert freqs == sorted(freqs, key=lambda t: (-t[0], t[1]))
+    # document frequency can never exceed the document count
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert all(r.doc_freq <= n_docs for r in rows)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.quantize import (
+        INT8_MAX,
+        embedding_quantize_int8,
+    )
+
+    rows = embedding_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -INT8_MAX <= r.q_min <= r.q_max <= INT8_MAX
+        # symmetric quantization: max abs error per element is scale/2,
+        # so mse <= (scale/2)^2
+        assert r.mse <= (r.scale / 2) ** 2 + 1e-15, r.vec_id
+
+
+def test_quantize_matches_python_reference(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.quantize import (
+        INT8_MAX,
+        embedding_quantize_int8,
+    )
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20).collect()
+    }
+    got = {
+        r.vec_id: r
+        for r in embedding_quantize_int8(spark, sf_dir).collect()
+        if r.vec_id in emb
+    }
+    for vid, vec in emb.items():
+        scale = max(abs(x) for x in vec) / INT8_MAX
+        q = [max(-INT8_MAX, min(INT8_MAX, math.floor(x / scale + 0.5))) for x in vec]
+        mse = sum((x - qi * scale) ** 2 for x, qi in zip(vec, q)) / len(vec)
+        assert abs(got[vid].scale - scale) < 1e-9
+        assert got[vid].q_min == min(q) and got[vid].q_max == max(q)
+        assert abs(got[vid].mse - mse) < 1e-12
