@@ -212,6 +212,62 @@ class ParquetTable:
         self._write_meta(df.schema.json())
         self._commit_epoch(epoch_id, -1)
 
+    def partition_file_counts(self) -> dict[str, int]:
+        """Data-file count per partition directory (driver-side listing —
+        the metastore-catalog analog; partition count, not row count)."""
+        out: dict[str, int] = {}
+        prefix = f"{self.partition_col()}="
+        if not os.path.isdir(self.path):
+            return out
+        for d in os.listdir(self.path):
+            full = os.path.join(self.path, d)
+            if d.startswith(prefix) and os.path.isdir(full):
+                out[d] = sum(
+                    1 for f in os.listdir(full) if f.endswith(".parquet")
+                )
+        return out
+
+    def compact(
+        self, max_files_per_partition: int = 8, files_per_partition: int = 1
+    ) -> int:
+        """Rewrite fragmented partitions into few large files.
+
+        Every micro-batch append adds task-count files per touched
+        partition; BigQuery compacts its write-optimized storage in the
+        background (the reference never sees this cost), a parquet table
+        must do it explicitly or scans drown in file-open overhead at
+        scale.  One pass: select partitions holding more than
+        ``max_files_per_partition`` data files, shuffle them once on the
+        partition column (plus a bounded salt when one file per partition
+        would be too big), and swap the rewritten directories in via the
+        same staged-overwrite path MERGE uses — readers never observe a
+        half-compacted partition.  Returns the number of partitions
+        compacted.
+        """
+        fragged = [
+            d
+            for d, n in self.partition_file_counts().items()
+            if n > max_files_per_partition
+        ]
+        if not fragged:
+            return 0
+        part_col = self.partition_col()
+        values = [d.split("=", 1)[1] for d in fragged]
+        raw = self.read_raw()
+        if raw is None:
+            return 0
+        subset = raw.filter(F.col(part_col).cast("string").isin(values))
+        if files_per_partition > 1:
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in (self.key_cols or subset.columns[:1])]),
+                F.lit(files_per_partition),
+            )
+            subset = subset.repartition(F.col(part_col), salt)
+        else:
+            subset = subset.repartition(F.col(part_col))
+        self.overwrite_partitions(subset, expected_partitions=values)
+        return len(values)
+
     def overwrite_partitions(
         self, df: DataFrame, expected_partitions: Sequence[object] = ()
     ) -> None:

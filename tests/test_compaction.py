@@ -1,0 +1,59 @@
+"""Small-file compaction on the parquet destination table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _rows(spark, ids, month="2024-01"):
+    return spark.createDataFrame(
+        [(i, f"v{i}", f"{month}-15T00:00:00") for i in ids],
+        "id long, val string, iso string",
+    ).select(
+        "id",
+        "val",
+        F.to_timestamp("iso").alias("__ts_ms"),
+        F.lit(0).cast("long").alias("__source_ts_ms"),
+    )
+
+
+def test_compact_reduces_files_keeps_rows(spark, tmp_path):
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"), key_cols=["id"], mode="append")
+    for batch in range(6):
+        t.append(_rows(spark, range(batch * 10, batch * 10 + 10)), epoch_id=batch)
+
+    before = t.partition_file_counts()
+    assert sum(before.values()) >= 6, "micro-batches must fragment"
+    rows_before = sorted(tuple(r) for r in t.read().collect())
+
+    n = t.compact(max_files_per_partition=2)
+    assert n == len(before)
+
+    after = t.partition_file_counts()
+    assert all(c == 1 for c in after.values()), after
+    rows_after = sorted(tuple(r) for r in t.read().collect())
+    assert rows_before == rows_after
+
+
+def test_compact_noop_below_threshold(spark, tmp_path):
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"), key_cols=["id"], mode="append")
+    t.append(_rows(spark, range(10)), epoch_id=0)
+    assert t.compact(max_files_per_partition=64) == 0
+
+
+def test_compact_upsert_bucket_table(spark, tmp_path):
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    t = ParquetTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], mode="upsert", n_buckets=4
+    )
+    for batch in range(5):
+        t.append(_rows(spark, range(20)), epoch_id=batch)
+    rows_before = sorted(tuple(r) for r in t.read().collect())
+    assert t.compact(max_files_per_partition=2) > 0
+    assert sorted(tuple(r) for r in t.read().collect()) == rows_before
+    assert all(c == 1 for c in t.partition_file_counts().values())
