@@ -49,6 +49,8 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.packing",),
         ("debezium_server_bigquery_spark.functions.curation",),
         ("debezium_server_bigquery_spark.functions.quantize",),
+        ("debezium_server_bigquery_spark.functions.dedup_clusters",),
+        ("debezium_server_bigquery_spark.plans.funnel",),
         ("debezium_server_bigquery_spark.plans.analytics_windows",),
         ("debezium_server_bigquery_spark.plans.analytics_ext",),
         ("debezium_server_bigquery_spark.plans.analytics_tpch2",),

@@ -109,12 +109,91 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+TFIDF_TOP_N = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP_N`` TF-IDF terms per document.
+
+    Plan: one explode -> (doc, term) count [shuffle 1] -> term document
+    frequency derived FROM that aggregate [shuffle 2, input already tiny]
+    -> broadcast back for the score -> per-doc top-N window [shuffle 3 on
+    doc_id].  The corpus-size scalar N is a 1-row aggregate broadcast via
+    cross join.
+
+    Cross-engine determinism: ln() may differ in the last ulp between
+    libm and the JVM, so the rank orders by the ROUNDED score (6 dp) with
+    a term tie-break — ulp noise cannot flip ranks.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_N)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    round(tf.tf * (ln(((SELECT COUNT(*) FROM documents) + 1)::DOUBLE / (df.df + 1)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_N} ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "vocab_top_terms": vocab_top_terms,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
 }
 
 ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "vocab_top_terms": VOCAB_TOP_TERMS_SQL,
+    "text_tfidf_top_terms": TFIDF_SQL,
 }
