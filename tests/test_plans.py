@@ -131,3 +131,51 @@ def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     # "*(N)" prefixes mark WholeStageCodegen spans; span 1 must fuse
     # scan->filter->project->partial agg
     assert "*(1) HashAggregate" in plan and "*(1) Filter" in plan
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    # all three stage anchors must stack on ONE user_id exchange; only the
+    # final one-row summary exchanges again (the join-chain form costs ~13
+    # exchanges and AQE barriers — 6x slower, see plans/funnel.py)
+    from debezium_server_bigquery_spark.plans.funnel import (
+        funnel_view_click_purchase,
+    )
+
+    df = funnel_view_click_purchase(spark, sf_dir)
+    plan = _plan(df)
+    assert len(re.findall(r"\bExchange hashpartitioning\(user_id", plan)) == 1
+    assert plan.count("Window") == 3
+    # the stage-type filter reaches the parquet scan
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_ngram_jaccard_single_shingle_pass(spark, sf_dir):
+    # the inverted index is computed once: every downstream consumer
+    # (doc-frequency agg, anti-join, sizes, self-join) must hang off the
+    # same sh-partitioned exchange as ReusedExchange nodes
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+        dedup_ngram_jaccard,
+    )
+
+    df = dedup_ngram_jaccard(spark, sf_dir)
+    df.collect()  # AQE finalizes reuse only at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # ignore the pre-AQE tree
+    # Catalyst's column pruning specializes the subtrees per consumer, so
+    # full single-pass reuse needs materialization; the locked-in property
+    # is: at least the band-join and anti-join sides reuse exchanges, and
+    # the shingle explode appears at most 3x (4+ = the round-1 recompute
+    # regression).
+    assert final.count("ReusedExchange") >= 2
+    assert final.count("Generate explode") <= 3, final.count("Generate explode")
+
+
+def test_tfidf_no_cartesian_and_broadcast_df(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.curation import (
+        text_tfidf_top_terms,
+    )
+
+    plan = _plan(text_tfidf_top_terms(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # term-df and corpus-size sides are broadcast, never shuffled fact-side
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
