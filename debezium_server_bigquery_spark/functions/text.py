@@ -295,12 +295,113 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of word 3-grams that are
+    duplicates of an earlier 3-gram in the same document (the "repeated
+    n-gram" degenerate-text signal used by C4/Gopher-style quality
+    filters).  Pure per-row array algebra — zero shuffle at any scale."""
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import shingles
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    n_grams = F.greatest(F.size(toks) - 2, F.lit(0))
+    n_distinct = F.size(shingles(F.col("text")))  # shingles() is distinct
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_3grams"),
+        n_distinct.alias("n_distinct_3grams"),
+        F.round(
+            F.when(
+                n_grams > 0,
+                1.0 - n_distinct.cast("double") / n_grams,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("repetition_ratio"),
+    ).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = r"""
+WITH grams AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS n_3grams,
+    CASE WHEN len(w) >= 3
+         THEN len(list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])))
+         ELSE 0 END AS n_distinct_3grams
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        FROM documents)
+)
+SELECT doc_id,
+  CAST(n_3grams AS INTEGER) AS n_3grams,
+  CAST(n_distinct_3grams AS INTEGER) AS n_distinct_3grams,
+  round(CASE WHEN n_3grams > 0 THEN 1.0 - n_distinct_3grams::DOUBLE / n_3grams ELSE 0.0 END, 6) AS repetition_ratio
+FROM grams ORDER BY doc_id
+"""
+
+
+# Benchmark-contamination check: the held-out "benchmark" is the src0
+# slice of the corpus; any other document sharing >= 1 word 3-gram with it
+# is flagged (GPT-3-style n-gram decontamination, scaled down to the
+# synthetic corpus's short docs).
+CONTAMINATION_SOURCE = "src0"
+
+
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing word-3-gram content with the benchmark slice.
+
+    Plan: shingle both sides once, equi-join on the shingle (inverted-
+    index semi-join — only co-shingled pairs materialize, same scale shape
+    as the Jaccard dedup), count distinct overlapping shingles per
+    candidate doc.  The benchmark side is corpus-fraction-sized; at 100 TB
+    it is the small side and AQE broadcasts its shingle set.
+    """
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import shingles
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    shingled = docs.select(
+        "doc_id", "source", F.explode(shingles(F.col("text"))).alias("sh")
+    )
+    bench = (
+        shingled.filter(F.col("source") == CONTAMINATION_SOURCE)
+        .select("sh")
+        .distinct()
+    )
+    candidates = shingled.filter(F.col("source") != CONTAMINATION_SOURCE)
+    return (
+        candidates.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap_3grams"))
+        .filter(F.col("n_overlap_3grams") >= 1)
+        .orderBy("doc_id")
+    )
+
+
+TEXT_CONTAMINATION_SQL = rf"""
+WITH shingled AS (
+  SELECT doc_id, source,
+    unnest(CASE WHEN len(w) >= 3
+      THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+      ELSE [] END) AS sh
+  FROM (SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        FROM documents)
+),
+bench AS (SELECT DISTINCT sh FROM shingled WHERE source = '{CONTAMINATION_SOURCE}')
+SELECT s.doc_id, COUNT(*) AS n_overlap_3grams
+FROM shingled s JOIN bench b ON s.sh = b.sh
+WHERE s.source <> '{CONTAMINATION_SOURCE}'
+GROUP BY s.doc_id
+HAVING COUNT(*) >= 1
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "docs_by_lang_summary": docs_by_lang_summary,
+    "text_repetition_score": text_repetition_score,
+    "text_contamination_check": text_contamination_check,
 }
 
 ORACLES = {
@@ -309,4 +410,6 @@ ORACLES = {
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "docs_by_lang_summary": DOCS_BY_LANG_SQL,
+    "text_repetition_score": TEXT_REPETITION_SQL,
+    "text_contamination_check": TEXT_CONTAMINATION_SQL,
 }

@@ -190,3 +190,55 @@ def test_dedup_exact_stream_matches_batch_hash_groups(spark, sf_dir, tmp_path):
     assert sorted(r["text_hash"] for r in kept) == sorted(groups)
     for r in kept:
         assert r["doc_id"] in groups[r["text_hash"]]
+
+
+def test_repetition_score_degenerate_vs_unique(spark):
+    from debezium_server_bigquery_spark.functions.text import text_repetition_score
+    import debezium_server_bigquery_spark.sources.tables as tables
+
+    # "a b a b a b a b": 3-grams = 6, distinct = 2 -> ratio 2/3
+    # unique text: ratio 0
+    df = _docs(
+        spark,
+        [
+            (0, "a b a b a b a b", "en", "s", 15),
+            (1, "one two three four five", "en", "s", 23),
+        ],
+    )
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf_dir, name, spread=False: df
+        import debezium_server_bigquery_spark.functions.text as text_mod
+
+        orig_tm = text_mod.load_table
+        text_mod.load_table = tables.load_table
+        try:
+            rows = {r.doc_id: r for r in text_mod.text_repetition_score(spark, "x").collect()}
+        finally:
+            text_mod.load_table = orig_tm
+    finally:
+        tables.load_table = orig
+    assert rows[0].n_3grams == 6 and rows[0].n_distinct_3grams == 2
+    assert abs(rows[0].repetition_ratio - (1 - 2 / 6)) < 1e-6
+    assert rows[1].repetition_ratio == 0.0
+
+
+def test_contamination_flags_only_overlapping_docs(spark):
+    import debezium_server_bigquery_spark.functions.text as text_mod
+
+    df = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta", "en", "src0", 1),  # benchmark
+            (1, "alpha beta gamma other words here", "en", "src1", 1),  # overlaps
+            (2, "totally different content entirely", "en", "src1", 1),  # clean
+        ],
+    )
+    orig = text_mod.load_table
+    try:
+        text_mod.load_table = lambda spark, sf_dir, name, spread=False: df
+        rows = {r.doc_id: r.n_overlap_3grams for r in text_mod.text_contamination_check(spark, "x").collect()}
+    finally:
+        text_mod.load_table = orig
+    assert 1 in rows and rows[1] == 1  # shares exactly 'alpha beta gamma'
+    assert 2 not in rows
