@@ -394,7 +394,109 @@ ORDER BY s.doc_id
 """
 
 
+LM_K = 0.5  # add-k smoothing
+
+
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram LM trained on
+    the corpus itself — the classic LM-based quality filter (docs whose
+    ppl is far above the corpus norm are noise; far below, boilerplate).
+
+    Plan: one explode produces (doc, w1, w2) bigram rows; bigram and
+    unigram count tables are two combinable aggregates over it; the score
+    join is per-bigram-key (Catalyst broadcasts the count tables while
+    they fit, shuffles on the key beyond that), then one per-doc average.
+    No ranking depends on ln(), so libm-vs-JVM ulp noise only touches the
+    6th rounded decimal of the score itself.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("w"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("w"), i).alias("w1"),
+                        F.element_at(F.col("w"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bigram_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    unigram_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c_w1"))
+    vocab = bigrams.select(F.col("w2").alias("v")).union(
+        bigrams.select("w1")
+    ).agg(F.countDistinct("v").alias("v_size"))
+    scored = (
+        bigrams.join(bigram_counts, ["w1", "w2"])
+        .join(unigram_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("c_bg") + F.lit(LM_K))
+                    / (F.col("c_w1") + F.lit(LM_K) * F.col("v_size"))
+                )
+            ).alias("nll"),
+        )
+    )
+    # decimal-sum convention (plans/analytics.py): the per-doc mean must not
+    # depend on partial-aggregation order, so sum in exact decimal and
+    # divide once.
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("nll").cast("decimal(28,18)")).alias("s_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.exp(F.col("s_nll").cast("double") / F.col("n_bigrams")), 6
+            ).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_PERPLEXITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+  FROM (SELECT doc_id,
+          unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), i -> {{'w1': w[i], 'w2': w[i+1]}})
+            ELSE [] END) AS u
+        FROM toks)
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bigrams GROUP BY w1, w2),
+uc AS (SELECT w1, COUNT(*) AS c_w1 FROM bigrams GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT v) AS v_size
+      FROM (SELECT w2 AS v FROM bigrams UNION ALL SELECT w1 FROM bigrams)),
+scored AS (
+  SELECT b.doc_id,
+    -ln((bc.c_bg + {LM_K}) / (uc.c_w1 + {LM_K} * v.v_size)) AS nll
+  FROM bigrams b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  JOIN uc ON b.w1 = uc.w1
+  CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  round(exp(CAST(SUM(CAST(nll AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*)), 6) AS perplexity
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_bigram_perplexity": text_bigram_perplexity,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -405,6 +507,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bigram_perplexity": TEXT_PERPLEXITY_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
