@@ -23,6 +23,7 @@ from debezium_server_bigquery_spark.functions.dedup_fuzzy import _hash60_sql, ha
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 SAMPLE_PER_STRATUM = 50
+SAMPLE_SALTS = 16  # phase-1 fan-out: bounds per-task sort state at N
 VOCAB_TOP_K = 50
 
 
@@ -30,12 +31,13 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: top ``SAMPLE_PER_STRATUM`` docs per
     language, ordered by a salted content-independent hash of the doc id.
 
-    Scale shape: ONE shuffle (hash-partition by stratum), then a per-group
-    rank.  The hash key makes the sample uniform-at-random but replayable.
-    For pathologically hot strata the window sort is the textbook
-    pre-aggregation target (two-phase: per-partition local top-N, then
-    global top-N); Spark's rank-over-window is the standard single-pass
-    form and AQE splits skewed partitions.
+    Scale shape: two-phase top-N.  Phase 1 ranks within (stratum, salt)
+    and keeps N per salt — the sort state per task is bounded at N
+    regardless of stratum size, so one billion-row stratum cannot pin a
+    single task.  Phase 2 ranks the <= N x SALTS survivors per stratum.
+    A single-window form (rank over the whole stratum) is the textbook
+    hot-stratum bottleneck this avoids.  The hash key makes the sample
+    uniform-at-random but replayable.
     """
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
@@ -43,10 +45,14 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         hash60(F.concat(F.lit("sample:"), F.col("doc_id"))).alias("rk"),
+    ).withColumn("salt", F.pmod(F.col("rk"), F.lit(SAMPLE_SALTS)))
+    w_local = Window.partitionBy("lang", "salt").orderBy("rk", "doc_id")
+    survivors = keyed.withColumn("lr", F.row_number().over(w_local)).filter(
+        F.col("lr") <= SAMPLE_PER_STRATUM
     )
     w = Window.partitionBy("lang").orderBy("rk", "doc_id")
     return (
-        keyed.withColumn("sample_rank", F.row_number().over(w))
+        survivors.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= SAMPLE_PER_STRATUM)
         .select("doc_id", "lang", "source", "sample_rank")
         .orderBy("lang", "sample_rank")
