@@ -13,6 +13,7 @@ tests assert on live BigQuery tables (SURVEY §5).
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -170,11 +171,82 @@ GROUP BY 1 ORDER BY table_name
 """
 
 
+def ivm_incremental_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the real write path: replicate the
+    CDC feed in TWO micro-batches (split by event id parity), bootstrap a
+    per-destination aggregate after batch 1, then after batch 2 refresh
+    ONLY the destinations batch 2 touched.  The returned MV must equal a
+    full recompute of the final replicated state — which is exactly what
+    the oracle derives from the raw events.
+
+    keep_deletes=True on the destination so tombstones keep participating
+    in the cross-batch last-writer comparison (a dropped delete could
+    otherwise be resurrected by an older event in a later batch); the MV's
+    aggregate then counts only live (non-deleted) rows.
+    """
+    from debezium_server_bigquery_spark.operators.merge import merge_upsert
+    from debezium_server_bigquery_spark.operators.routing import filter_heartbeats
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+    from debezium_server_bigquery_spark.streaming.ivm import MaterializedAggregate
+
+    events = filter_heartbeats(
+        synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    )
+    b1 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b2 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+
+    root = tempfile.mkdtemp(prefix="dsbq_ivm_")
+    dest = ParquetTable(
+        spark,
+        os.path.join(root, "dest"),
+        key_cols=["destination", "user_id"],
+        mode="upsert",
+        n_buckets=8,
+    )
+
+    def agg_fn(df: DataFrame) -> DataFrame:
+        live = df.filter(F.coalesce(F.col("__deleted"), F.lit("false")) != "true")
+        return live.groupBy("destination").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(20,4)")).alias("_total"),
+        )
+
+    mv = MaterializedAggregate(
+        spark, os.path.join(root, "mv"), ["destination"], agg_fn
+    )
+
+    merge_upsert(dest, b1, keep_deletes=True, tiebreak=("event_id",), epoch_id="b1")
+    mv.initialize(dest.read())
+    merge_upsert(dest, b2, keep_deletes=True, tiebreak=("event_id",), epoch_id="b2")
+    mv.refresh(dest.read(), touched=b2.select("destination"))
+
+    return mv.read().select(
+        "destination",
+        "n_rows",
+        F.round(F.col("_total").cast("double"), 4).alias("total_value"),
+    ).orderBy("destination")
+
+
+IVM_SQL = f"""{_CDC_CTE}
+SELECT destination, COUNT(*) AS n_rows,
+  round(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 4) AS total_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY destination, user_id
+      ORDER BY __source_ts_ns DESC, {_OP_PRI} DESC, event_id DESC) AS rn
+  FROM cdc WHERE {_NOT_HEARTBEAT}
+)
+WHERE rn = 1 AND __op <> 'd'
+GROUP BY destination ORDER BY destination
+"""
+
+
 QUERIES = {
     "pipeline_upsert_e2e": pipeline_upsert_e2e,
     "pipeline_append_e2e": pipeline_append_e2e,
     "pipeline_keep_deletes_e2e": pipeline_keep_deletes_e2e,
     "pipeline_fanin_rewrite_e2e": pipeline_fanin_rewrite_e2e,
+    "ivm_incremental_agg_e2e": ivm_incremental_agg_e2e,
 }
 
 ORACLES = {
@@ -182,4 +254,5 @@ ORACLES = {
     "pipeline_append_e2e": PIPELINE_APPEND_SQL,
     "pipeline_keep_deletes_e2e": PIPELINE_KEEP_DELETES_SQL,
     "pipeline_fanin_rewrite_e2e": PIPELINE_FANIN_SQL,
+    "ivm_incremental_agg_e2e": IVM_SQL,
 }

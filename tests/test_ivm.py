@@ -1,0 +1,109 @@
+"""Incremental view maintenance: partial recompute equals full recompute
+under inserts, updates, and deletes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _base(spark, rows):
+    return spark.createDataFrame(rows, "k string, user_id long, value double")
+
+
+def _agg(df):
+    return df.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(20,4)")).alias("total"),
+    )
+
+
+def _state(spark, tmp_path):
+    from debezium_server_bigquery_spark.streaming.ivm import MaterializedAggregate
+
+    return MaterializedAggregate(spark, str(tmp_path / "mv"), ["k"], _agg)
+
+
+def _snap(mv):
+    return {
+        r.k: (r.n, float(r.total)) for r in mv.read().collect()
+    }
+
+
+def test_refresh_matches_full_recompute(spark, tmp_path):
+    mv = _state(spark, tmp_path)
+    base1 = _base(
+        spark, [("a", 1, 10.0), ("a", 2, 5.0), ("b", 3, 2.0), ("c", 4, 7.0)]
+    )
+    mv.initialize(base1)
+    assert _snap(mv) == {"a": (2, 15.0), "b": (1, 2.0), "c": (1, 7.0)}
+
+    # batch touches a (update: user 1 now 20.0) and b (insert user 5)
+    base2 = _base(
+        spark,
+        [("a", 1, 20.0), ("a", 2, 5.0), ("b", 3, 2.0), ("b", 5, 1.0), ("c", 4, 7.0)],
+    )
+    touched = spark.createDataFrame([("a",), ("b",)], "k string")
+    mv.refresh(base2, touched)
+    assert _snap(mv) == {"a": (2, 25.0), "b": (2, 3.0), "c": (1, 7.0)}
+
+
+def test_refresh_drops_vanished_group(spark, tmp_path):
+    mv = _state(spark, tmp_path)
+    mv.initialize(_base(spark, [("a", 1, 1.0), ("b", 2, 2.0)]))
+    # every 'b' row deleted from the base; 'b' is a touched group
+    base2 = _base(spark, [("a", 1, 1.0)])
+    mv.refresh(base2, spark.createDataFrame([("b",)], "k string"))
+    assert _snap(mv) == {"a": (1, 1.0)}
+
+
+def test_refresh_untouched_groups_not_rewritten(spark, tmp_path):
+    mv = _state(spark, tmp_path)
+    mv.initialize(
+        _base(spark, [("a", 1, 1.0), ("b", 2, 2.0), ("c", 3, 3.0)])
+    )
+    # a base that LIES about group c (would change its aggregate if read):
+    # refreshing only {a} must leave c exactly as stored — proof the
+    # recompute scan is restricted to touched groups
+    lying_base = _base(spark, [("a", 1, 9.0), ("c", 3, 999.0)])
+    mv.refresh(lying_base, spark.createDataFrame([("a",)], "k string"))
+    assert _snap(mv) == {"a": (1, 9.0), "b": (1, 2.0), "c": (1, 3.0)}
+
+
+def test_refresh_with_pipeline_upsert_destination(spark, tmp_path, sf_dir):
+    """IVM over the real CDC write path: replicate with merge_upsert, then
+    maintain SUM(value) per user bucket and compare to a full recompute of
+    the destination."""
+    from debezium_server_bigquery_spark.operators.merge import merge_upsert
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    events = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    dest = ParquetTable(
+        spark,
+        str(tmp_path / "dest"),
+        key_cols=["user_id"],
+        mode="upsert",
+        partition_field="__ts_ms",
+    )
+    batch = events.filter(~F.col("destination").startswith("__debezium"))
+    merge_upsert(dest, batch, epoch_id="e0")
+
+    mv = _state(spark, tmp_path)
+
+    def agg_over_dest(df):
+        return df.groupBy(
+            F.pmod(F.col("user_id"), F.lit(7)).cast("string").alias("k")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,4)")).alias("total"),
+        )
+
+    mv.agg_fn = agg_over_dest
+    mv.group_cols = ["k"]
+    mv.initialize(dest.read())
+
+    full = {
+        r.k: (r.n, float(r.total)) for r in agg_over_dest(dest.read()).collect()
+    }
+    assert _snap(mv) == full
