@@ -241,12 +241,58 @@ GROUP BY destination ORDER BY destination
 """
 
 
+def pipeline_schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 schema evolution under the gate: batch 1 lands with the original
+    schema, batch 2 (split by event-id parity) arrives with an ADDED
+    column; the destination evolves (mergeSchema + null back-fill) and the
+    read-back aggregate proves old rows carry NULL while new rows carry
+    the value — recomputed independently by the oracle."""
+    from debezium_server_bigquery_spark.operators.routing import filter_heartbeats
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    events = filter_heartbeats(
+        synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    )
+    b1 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b2 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1).withColumn(
+        "value_eur", F.round(F.col("value") * 0.9, 4)
+    )
+    t = ParquetTable(
+        spark, tempfile.mkdtemp(prefix="dsbq_evo_") + "/t", mode="append"
+    )
+    t.append(b1, epoch_id="e1")
+    t.append(b2, epoch_id="e2")
+    out = t.read()
+    return (
+        out.groupBy("__op")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("value_eur").alias("n_evolved"),
+            F.round(
+                F.sum(F.col("value_eur").cast("decimal(20,4)")).cast("double"), 4
+            ).alias("sum_eur"),
+        )
+        .orderBy("__op")
+    )
+
+
+PIPELINE_EVOLUTION_SQL = f"""{_CDC_CTE}
+SELECT __op, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+  round(CAST(SUM(CASE WHEN event_id % 2 = 1
+               THEN CAST(round(value * 0.9, 4) AS DECIMAL(20,4)) END) AS DOUBLE), 4) AS sum_eur
+FROM cdc WHERE {_NOT_HEARTBEAT}
+GROUP BY __op ORDER BY __op
+"""
+
+
 QUERIES = {
     "pipeline_upsert_e2e": pipeline_upsert_e2e,
     "pipeline_append_e2e": pipeline_append_e2e,
     "pipeline_keep_deletes_e2e": pipeline_keep_deletes_e2e,
     "pipeline_fanin_rewrite_e2e": pipeline_fanin_rewrite_e2e,
     "ivm_incremental_agg_e2e": ivm_incremental_agg_e2e,
+    "pipeline_schema_evolution_e2e": pipeline_schema_evolution_e2e,
 }
 
 ORACLES = {
@@ -255,4 +301,5 @@ ORACLES = {
     "pipeline_keep_deletes_e2e": PIPELINE_KEEP_DELETES_SQL,
     "pipeline_fanin_rewrite_e2e": PIPELINE_FANIN_SQL,
     "ivm_incremental_agg_e2e": IVM_SQL,
+    "pipeline_schema_evolution_e2e": PIPELINE_EVOLUTION_SQL,
 }
