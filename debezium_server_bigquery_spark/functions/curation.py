@@ -115,6 +115,50 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+# Per-stratum Bernoulli rates for the proportional sampler: up-sample rare
+# languages, down-sample the head — the standard training-mix reweighting.
+SAMPLE_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.75, "zh": 1.0}
+SAMPLE_RATE_DEFAULT = 0.1
+_RATE_SCALE = 10_000
+
+
+def sample_bernoulli_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional (Bernoulli) sampling with per-stratum rates.
+
+    Complements ``sample_stratified`` (fixed N per stratum): here each row
+    keeps with probability rate[lang], decided by its own salted hash —
+    embarrassingly parallel, zero shuffle, exactly reproducible.  The rate
+    map is a CASE expression (driver-side literal fold); at thousands of
+    strata it becomes a broadcast-joined rate table, same plan class.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(SAMPLE_RATE_DEFAULT)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    draw = F.pmod(
+        hash60(F.concat(F.lit("bern:"), F.col("doc_id"))), F.lit(_RATE_SCALE)
+    )
+    return (
+        docs.select("doc_id", "lang", draw.alias("draw"), rate.alias("rate"))
+        .filter(F.col("draw") < F.col("rate") * _RATE_SCALE)
+        .select("doc_id", "lang", "draw")
+        .orderBy("doc_id")
+    )
+
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(SAMPLE_RATES.items())
+) + f" ELSE {SAMPLE_RATE_DEFAULT} END"
+
+SAMPLE_BERNOULLI_SQL = f"""
+SELECT doc_id, lang,
+  {_hash60_sql("'bern:' || doc_id")} % {_RATE_SCALE} AS draw
+FROM documents
+WHERE {_hash60_sql("'bern:' || doc_id")} % {_RATE_SCALE} < ({_RATE_SQL}) * {_RATE_SCALE}
+ORDER BY doc_id
+"""
+
+
 TFIDF_TOP_N = 3
 
 
@@ -194,12 +238,14 @@ FROM ranked WHERE rank <= {TFIDF_TOP_N} ORDER BY doc_id, rank
 
 QUERIES = {
     "sample_stratified": sample_stratified,
+    "sample_bernoulli_by_lang": sample_bernoulli_by_lang,
     "vocab_top_terms": vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
 }
 
 ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sample_bernoulli_by_lang": SAMPLE_BERNOULLI_SQL,
     "vocab_top_terms": VOCAB_TOP_TERMS_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
 }
