@@ -28,6 +28,11 @@ Engine namespace:
 
 - ``engine.target-root``       destination directory (required)
 - ``engine.key-columns``       comma-separated PK for upsert tables
+- ``engine.n-buckets``         key-hash buckets for upsert tables (default 32)
+- ``engine.dedup-tiebreak``    comma-separated extra deterministic order cols
+- ``engine.run-once``          default true: drain available data then stop;
+                               false + Max/DynamicBatchSizeWait -> continuous
+                               processing-time trigger at wait-interval-ms
 - ``engine.checkpoint-dir``    streaming checkpoint location
 - ``engine.source``            synthetic | ndjson | kafka
 - ``engine.source.sf-dir``     synthetic: testdata dir holding events.parquet
@@ -113,6 +118,12 @@ def build_pipeline(spark, props: dict[str, str]):
         partition_type=props.get(f"{sink}.partition-type", "MONTH"),
         partition_field=props.get(f"{sink}.partition-field", "__ts_ms"),
         clustering_field=props.get(f"{sink}.clustering-field", "__source_ts_ms"),
+        n_buckets=int(props.get("engine.n-buckets", "32")),
+        dedup_tiebreak=tuple(
+            c.strip()
+            for c in props.get("engine.dedup-tiebreak", "").split(",")
+            if c.strip()
+        ),
     )
 
 
@@ -161,7 +172,26 @@ def run(conf_path: str, spark=None) -> dict:
         ckpt = props.get("engine.checkpoint-dir")
         if not ckpt:
             raise ValueError("engine.checkpoint-dir is required when streaming")
-        q = pipeline.run_stream(source, ckpt, available_now=True)
+        # batch-size-wait -> trigger policy (reference T2-T4): NoBatchSizeWait
+        # or run-once (default) drains available data; Max/Dynamic map to a
+        # processing-time trigger at wait-interval-ms — Spark's source-side
+        # batching replaces the reference's queue polling (SURVEY §2.7).
+        wait = props.get("debezium.sink.batch.batch-size-wait", "NoBatchSizeWait")
+        run_once = _bool(props.get("engine.run-once"), True)
+        if run_once or wait == "NoBatchSizeWait":
+            q = pipeline.run_stream(source, ckpt, available_now=True)
+        else:
+            interval_ms = int(
+                props.get(
+                    "debezium.sink.batch.batch-size-wait.wait-interval-ms", "1000"
+                )
+            )
+            q = pipeline.run_stream(
+                source,
+                ckpt,
+                available_now=False,
+                processing_time=f"{interval_ms} milliseconds",
+            )
         q.awaitTermination()
     else:
         pipeline.run_batch(source)

@@ -76,3 +76,19 @@ def test_run_sf0001_pipeline_from_properties(spark, tmp_path):
         "testc_inventory_events_p2",
     ]
     assert sum(summary["rows"].values()) > 0
+
+
+def test_build_pipeline_maps_bucket_and_tiebreak_keys(spark, tmp_path):
+    from debezium_server_bigquery_spark.cli import build_pipeline
+
+    props = {
+        "debezium.sink.type": "bigquerystream",
+        "debezium.sink.bigquerystream.upsert": "true",
+        "engine.target-root": str(tmp_path),
+        "engine.key-columns": "user_id",
+        "engine.n-buckets": "4",
+        "engine.dedup-tiebreak": "event_id, ts",
+    }
+    p = build_pipeline(spark, props)
+    assert p.n_buckets == 4
+    assert p.dedup_tiebreak == ("event_id", "ts")
