@@ -50,6 +50,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.curation",),
         ("debezium_server_bigquery_spark.functions.quantize",),
         ("debezium_server_bigquery_spark.functions.dedup_clusters",),
+        ("debezium_server_bigquery_spark.functions.mixing",),
         ("debezium_server_bigquery_spark.plans.funnel",),
         ("debezium_server_bigquery_spark.plans.validation",),
         ("debezium_server_bigquery_spark.plans.analytics_windows",),
@@ -127,7 +128,7 @@ _TIER1 = [
     "embedding_quantize_int8",
     "funnel_view_click_purchase",
     "validate_orders_checksum",
-    "validate_rowcounts_all_tables",
+    "mix_domain_weights",
 ]
 
 

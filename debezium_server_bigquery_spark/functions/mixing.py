@@ -1,0 +1,173 @@
+"""Training-mix construction: domain reweighting and canonical-doc picks.
+
+Two curation operators a large-scale training-data pipeline runs after
+dedup and before tokenization (no reference analog — the reference
+replicates tables 1:1; these extend the LLM-pipeline family of
+functions/curation.py):
+
+``mix_domain_weights`` — temperature-scaled sampling weights per source
+domain: w_i = p_i^alpha / sum_j p_j^alpha over the token-share p_i, the
+standard unigram-mix flattening (alpha<1 up-weights rare domains).  One
+map-side-combinable aggregate over the corpus; the weight normalization
+is a 20-row (one per domain) driver-free cross join — nothing here grows
+with corpus size except the single scan.
+
+``curate_canonical_docs`` — one representative per duplicate cluster:
+the MinHash/LSH + connected-components cluster assignment reduced with
+``max_by`` to the longest member (tiebreak: lowest doc_id), plus how
+many near-dups it absorbed.  This is the actual *output* step of a
+dedup pipeline: the kept corpus.  Scale shape: reuses the cluster
+labels (bounded iterative join, see dedup_clusters.py) and adds one
+map-side-combinable aggregate on cluster_id.
+
+Cross-engine determinism: pow() may differ in the last ulp between libm
+and the JVM, so weights are rounded to 12 dp and summed as DECIMAL
+(order-independent, exact) before the final 6-dp division — ulp noise
+cannot reach the compared digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_server_bigquery_spark.functions.dedup_clusters import (
+    DEDUP_CLUSTERS_SQL,
+    connected_components,
+)
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import dedup_minhash_lsh
+from debezium_server_bigquery_spark.functions.text import word_count
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+MIX_ALPHA = 0.3  # temperature: 1.0 = proportional, 0.0 = uniform
+
+
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token counts and alpha-scaled sampling weights.
+
+    Output: (source, n_docs, n_tokens, p_raw, weight) where p_raw is the
+    source's raw token share and weight the renormalized p_raw^alpha.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(word_count(F.col("text"))).alias("n_tokens"),
+    )
+    totals = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    # p^alpha rounded to 12 dp then summed exactly as DECIMAL: the
+    # normalizer is order-independent, so Spark's arbitrary partial-agg
+    # order and DuckDB's sequential sum agree bit-for-bit.
+    powed = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total_tokens")).alias("p_raw_d"),
+        F.round(F.pow(F.col("n_tokens") / F.col("total_tokens"), F.lit(MIX_ALPHA)), 12)
+        .cast(T.DecimalType(28, 12))
+        .alias("p_alpha"),
+    )
+    norm = powed.agg(F.sum("p_alpha").alias("z"))
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("p_raw_d", 6).alias("p_raw"),
+            # Divide as DOUBLE on both engines: the decimal sum z is exact
+            # and order-independent, and double division of identical
+            # inputs is IEEE-identical — decimal division would hit each
+            # engine's own precision/scale rules instead.
+            F.round(
+                F.col("p_alpha").cast("double") / F.col("z").cast("double"), 6
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+MIX_DOMAIN_WEIGHTS_SQL = rf"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+    SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS n_tokens
+  FROM documents GROUP BY source
+),
+powed AS (
+  SELECT source, n_docs, n_tokens,
+    n_tokens / (SELECT SUM(n_tokens) FROM per_src) AS p_raw_d,
+    CAST(round(pow(n_tokens / (SELECT SUM(n_tokens) FROM per_src), {MIX_ALPHA}), 12)
+         AS DECIMAL(28,12)) AS p_alpha
+  FROM per_src
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(p_raw_d, 6) AS p_raw,
+  round(CAST(p_alpha AS DOUBLE) /
+        CAST((SELECT SUM(p_alpha) FROM powed) AS DOUBLE), 6) AS weight
+FROM powed ORDER BY source
+"""
+
+
+def curate_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept corpus after fuzzy dedup: per duplicate cluster, the
+    longest member (tiebreak lowest doc_id) and the number dropped.
+
+    Only multi-member clusters appear — singletons pass through a real
+    pipeline untouched, and emitting them here would make the result the
+    whole corpus.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labels = connected_components(docs.select("doc_id"), pairs)
+    member = labels.join(docs, "doc_id")
+    agg = member.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        # max_by tiebreak: pack (n_chars, -doc_id) so equal lengths keep
+        # the lowest id deterministically.
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("n_chars"), -F.col("doc_id"))
+        ).alias("kept_doc_id"),
+        F.max("n_chars").alias("kept_n_chars"),
+    )
+    return (
+        agg.filter(F.col("cluster_size") > 1)
+        .select(
+            "cluster_id",
+            "kept_doc_id",
+            "kept_n_chars",
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+CURATE_CANONICAL_SQL = f"""
+WITH clustered AS (
+  {DEDUP_CLUSTERS_SQL.replace("ORDER BY doc_id", "")}
+),
+member AS (
+  SELECT c.doc_id, c.cluster_id, c.cluster_size, d.n_chars
+  FROM clustered c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT cluster_id, cluster_size, doc_id, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM member
+)
+SELECT cluster_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1 AND cluster_size > 1
+ORDER BY cluster_id
+"""
+
+
+QUERIES = {
+    "mix_domain_weights": mix_domain_weights,
+    "curate_canonical_docs": curate_canonical_docs,
+}
+
+ORACLES = {
+    "mix_domain_weights": MIX_DOMAIN_WEIGHTS_SQL,
+    "curate_canonical_docs": CURATE_CANONICAL_SQL,
+}
