@@ -126,8 +126,14 @@ def dedup_exact_stream(
     the full corpus (the batch job remains the exhaustive ground truth).
     ``docs`` must be a streaming DataFrame carrying an event-time column.
     """
+    from debezium_server_bigquery_spark.timeutil import as_instant
+
     hashed = docs.select(
-        "doc_id", F.md5("text").alias("text_hash"), F.col(ts_col).alias("__ts")
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        # watermarks accept only TIMESTAMP (LTZ); NTZ event time is
+        # reinterpreted as a UTC instant
+        as_instant(F.col(ts_col), docs.schema[ts_col].dataType).alias("__ts"),
     )
     return (
         hashed.withWatermark("__ts", watermark)

@@ -70,8 +70,8 @@ cum AS (
   FROM sized
 )
 SELECT doc_id, source, n_tokens,
-  cum_tokens // {TOKEN_BUDGET} AS bin_id,
-  cum_tokens % {TOKEN_BUDGET} AS bin_offset
+  CAST(cum_tokens // {TOKEN_BUDGET} AS BIGINT) AS bin_id,
+  CAST(cum_tokens % {TOKEN_BUDGET} AS BIGINT) AS bin_offset
 FROM cum
 ORDER BY source, doc_id
 """

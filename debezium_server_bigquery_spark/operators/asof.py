@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from debezium_server_bigquery_spark.sources.tables import load_table
+from debezium_server_bigquery_spark.timeutil import epoch_micros
 
 
 def asof_join(
@@ -73,6 +74,7 @@ def asof_join(
 # --------------------------------------------------------------------------
 def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -100,7 +102,8 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.when(
                 F.col("asof_ts").isNotNull(),
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")),
+                epoch_micros(F.col("ts"), ts_type)
+                - epoch_micros(F.col("asof_ts"), ts_type),
             ).otherwise(F.lit(-1))
         ).alias("gap_us"),
     ).orderBy("event_id")

@@ -327,27 +327,29 @@ ORDER BY status, priority
 """
 
 
-def gsets_shipmode_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gsets_returnflag_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY GROUPING SETS — the general form rollup/cube specialize.
 
-    The set list ((mode, year), (mode), (year)) is neither a hierarchy
+    The set list ((flag, year), (flag), (year)) is neither a hierarchy
     (rollup would add the grand total) nor a power set (cube would too),
     so it exercises the planner's Expand operator with an explicit
     projection list.  Same single-shuffle shape as a plain groupBy: Expand
     multiplies rows map-side (3x here), then one partial+final aggregate.
+    (The driver's synthetic lineitem has no l_shipmode column, so the
+    categorical key is l_returnflag.)
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= "1995-01-01"
     )
     keyed = li.select(
-        "l_shipmode",
+        "l_returnflag",
         F.year("l_shipdate").cast("long").alias("l_year"),
         "l_extendedprice",
     )
     return (
         keyed.groupingSets(
-            [["l_shipmode", "l_year"], ["l_shipmode"], ["l_year"]],
-            "l_shipmode",
+            [["l_returnflag", "l_year"], ["l_returnflag"], ["l_year"]],
+            "l_returnflag",
             "l_year",
         )
         .agg(
@@ -355,26 +357,26 @@ def gsets_shipmode_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
         .select(
-            F.coalesce("l_shipmode", F.lit("ALL")).alias("shipmode"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce(F.col("l_year").cast("string"), F.lit("ALL")).alias("year"),
             "revenue",
             "n_items",
         )
-        .orderBy("shipmode", "year")
+        .orderBy("returnflag", "year")
     )
 
 
 GSETS_SQL = """
-SELECT COALESCE(l_shipmode, 'ALL') AS shipmode,
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
   COALESCE(CAST(EXTRACT(year FROM l_shipdate) AS VARCHAR), 'ALL') AS year,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= DATE '1995-01-01'
-GROUP BY GROUPING SETS ((l_shipmode, EXTRACT(year FROM l_shipdate)),
-                        (l_shipmode),
+GROUP BY GROUPING SETS ((l_returnflag, EXTRACT(year FROM l_shipdate)),
+                        (l_returnflag),
                         (EXTRACT(year FROM l_shipdate)))
-ORDER BY shipmode, year
+ORDER BY returnflag, year
 """
 
 
@@ -387,7 +389,7 @@ QUERIES = {
     "set_returned_open_orders": set_returned_open_orders,
     "rollup_nation_year_revenue": rollup_nation_year_revenue,
     "cube_status_priority": cube_status_priority,
-    "gsets_shipmode_year_revenue": gsets_shipmode_year_revenue,
+    "gsets_returnflag_year_revenue": gsets_returnflag_year_revenue,
 }
 
 ORACLES = {
@@ -399,5 +401,5 @@ ORACLES = {
     "set_returned_open_orders": SET_OPS_SQL,
     "rollup_nation_year_revenue": ROLLUP_SQL,
     "cube_status_priority": CUBE_SQL,
-    "gsets_shipmode_year_revenue": GSETS_SQL,
+    "gsets_returnflag_year_revenue": GSETS_SQL,
 }

@@ -64,8 +64,11 @@ def synthesize_cdc_events(events: DataFrame) -> DataFrame:
         ts_ns = F.expr("(ts_ns div 1000) * 1000")
         ts_ms = F.expr("ts_ns div 1000000")
     else:
-        ts_ms = F.unix_millis(F.col("ts"))
-        ts_ns = F.unix_micros(F.col("ts")) * 1000
+        from debezium_server_bigquery_spark.timeutil import epoch_micros, epoch_millis
+
+        ts_type = events.schema["ts"].dataType
+        ts_ms = epoch_millis(F.col("ts"), ts_type)
+        ts_ns = epoch_micros(F.col("ts"), ts_type) * 1000
     return events.select(
         dest.alias("destination"),
         "event_id",

@@ -110,17 +110,30 @@ def load_table(
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
-    # events.ts is parquet TIMESTAMP(NANOS), surfaced as a nanos long via
-    # spark.sql.legacy.parquet.nanosAsLong. Normalize: keep the exact nanos
-    # in ts_ns (the CDC dedup column must not lose precision — SURVEY §7
-    # risk register) and expose ts as a micros timestamp.  Integer `div`,
-    # not `/`: double division loses bits above 2^53 (~1e18 ns epoch).
+    # Normalize events.ts across the physical types the driver has shipped:
+    #   * TIMESTAMP(NANOS)  -> LongType under nanosAsLong: keep exact nanos
+    #     in ts_ns (the CDC dedup column must not lose precision — SURVEY §7
+    #     risk register) and expose ts as a micros timestamp.  Integer
+    #     `div`, not `/`: double division loses bits above 2^53.
+    #   * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> TimestampNTZType: keep
+    #     ts as-is and add ts_ns = epoch micros * 1000, with the naive wall
+    #     time read as UTC (timeutil.epoch_micros) so the value matches the
+    #     DuckDB oracle's epoch_us under ANY session time zone.
+    # Downstream CDC operators prefer ts_ns when present, so the epoch
+    # arithmetic is computed once here and never re-derived from ts.
     if name == "events":
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        from debezium_server_bigquery_spark.timeutil import epoch_micros
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts_ns", F.col("ts")).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif "ts_ns" not in df.columns:
+            df = df.withColumn(
+                "ts_ns", epoch_micros(F.col("ts"), ts_type) * 1000
             )
     return df
 

@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from debezium_server_bigquery_spark.sources.tables import load_table
+from debezium_server_bigquery_spark.timeutil import as_instant, epoch_micros
 
 SESSION_GAP_MIN = 30
 
@@ -56,8 +57,11 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     via .explain: a single Window node chain, no second shuffle.
     """
     ev = load_table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_s = epoch_micros(F.col("ts"), ts_type) - epoch_micros(
+        F.lag("ts").over(w), ts_type
+    )
     is_new = F.when(
         gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60 * 1_000_000), 1
     ).otherwise(0)
@@ -272,6 +276,8 @@ def windowed_event_counts_stream(events: DataFrame, watermark: str = "2 hours") 
     """Streaming form: the watermark bounds state — windows older than the
     watermark finalize and evict; later-arriving events are dropped (the
     late-data policy the reference lacks, SURVEY §2.7)."""
+    ts_type = events.schema["ts"].dataType
+    events = events.withColumn("ts", as_instant(F.col("ts"), ts_type))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
