@@ -116,10 +116,10 @@ _TIER1 = [
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
-    "text_repetition_score",
     "text_contamination_check",
-    "text_bigram_perplexity",
     "text_tfidf_top_terms",
+    "chunk_documents",
+    "text_pii_scrub",
     "multimodal_manifest",
     "multimodal_frame_sample",
     "pack_token_budget",

@@ -43,7 +43,14 @@ def _dec(col, t=MONEY):
 # Q1 — pricing summary (TPC-H Q1 shape): scan-heavy agg, no join.
 # --------------------------------------------------------------------------
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread=True: the 8 decimal aggregates dominate q1's cost, and the
+    # driver testdata is a single-row-group file (one scan task).  The
+    # round-robin rebalance fans the aggregation across cores; at real
+    # scale (thousands of splits) the loader's partition-count guard makes
+    # it a no-op.  Join-shaped plans must NOT do this — the extra exchange
+    # breaks AQE's broadcast piggybacking (measured 1.5-2x slower on
+    # q3/q5/q8/q9/q18/q21).
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast(RATE) - _dec("l_discount", RATE))
     charge = disc_price * (F.lit(1).cast(RATE) + _dec("l_tax", RATE))
     sum_qty = F.sum(_dec("l_quantity"))
