@@ -77,35 +77,41 @@ def main() -> None:
     # Each query: warm, then best of two timed runs.  Identical back-to-back
     # runs were observed to swing 2.8 s <-> 10 s from JIT/GC churn on the
     # codegen-heavy plans; min-of-2 reports the plan's steady-state cost.
+    # A query that raises must cost its name, not the whole benchmark: the
+    # driver parses the one JSON line, so the loop never propagates (the
+    # round-2 bench was lost to a single analysis error in a timed run).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in headline:
         try:
             fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         except Exception:
             pass
         best = None
-        for _rep in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            try:
-                df.write.mode("overwrite").format("noop").save()
-            except Exception:
-                df.collect()
-            elapsed = time.time() - t0
-            best = elapsed if best is None or elapsed < best else best
-        timings[name] = round(best, 3)
+        try:
+            for _rep in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                try:
+                    df.write.mode("overwrite").format("noop").save()
+                except Exception:
+                    df.collect()
+                elapsed = time.time() - t0
+                best = elapsed if best is None or elapsed < best else best
+            timings[name] = round(best, 3)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -189,17 +189,32 @@ GROUP BY destination, __op ORDER BY destination, __op
 def cdc_coerce_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _cdc(spark, sf_dir)
     epoch_days = (F.col("__ts_ms") / F.lit(86_400_000)).cast("long")
+    # All calendar renderings below are pure epoch arithmetic:
+    # timestamp_millis(...).cast("date") / date_format(...) render through
+    # the SESSION time zone and shift on non-UTC harnesses, while the
+    # DuckDB oracle's make_timestamp is naive UTC.
+    date_part = F.date_from_unix_date(epoch_days.cast("int"))
+    sod = F.expr("(__ts_ms div 1000) % 86400")  # second-of-day, UTC
+    iso_utc = F.concat(
+        date_part.cast("string"),
+        F.lit("T"),
+        F.lpad((sod / 3600).cast("int").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(((sod % 3600) / 60).cast("int").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((sod % 60).cast("string"), 2, "0"),
+    )
     return df.select(
         "event_id",
         # F7: epoch-ms -> timestamp, rendered as DATE for cross-engine hash.
-        F.timestamp_millis(F.col("__ts_ms")).cast("date").alias("ts_date"),
+        date_part.alias("ts_date"),
         # F5: epoch-days -> DATE (date_from_unix_date == dateFromDays).
         F.date_from_unix_date(epoch_days.cast("int")).alias("days_date"),
         # F8: string "true"/"false" -> BOOL.
         F.col("__deleted").cast("boolean").alias("deleted_bool"),
         # F6: trailing-Z strip on an ISO string derived from the ts.
         F.regexp_replace(
-            F.concat(F.date_format(F.timestamp_millis(F.col("__ts_ms")), "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")),
+            F.concat(iso_utc, F.lit("Z")),
             r"(\d)Z$",
             r"$1",
         ).alias("iso_no_z"),

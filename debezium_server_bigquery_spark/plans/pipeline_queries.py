@@ -95,7 +95,14 @@ def pipeline_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.countDistinct("user_id").alias("n_keys"),
             F.sum(F.when(F.col("__deleted"), 1).otherwise(0)).alias("n_deleted"),
-            F.min(F.col("__ts_ms").cast("date")).alias("first_day"),
+            # UTC calendar day from the epoch instant: cast(ts as date)
+            # renders via the SESSION time zone and shifts a day on
+            # non-UTC harnesses; days-since-epoch arithmetic does not.
+            F.min(
+                F.date_from_unix_date(
+                    F.floor(F.unix_millis(F.col("__ts_ms")) / 86400000).cast("int")
+                )
+            ).alias("first_day"),
         )
         .orderBy("table_name", "__op")
     )

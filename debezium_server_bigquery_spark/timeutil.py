@@ -3,13 +3,17 @@
 The driver's testdata stores ``events.ts`` as parquet
 ``TIMESTAMP(isAdjustedToUTC=false)``, which Spark surfaces as
 ``TIMESTAMP_NTZ``.  Spark 4's ``unix_millis``/``unix_micros`` accept only
-``TIMESTAMP`` (LTZ), and a bare ``cast`` from NTZ to LTZ shifts by the
-session time zone — non-deterministic across harnesses.  The DuckDB
-correctness oracle reads the same column as a naive timestamp and its
-``epoch_us`` treats the wall time as UTC, so the engine must do the same:
-``to_utc_timestamp(ntz, 'UTC')`` reinterprets the naive wall clock as UTC
-regardless of ``spark.sql.session.timeZone``, making ``unix_micros`` exact
-and session-independent.
+``TIMESTAMP`` (LTZ), and every implicit NTZ->LTZ conversion — including
+the analyzer's cast inserted under ``to_utc_timestamp`` — shifts by the
+*session* time zone, so results would differ between a UTC harness and
+any other.  The DuckDB correctness oracle reads the same column as a
+naive timestamp and its ``epoch_us`` treats the wall time as UTC; the
+only session-independent way to match that in Spark is pure NTZ
+arithmetic: ``timestamp_diff(MICROSECOND, NTZ '1970-01-01', ts)``
+involves no time zone at all.  (Verified: ``to_utc_timestamp(ntz,
+'UTC')`` is wrong by the session offset under
+``spark.sql.session.timeZone=America/New_York``; ``timestamp_diff`` is
+exact under any zone.)
 """
 
 from __future__ import annotations
@@ -19,21 +23,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _ntz_epoch() -> Column:
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+
 def epoch_micros(col: Column, dtype: T.DataType) -> Column:
     """Epoch microseconds of a timestamp column of either flavor.
 
-    NTZ wall time is interpreted as UTC (DuckDB ``epoch_us`` parity);
-    LTZ is already an instant.
+    NTZ wall time is interpreted as UTC (DuckDB ``epoch_us`` parity, no
+    session-time-zone dependence); LTZ is already an instant.
     """
     if isinstance(dtype, T.TimestampNTZType):
-        return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+        return F.timestamp_diff("MICROSECOND", _ntz_epoch(), col)
     return F.unix_micros(col)
 
 
 def epoch_millis(col: Column, dtype: T.DataType) -> Column:
     """Epoch milliseconds — same semantics as :func:`epoch_micros`."""
     if isinstance(dtype, T.TimestampNTZType):
-        return F.unix_millis(F.to_utc_timestamp(col, "UTC"))
+        return F.timestamp_diff("MILLISECOND", _ntz_epoch(), col)
     return F.unix_millis(col)
 
 
@@ -42,7 +50,9 @@ def as_instant(col: Column, dtype: T.DataType) -> Column:
 
     Structured Streaming watermarks/event-time windows accept only
     ``TIMESTAMP`` — NTZ event-time columns must pass through this first.
+    Built from the epoch number, not a cast, so the instant is the same
+    under any session time zone.
     """
     if isinstance(dtype, T.TimestampNTZType):
-        return F.to_utc_timestamp(col, "UTC")
+        return F.timestamp_micros(epoch_micros(col, dtype))
     return col
