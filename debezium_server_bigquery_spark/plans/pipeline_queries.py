@@ -293,6 +293,38 @@ GROUP BY __op ORDER BY __op
 """
 
 
+def pipeline_lazy_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_staleness-parity replication (operators/staged_upsert.py): three
+    event-id-ordered micro-batches flow through staged appends with one
+    auto-compaction MERGE (staleness=2) and a staged overlay left at read
+    time; read_current must equal the eager path's final state.  Batches
+    are event-id-ordered so the stage-sequence tie break agrees with the
+    oracle's global event_id DESC ordering on exact (ts, op) ties."""
+    import tempfile
+
+    target = tempfile.mkdtemp(prefix="dsbq_e2e_")
+    p = CdcPipeline(
+        spark,
+        target,
+        mode="upsert_lazy",
+        key_cols=("user_id",),
+        n_buckets=8,
+        dedup_tiebreak=("event_id",),
+        max_staleness_batches=2,
+    )
+    cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    bounds = ((0, 4000), (4000, 8000), (8000, 1 << 60))
+    for i, (lo, hi) in enumerate(bounds):
+        p.process_batch(
+            cdc.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)),
+            epoch_id=i,
+        )
+    return _union_tables(
+        p, ["user_id", "event_id", "event_type", "value", "__op"]
+    ).orderBy("table_name", "user_id")
+
+
+
 QUERIES = {
     "pipeline_upsert_e2e": pipeline_upsert_e2e,
     "pipeline_append_e2e": pipeline_append_e2e,
@@ -300,6 +332,7 @@ QUERIES = {
     "pipeline_fanin_rewrite_e2e": pipeline_fanin_rewrite_e2e,
     "ivm_incremental_agg_e2e": ivm_incremental_agg_e2e,
     "pipeline_schema_evolution_e2e": pipeline_schema_evolution_e2e,
+    "pipeline_lazy_upsert_e2e": pipeline_lazy_upsert_e2e,
 }
 
 ORACLES = {
@@ -309,4 +342,5 @@ ORACLES = {
     "pipeline_fanin_rewrite_e2e": PIPELINE_FANIN_SQL,
     "ivm_incremental_agg_e2e": IVM_SQL,
     "pipeline_schema_evolution_e2e": PIPELINE_EVOLUTION_SQL,
+    "pipeline_lazy_upsert_e2e": PIPELINE_UPSERT_SQL,
 }

@@ -49,9 +49,15 @@ class CdcPipeline:
 
     spark: SparkSession
     target_root: str
-    mode: str = "append"  # "append" (bigquerybatch) | "upsert" (bigquerystream+upsert)
+    # "append" (bigquerybatch) | "upsert" (bigquerystream+upsert, eager
+    # MERGE per batch) | "upsert_lazy" (max_staleness parity: staged
+    # appends + amortized MERGE, operators/staged_upsert.py)
+    mode: str = "append"
     key_cols: tuple[str, ...] = ()
     keep_deletes: bool = False  # debezium.sink.bigquerystream.upsert-keep-deletes
+    # upsert_lazy only: batches staged between compaction MERGEs — the
+    # analog of BigQuery's table max_staleness interval
+    max_staleness_batches: int = 4
     destination_regexp: str = ""  # debezium.sink.batch.destination-regexp
     destination_regexp_replace: str = ""
     concurrent_uploads: int = 4  # debezium.sink.batch.concurrent-uploads
@@ -74,20 +80,42 @@ class CdcPipeline:
         default_factory=dict
     )
     tables: dict[str, ParquetTable] = field(default_factory=dict)
+    _lazy: dict = field(default_factory=dict)
 
     def table_for(self, destination: str) -> ParquetTable:
+        upserting = self.mode in ("upsert", "upsert_lazy")
         if destination not in self.tables:
             self.tables[destination] = ParquetTable(
                 self.spark,
                 os.path.join(self.target_root, destination),
-                key_cols=self.key_cols if self.mode == "upsert" else (),
-                mode=self.mode,
+                key_cols=self.key_cols if upserting else (),
+                mode="upsert" if upserting else self.mode,
                 n_buckets=self.n_buckets,
                 partition_type=self.partition_type,
                 partition_field=self.partition_field,
                 clustering_field=self.clustering_field,
             )
         return self.tables[destination]
+
+    def lazy_for(self, destination: str):
+        from debezium_server_bigquery_spark.operators.staged_upsert import (
+            StagedUpsertTable,
+        )
+
+        if destination not in self._lazy:
+            self._lazy[destination] = StagedUpsertTable(
+                self.table_for(destination),
+                staleness_batches=self.max_staleness_batches,
+                keep_deletes=self.keep_deletes,
+                order_col=self.dedup_order_col,
+                tiebreak=self.dedup_tiebreak,
+            )
+        return self._lazy[destination]
+
+    def compact_all(self) -> None:
+        """upsert_lazy: fold every destination's staged rows now."""
+        for wrapper in self._lazy.values():
+            wrapper.compact()
 
     @staticmethod
     def _coerce_meta(df: DataFrame) -> DataFrame:
@@ -152,6 +180,8 @@ class CdcPipeline:
                             tiebreak=self.dedup_tiebreak,
                             epoch_id=sub_epoch,
                         )
+                    elif self.mode == "upsert_lazy" and self.key_cols:
+                        self.lazy_for(dest).apply(group, epoch_id=sub_epoch)
                     else:
                         table.append(group, epoch_id=sub_epoch)
 
@@ -192,4 +222,6 @@ class CdcPipeline:
         return writer.start()
 
     def read_table(self, destination: str) -> DataFrame:
+        if self.mode == "upsert_lazy" and self.key_cols:
+            return self.lazy_for(destination).read_current()
         return self.table_for(destination).read()

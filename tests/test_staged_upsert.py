@@ -1,0 +1,143 @@
+"""Lazy upsert (max_staleness parity) — staged appends + amortized MERGE.
+
+The contract under test: at every point in time, ``read_current()`` of
+the lazy table equals what the eager per-batch MERGE path would have
+produced, regardless of where the compaction boundary falls; after
+``compact()`` the base table alone holds that state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.operators.merge import merge_upsert
+from debezium_server_bigquery_spark.operators.staged_upsert import StagedUpsertTable
+from debezium_server_bigquery_spark.operators.table import ParquetTable
+from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline
+
+_COLS = "user_id long, v string, __op string, __source_ts_ns long, __deleted boolean"
+
+
+def _batches(spark):
+    return [
+        spark.createDataFrame(
+            [(1, "a", "c", 100, False), (2, "b", "c", 110, False)], _COLS
+        ),
+        spark.createDataFrame(
+            [(1, "a2", "u", 200, False), (3, "c", "c", 210, False)], _COLS
+        ),
+        spark.createDataFrame(
+            [(2, None, "d", 300, True), (3, "c2", "u", 310, False)], _COLS
+        ),
+        spark.createDataFrame(
+            [(2, "b2", "c", 400, False), (4, "d", "c", 410, False)], _COLS
+        ),
+    ]
+
+
+def _snap(df):
+    return sorted(
+        (r["user_id"], r["v"], r["__op"]) for r in df.select("user_id", "v", "__op").collect()
+    )
+
+
+def _eager(spark, tmp_path, batches, upto, **kw):
+    t = ParquetTable(
+        spark, str(tmp_path / f"eager_{upto}"), key_cols=["user_id"], mode="upsert", n_buckets=4
+    )
+    for i, b in enumerate(batches[:upto]):
+        merge_upsert(t, b, epoch_id=i, **kw)
+    return t.read()
+
+
+def test_lazy_matches_eager_at_every_point(spark, tmp_path):
+    batches = _batches(spark)
+    base = ParquetTable(
+        spark, str(tmp_path / "lazy"), key_cols=["user_id"], mode="upsert", n_buckets=4
+    )
+    lazy = StagedUpsertTable(base, staleness_batches=3)
+    for i, b in enumerate(batches):
+        lazy.apply(b, epoch_id=i)
+        assert _snap(lazy.read_current()) == _snap(
+            _eager(spark, tmp_path, batches, i + 1)
+        ), f"divergence after batch {i}"
+    # batch 3 (index 2) triggered auto-compaction at staleness 3; finish it
+    lazy.compact()
+    assert _snap(lazy.read_stale()) == _snap(_eager(spark, tmp_path, batches, 4))
+
+
+def test_lazy_keep_deletes(spark, tmp_path):
+    batches = _batches(spark)
+    base = ParquetTable(
+        spark, str(tmp_path / "lazykd"), key_cols=["user_id"], mode="upsert", n_buckets=4
+    )
+    lazy = StagedUpsertTable(base, staleness_batches=10, keep_deletes=True)
+    for i, b in enumerate(batches[:3]):
+        lazy.apply(b, epoch_id=i)
+    cur = lazy.read_current()
+    # user 2's delete is retained, flagged
+    row = cur.filter(F.col("user_id") == 2).collect()
+    assert len(row) == 1 and row[0]["__op"] == "d" and row[0]["__deleted"]
+
+
+def test_lazy_epoch_replay_is_idempotent(spark, tmp_path):
+    batches = _batches(spark)
+    base = ParquetTable(
+        spark, str(tmp_path / "lazyr"), key_cols=["user_id"], mode="upsert", n_buckets=4
+    )
+    lazy = StagedUpsertTable(base, staleness_batches=10)
+    lazy.apply(batches[0], epoch_id=0)
+    before = _snap(lazy.read_current())
+    lazy.apply(batches[0], epoch_id=0)  # replayed micro-batch
+    assert _snap(lazy.read_current()) == before
+
+
+def test_lazy_stage_counter_recovers_after_restart(spark, tmp_path):
+    batches = _batches(spark)
+    base = ParquetTable(
+        spark, str(tmp_path / "lazyc"), key_cols=["user_id"], mode="upsert", n_buckets=4
+    )
+    lazy = StagedUpsertTable(base, staleness_batches=10)
+    lazy.apply(batches[0], epoch_id=0)
+    lazy.apply(batches[1], epoch_id=1)
+    # "restart": a fresh wrapper over the same paths continues the sequence
+    lazy2 = StagedUpsertTable(base, staleness_batches=10)
+    assert lazy2._staged == 2
+    lazy2.apply(batches[2], epoch_id=2)
+    assert _snap(lazy2.read_current()) == _snap(
+        _eager(spark, tmp_path, batches, 3)
+    )
+
+
+def test_pipeline_upsert_lazy_mode(spark, sf_dir, tmp_path):
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    eager = CdcPipeline(
+        spark, str(tmp_path / "eager"), mode="upsert", key_cols=("user_id",), n_buckets=8
+    )
+    eager.run_batch(cdc)
+    lazy = CdcPipeline(
+        spark,
+        str(tmp_path / "lazy"),
+        mode="upsert_lazy",
+        key_cols=("user_id",),
+        n_buckets=8,
+        max_staleness_batches=5,
+    )
+    lazy.run_batch(cdc)
+    for dest in sorted(eager.tables):
+        e = _snap(eager.read_table(dest).select("user_id", F.col("event_type").alias("v"), "__op"))
+        l = _snap(lazy.read_table(dest).select("user_id", F.col("event_type").alias("v"), "__op"))
+        assert e == l, dest
+    # after compaction the stale read path converges to the same state
+    lazy.compact_all()
+    for dest in sorted(eager.tables):
+        e = _snap(eager.read_table(dest).select("user_id", F.col("event_type").alias("v"), "__op"))
+        s = _snap(
+            lazy.lazy_for(dest).read_stale().select(
+                "user_id", F.col("event_type").alias("v"), "__op"
+            )
+        )
+        assert e == s, dest
