@@ -27,6 +27,10 @@ Recognized keys (reference key -> pipeline field):
 Engine namespace:
 
 - ``engine.target-root``       destination directory (required)
+- ``engine.max-staleness-batches``  >0 + upsert -> lazy upsert (staged
+                               appends, compaction MERGE every N batches;
+                               the BigQuery table ``max_staleness`` analog,
+                               operators/staged_upsert.py)
 - ``engine.key-columns``       comma-separated PK for upsert tables
 - ``engine.n-buckets``         key-hash buckets for upsert tables (default 32)
 - ``engine.dedup-tiebreak``    comma-separated extra deterministic order cols
@@ -97,10 +101,15 @@ def build_pipeline(spark, props: dict[str, str]):
         c.strip() for c in props.get("engine.key-columns", "").split(",") if c.strip()
     )
     sink = f"debezium.sink.{sink_type}"
+    staleness = int(props.get("engine.max-staleness-batches", "0"))
+    mode = "append"
+    if upsert:
+        mode = "upsert_lazy" if staleness > 0 else "upsert"
     return CdcPipeline(
         spark,
         target_root,
-        mode="upsert" if upsert else "append",
+        mode=mode,
+        max_staleness_batches=max(staleness, 1),
         key_cols=key_cols,
         keep_deletes=_bool(
             props.get("debezium.sink.bigquerystream.upsert-keep-deletes"), True
@@ -195,6 +204,10 @@ def run(conf_path: str, spark=None) -> dict:
         q.awaitTermination()
     else:
         pipeline.run_batch(source)
+    # Lazy upsert: a drained run finalizes like an expired max_staleness
+    # interval — fold any remaining staged rows into the base tables.
+    if pipeline.mode == "upsert_lazy":
+        pipeline.compact_all()
     tables = sorted(pipeline.tables)
     return {
         "mode": pipeline.mode,

@@ -92,3 +92,40 @@ def test_build_pipeline_maps_bucket_and_tiebreak_keys(spark, tmp_path):
     p = build_pipeline(spark, props)
     assert p.n_buckets == 4
     assert p.dedup_tiebreak == ("event_id", "ts")
+
+
+def test_build_pipeline_maps_max_staleness(spark, tmp_path):
+    props = {
+        "debezium.sink.type": "bigquerystream",
+        "debezium.sink.bigquerystream.upsert": "true",
+        "engine.target-root": str(tmp_path / "tgt"),
+        "engine.key-columns": "user_id",
+        "engine.max-staleness-batches": "3",
+    }
+    p = build_pipeline(spark, props)
+    assert p.mode == "upsert_lazy"
+    assert p.max_staleness_batches == 3
+    # without the knob, upsert stays eager
+    del props["engine.max-staleness-batches"]
+    assert build_pipeline(spark, props).mode == "upsert"
+
+
+def test_run_lazy_upsert_from_properties(spark, sf_dir, tmp_path):
+    conf = tmp_path / "application.properties"
+    conf.write_text(
+        "debezium.sink.type=bigquerystream\n"
+        "debezium.sink.bigquerystream.upsert=true\n"
+        "debezium.sink.bigquerystream.upsert-keep-deletes=false\n"
+        f"engine.target-root={tmp_path / 'tgt'}\n"
+        "engine.key-columns=user_id\n"
+        "engine.n-buckets=8\n"
+        "engine.max-staleness-batches=4\n"
+        "engine.source=synthetic\n"
+        f"engine.source.sf-dir={sf_dir}\n"
+    )
+    summary = run(str(conf), spark=spark)
+    assert summary["mode"] == "upsert_lazy"
+    assert summary["tables"]
+    # run() compacted: base tables alone hold the final state, staging gone
+    for t in summary["tables"]:
+        assert summary["rows"][t] > 0
