@@ -313,7 +313,11 @@ def pipeline_lazy_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_staleness_batches=2,
     )
     cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
-    bounds = ((0, 4000), (4000, 8000), (8000, 1 << 60))
+    # Event-id thirds relative to the actual id range (a one-row aggregate
+    # collect — metadata, not data), so every batch is non-empty at any SF.
+    max_id = cdc.agg(F.max("event_id")).collect()[0][0] or 0
+    third = max(max_id // 3, 1)
+    bounds = ((0, third), (third, 2 * third), (2 * third, 1 << 60))
     for i, (lo, hi) in enumerate(bounds):
         p.process_batch(
             cdc.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)),
