@@ -1,0 +1,111 @@
+"""corpus_recipe — the composed curation pipeline, end to end.
+
+Every stage exists as a standalone operator elsewhere in the package;
+this query chains them the way a real pre-training corpus build does:
+
+    quality filter  ->  exact dedup (first-writer)  ->  per-language cap
+                    ->  per-(lang, source) corpus summary
+
+The point under test is *composition*: Catalyst collapses the four
+conceptual stages into scan -> project -> two hash aggregations -> one
+window per language, with the tokenize computed once (staged selects,
+same JIT-bloat guard as functions/text.py).  At 100 TB each stage is
+the same plan shape as its standalone twin — no stage materializes an
+intermediate corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from debezium_server_bigquery_spark.functions.text import TOKEN_REGEX
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+MIN_TOKENS = 20
+MAX_PUNCT_RATIO = 0.30
+PER_LANG_CAP = 200
+
+
+def corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+            / F.greatest(F.length(F.col("text")), F.lit(1))
+        ).alias("punct_ratio"),
+    ).filter(
+        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
+    )
+    # exact dedup, first-writer-wins (min doc_id per content hash)
+    w_dup = Window.partitionBy(F.md5("text"))
+    deduped = (
+        scored.withColumn("keeper", F.min("doc_id").over(w_dup))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper", "text", "punct_ratio")
+    )
+    # deterministic per-language cap
+    w_cap = Window.partitionBy("lang").orderBy("doc_id")
+    capped = deduped.withColumn("rk", F.row_number().over(w_cap)).filter(
+        F.col("rk") <= PER_LANG_CAP
+    )
+    return (
+        capped.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.avg(F.col("n_tokens").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_RECIPE_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT)
+      AS n_tokens,
+    len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+      / greatest(len(text), 1) AS punct_ratio
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {MIN_TOKENS} AND punct_ratio <= {MAX_PUNCT_RATIO}
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, source, n_tokens,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM filtered
+  ) WHERE doc_id = keeper
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, source, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+    FROM deduped
+  ) WHERE rk <= {PER_LANG_CAP}
+)
+SELECT lang, source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  round(CAST(AVG(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE), 4) AS avg_tokens
+FROM capped
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+QUERIES = {"corpus_recipe": corpus_recipe}
+ORACLES = {"corpus_recipe": CORPUS_RECIPE_SQL}
