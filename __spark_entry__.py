@@ -117,8 +117,8 @@ _TIER1 = [
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
-    "text_contamination_check",
-    "text_tfidf_top_terms",
+    "pipeline_lazy_upsert_e2e",
+    "corpus_recipe",
     "chunk_documents",
     "text_pii_scrub",
     "multimodal_manifest",
