@@ -131,7 +131,11 @@ def load_table(
             df = df.withColumn("ts_ns", F.col("ts")).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        elif "ts_ns" not in df.columns:
+        elif "ts_ns" not in df.columns and isinstance(
+            ts_type, (T.TimestampType, T.TimestampNTZType)
+        ):
+            # covers both NTZ (current testdata) and a future LTZ layout;
+            # epoch_micros branches internally and is tz-free either way
             df = df.withColumn(
                 "ts_ns", epoch_micros(F.col("ts"), ts_type) * 1000
             )
