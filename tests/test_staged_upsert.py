@@ -141,3 +141,50 @@ def test_pipeline_upsert_lazy_mode(spark, sf_dir, tmp_path):
             )
         )
         assert e == s, dest
+
+
+def test_streaming_lazy_upsert_with_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Lazy mode under Structured Streaming: staged appends are
+    epoch-guarded, so a checkpoint restart that replays nothing leaves the
+    exact same state; the final compacted table equals the eager path."""
+    import os
+
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    src_dir = str(tmp_path / "src")
+    cdc.coalesce(1).write.parquet(src_dir)
+    ckpt, tgt = str(tmp_path / "ckpt"), str(tmp_path / "tgt")
+
+    def run_once():
+        p = CdcPipeline(
+            spark, tgt, mode="upsert_lazy", key_cols=("user_id",), n_buckets=8,
+            max_staleness_batches=50,
+        )
+        stream = spark.readStream.schema(cdc.schema).parquet(src_dir)
+        q = p.run_stream(stream, ckpt, available_now=True)
+        q.awaitTermination(120)
+        return p
+
+    p = run_once()
+    # pre-compaction, only underscore-prefixed staging dirs exist on disk —
+    # destinations live in the pipeline's table registry
+    assert not [d for d in os.listdir(tgt) if not d.startswith((".", "_"))]
+    dests = sorted(p.tables)
+    assert dests
+    state1 = {d: _snap(p.read_table(d).select("user_id", F.col("event_type").alias("v"), "__op")) for d in dests}
+    # restart on the same checkpoint: no new data, no duplicate staging
+    p2 = run_once()
+    state2 = {d: _snap(p2.read_table(d).select("user_id", F.col("event_type").alias("v"), "__op")) for d in dests}
+    assert state1 == state2
+    # compaction converges to the eager result
+    p2.compact_all()
+    eager = CdcPipeline(
+        spark, str(tmp_path / "eager"), mode="upsert", key_cols=("user_id",), n_buckets=8
+    )
+    eager.run_batch(cdc)
+    for d in dests:
+        assert _snap(
+            p2.lazy_for(d).read_stale().select("user_id", F.col("event_type").alias("v"), "__op")
+        ) == _snap(eager.read_table(d).select("user_id", F.col("event_type").alias("v"), "__op"))
