@@ -31,6 +31,7 @@ the new value on ties, StreamBigqueryChangeConsumer.java:212-218).
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame
@@ -68,8 +69,6 @@ class StagedUpsertTable:
         # Sibling directory with a "_" prefix: table listings (and the
         # pipeline's destination walk) skip underscore-prefixed entries, so
         # the staging area never masquerades as a destination table.
-        import os
-
         base = table.path.rstrip("/")
         self._staging_path = os.path.join(
             os.path.dirname(base), "_staging_" + os.path.basename(base)

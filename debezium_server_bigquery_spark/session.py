@@ -38,6 +38,11 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): size-based
+        # coalescing (parallelismFirst=false) was measured 15% slower
+        # end-to-end here — byte counts underestimate CPU-heavy stages
+        # (decimal aggregation, shingle hashing) at small SF, and AQE
+        # coalesced away exactly the parallelism the spread scans add.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
