@@ -52,9 +52,21 @@ def corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper"))
         .drop("keeper", "text", "punct_ratio")
     )
-    # deterministic per-language cap
+    # Deterministic per-language cap, two-phase (same pattern as
+    # curation.sample_stratified): phase 1 ranks within (lang, salt) so no
+    # single sort sees more than ~1/SALTS of a language — a language is one
+    # partition otherwise, the classic window skew at 100 TB.  Phase 1's
+    # per-salt top-K is a superset of the global top-K, so phase 2 ranks
+    # at most SALTS*CAP rows per language.
+    salts = 16
+    w1 = Window.partitionBy("lang", F.pmod(F.col("doc_id"), F.lit(salts))).orderBy(
+        "doc_id"
+    )
+    pruned = deduped.withColumn("rk1", F.row_number().over(w1)).filter(
+        F.col("rk1") <= PER_LANG_CAP
+    )
     w_cap = Window.partitionBy("lang").orderBy("doc_id")
-    capped = deduped.withColumn("rk", F.row_number().over(w_cap)).filter(
+    capped = pruned.withColumn("rk", F.row_number().over(w_cap)).filter(
         F.col("rk") <= PER_LANG_CAP
     )
     return (
