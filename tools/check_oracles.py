@@ -66,8 +66,22 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--plain"]
-    plain = "--plain" in sys.argv[1:]
+    argv = sys.argv[1:]
+    plain = "--plain" in argv
+    tz = None
+    args = []
+    skip = False
+    for i, a in enumerate(argv):
+        if skip:
+            skip = False
+            continue
+        if a == "--plain":
+            continue
+        if a == "--tz":  # e.g. --tz America/New_York: regression for
+            tz = argv[i + 1]  # session-time-zone-dependent renderings
+            skip = True
+            continue
+        args.append(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -90,6 +104,8 @@ def main():
         from debezium_server_bigquery_spark import get_spark
 
         spark = get_spark("oracle-check")
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
     con = duckdb.connect()
     for name in (
         "region nation customer supplier part orders lineitem events documents embeddings"
