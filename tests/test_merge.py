@@ -115,3 +115,27 @@ def test_epoch_idempotency(spark, tmp_path):
     assert t.read().count() == 1
     t.append(b, epoch_id=10)
     assert t.read().count() == 2
+
+
+def test_leftover_staging_dir_is_invisible(spark, tmp_path):
+    """Crash recovery: a staged-overwrite directory abandoned by a killed
+    process (underscore-prefixed) must be invisible to readers and must
+    not corrupt the next MERGE."""
+    import os
+
+    t = _table(spark, tmp_path, "t8")
+    merge_upsert(t, _batch(spark, [(1, 1, "a", "c", 1), (2, 2, "b", "c", 2)]))
+    before = {(r.c_id, r.c_data) for r in t.read().collect()}
+
+    # simulate a crash mid-overwrite: staging dir with parquet inside
+    stale = os.path.join(t.path, "_staging_deadbeef")
+    _batch(spark, [(9, 9, "ghost", "c", 9)]).write.mode("overwrite").parquet(
+        os.path.join(stale, "__key_bucket=0")
+    )
+    assert {(r.c_id, r.c_data) for r in t.read().collect()} == before
+
+    # the next merge still applies cleanly and clears nothing it shouldn't
+    merge_upsert(t, _batch(spark, [(1, 1, "a2", "u", 5)]))
+    got = {(r.c_id, r.c_data) for r in t.read().collect()}
+    assert got == {(1, "a2"), (2, "b")}
+    assert not any(r.c_id == 9 for r in t.read().collect())
