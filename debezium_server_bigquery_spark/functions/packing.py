@@ -117,12 +117,78 @@ PROFILE_DOCUMENTS_SQL = " UNION ALL ".join(
 ) + " ORDER BY column_name"
 
 
+_PREFIX_CHUNK = 1024  # doc_ids per local prefix-sum chunk
+
+
+def pack_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same packing semantics as :func:`pack_token_budget`, computed as a
+    distributed two-level prefix sum instead of one window sort per pack
+    stream.
+
+    A running sum ordered by doc_id cannot be two-phased like a top-N,
+    but it CAN be chunked: within ``(source, doc_id div C)`` every doc_id
+    precedes every doc_id of the next chunk, so
+
+        cum = (exclusive cumsum within chunk)
+            + (sum of all earlier chunks of the same source)
+
+    The first term is a window over at most C rows; the second is a tiny
+    aggregate (one row per chunk) whose own cumsum runs over chunks, not
+    documents.  At 100 TB no sort ever sees more than C documents — the
+    classic parallel prefix-sum, expressed in two windows Catalyst plans
+    as two small exchanges.  Output is byte-identical to the single-window
+    form (same oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        token_count_bpeish(F.col("text")).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {_PREFIX_CHUNK}").alias("chunk"),
+    )
+    w_local = (
+        Window.partitionBy("source", "chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = sized.withColumn(
+        "local_cum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0).cast("long"))
+    )
+    chunk_totals = sized.groupBy("source", "chunk").agg(
+        F.sum("n_tokens").alias("chunk_sum")
+    )
+    w_chunks = (
+        Window.partitionBy("source")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = chunk_totals.withColumn(
+        "chunk_offset",
+        F.coalesce(F.sum("chunk_sum").over(w_chunks), F.lit(0).cast("long")),
+    ).select("source", "chunk", "chunk_offset")
+    return (
+        local.join(offsets, ["source", "chunk"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"(local_cum + chunk_offset) div {TOKEN_BUDGET}").alias("bin_id"),
+            ((F.col("local_cum") + F.col("chunk_offset")) % TOKEN_BUDGET).alias(
+                "bin_offset"
+            ),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
 QUERIES = {
     "pack_token_budget": pack_token_budget,
+    "pack_token_budget_scalable": pack_token_budget_scalable,
     "profile_documents": profile_documents,
 }
 
 ORACLES = {
     "pack_token_budget": PACK_TOKEN_BUDGET_SQL,
+    "pack_token_budget_scalable": PACK_TOKEN_BUDGET_SQL,
     "profile_documents": PROFILE_DOCUMENTS_SQL,
 }

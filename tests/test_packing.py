@@ -62,3 +62,38 @@ def test_profile_counts_match_direct_aggregates(spark, sf_dir):
         assert r["n_rows"] == n
         assert r["n_nulls"] == docs.filter(F.col(c).isNull()).count()
         assert r["n_distinct"] == docs.select(c).distinct().dropna().count()
+
+
+def test_scalable_packing_equals_single_window(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.packing import (
+        pack_token_budget,
+        pack_token_budget_scalable,
+    )
+
+    a = {(r["doc_id"]): (r["bin_id"], r["bin_offset"]) for r in pack_token_budget(spark, sf_dir).collect()}
+    b = {(r["doc_id"]): (r["bin_id"], r["bin_offset"]) for r in pack_token_budget_scalable(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_scalable_packing_windows_are_chunked(spark, sf_dir):
+    """No window in the scalable plan may sort a whole pack stream: the
+    document-level window partitions on (source, chunk), and the only
+    source-level window runs over chunk aggregates (one row per chunk)."""
+    from debezium_server_bigquery_spark.functions.packing import (
+        pack_token_budget_scalable,
+    )
+
+    plan = (
+        pack_token_budget_scalable(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert windows
+    for w in windows:
+        # every doc-level window spec carries the chunk key; the chunk-level
+        # one aggregates 'chunk_sum', never raw documents
+        assert ("chunk" in w)
