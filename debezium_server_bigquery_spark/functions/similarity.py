@@ -479,6 +479,78 @@ FROM topk WHERE rank <= {IVF_TOPK} ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF probe against exact brute-force top-k — the
+    self-evaluation metric an ANN deployment monitors (probe quality
+    degrades as centroids drift from the data distribution).
+
+    Both arms reuse existing oracle-checked dataflows: the IVF arm is
+    ann_ivf's plan; the exact arm is the broadcast-queries brute-force
+    re-rank.  The output is per-query hit count and recall, so the metric
+    itself is hash-checkable cross-engine.
+    """
+    ivf = ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = with_norm(load_table(spark, sf_dir, "embeddings", spread=True))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    sim = cosine(F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    exact = (
+        broadcast(queries)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    hits = ivf.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    per_q = ivf.groupBy("query_id").agg(F.count("*").alias("n_returned"))
+    n_hits = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    return (
+        per_q.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(IVF_TOPK)), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_IVF_CTES = ANN_IVF_SQL[: ANN_IVF_SQL.index(
+    "SELECT query_id, CAST(rank AS INTEGER) AS rank"
+)]
+
+ANN_IVF_RECALL_SQL = f"""{_IVF_CTES}
+, ivf AS (
+  SELECT query_id, neighbor_id FROM topk WHERE rank <= {IVF_TOPK}
+),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      {_dot_sql("q.embedding", "m.embedding")} / (q.norm * m.norm) DESC,
+      m.vec_id ASC) AS rank
+  FROM normed q JOIN normed m ON q.vec_id < 10 AND q.vec_id <> m.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM exact_scored WHERE rank <= {IVF_TOPK}
+)
+SELECT i.query_id,
+  CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hits,
+  round(COUNT(e.neighbor_id) / {float(IVF_TOPK)}, 6) AS recall_at_k
+FROM ivf i
+LEFT JOIN exact e
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY i.query_id
+ORDER BY i.query_id
+"""
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate embedding pairs via OR-of-ANDs hyperplane LSH.
 
@@ -609,6 +681,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
+    "ann_ivf_recall": ann_ivf_recall,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_centroid_by_label": embedding_centroid_by_label,
 }
@@ -617,6 +690,7 @@ ORACLES = {
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_lsh_bucketed": _build_lsh_sql(),
     "ann_ivf": ANN_IVF_SQL,
+    "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "embedding_neardup_pairs": EMB_NEARDUP_SQL,
     "embedding_centroid_by_label": EMB_CENTROID_SQL,
 }
