@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from debezium_server_bigquery_spark.functions.dedup_fuzzy import _hash60_sql, hash60
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import _hash60_sql
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 N_PLANES = 8

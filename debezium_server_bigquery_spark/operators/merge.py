@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from debezium_server_bigquery_spark.operators.dedup import dedup_last_writer, dedup_ordering
+from debezium_server_bigquery_spark.operators.dedup import dedup_last_writer
 from debezium_server_bigquery_spark.operators.table import KEY_BUCKET, ParquetTable
 
 _SRC_RANK = "__src_rank"

@@ -17,7 +17,7 @@ drill-down instead of one opaque global hash.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debezium_server_bigquery_spark.functions.dedup_fuzzy import _hash60_sql, hash60

@@ -31,7 +31,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from debezium_server_bigquery_spark.operators.dedup import dedup_last_writer
 from debezium_server_bigquery_spark.operators.merge import merge_upsert
 from debezium_server_bigquery_spark.operators.routing import (
     destinations_in,

@@ -7,8 +7,6 @@ operator semantics on hand-built rows and assert the no-shuffle plan.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
-
 from debezium_server_bigquery_spark.functions.chunking import (
     CHUNK_OVERLAP,
     CHUNK_SIZE,

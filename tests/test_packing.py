@@ -89,8 +89,6 @@ def test_scalable_packing_windows_are_chunked(spark, sf_dir):
         .optimizedPlan()
         .toString()
     )
-    import re
-
     windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert windows
     for w in windows:
