@@ -49,6 +49,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.packing",),
         ("debezium_server_bigquery_spark.functions.chunking",),
         ("debezium_server_bigquery_spark.functions.recipe",),
+        ("debezium_server_bigquery_spark.functions.spans",),
         ("debezium_server_bigquery_spark.functions.curation",),
         ("debezium_server_bigquery_spark.functions.quantize",),
         ("debezium_server_bigquery_spark.functions.dedup_clusters",),

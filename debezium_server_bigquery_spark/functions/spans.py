@@ -1,0 +1,84 @@
+"""Exact common-span detection — the substring-dedup signal.
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+2022) removes exact substrings of >= N tokens shared across documents,
+found with a suffix array.  A suffix array does not distribute; the
+Spark-native equivalent is the rolling window form: every length-N word
+window of every document is hashed (stride 1), and a window hash seen in
+more than one document marks a shared span.  That is one shingle explode
+(narrow) plus one map-side-combinable aggregation on the span hash — the
+same plan shape as exact dedup, linear at 100 TB, no suffix array and no
+cross-document comparison.
+
+Two operators:
+
+- ``text_common_spans`` — the corpus-level index: every span (as a
+  hash) appearing in >= 2 distinct documents, with its document count
+  and the id range it infects.  This is the removal work-list of the
+  suffix-array method.
+- a per-document contamination ratio could join this index back to the
+  shingled documents; the existing ``text_contamination_check`` covers
+  the against-benchmark variant, so only the corpus index is registered.
+
+Span length is in WORDS (whitespace tokens), matching the shingle
+tokenizer the dedup family already uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import shingles
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+SPAN_WORDS = 8  # minimum span length to count as duplication
+
+
+def text_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    spans = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), SPAN_WORDS)).alias("span")
+    )
+    return (
+        spans.groupBy(F.md5("span").alias("span_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("span_hash")
+    )
+
+
+def _spans_sql(n: int) -> str:
+    join = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return rf"""
+  SELECT doc_id,
+    CASE WHEN len(w) >= {n}
+         THEN list_distinct(list_transform(range(1, len(w) - {n - 2}), i -> {join}))
+         ELSE [] END AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        FROM documents)
+"""
+
+
+TEXT_COMMON_SPANS_SQL = f"""
+WITH shingled AS ({_spans_sql(SPAN_WORDS)}),
+exploded AS (
+  SELECT doc_id, unnest(sh) AS span FROM shingled
+)
+SELECT md5(span) AS span_hash,
+  COUNT(DISTINCT doc_id) AS n_docs,
+  MIN(doc_id) AS first_doc,
+  MAX(doc_id) AS last_doc
+FROM exploded
+GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY span_hash
+"""
+
+
+QUERIES = {"text_common_spans": text_common_spans}
+ORACLES = {"text_common_spans": TEXT_COMMON_SPANS_SQL}
