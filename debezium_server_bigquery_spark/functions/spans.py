@@ -80,5 +80,64 @@ ORDER BY span_hash
 """
 
 
-QUERIES = {"text_common_spans": text_common_spans}
-ORACLES = {"text_common_spans": TEXT_COMMON_SPANS_SQL}
+def text_span_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication ratio: the fraction of a document's
+    length-N word windows that also occur in some OTHER document — the
+    filter signal substring dedup acts on (drop or trim docs above a
+    threshold).
+
+    Plan: one shingle explode, one aggregation building the span->n_docs
+    index, one equi-join back on the span hash, one per-doc aggregation.
+    Both shuffles key on high-cardinality hashes; no document ever meets
+    another document directly.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    spans = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), SPAN_WORDS)).alias("span")
+    ).withColumn("span_hash", F.md5("span")).drop("span")
+    index = spans.groupBy("span_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    joined = spans.join(index, "span_hash")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(F.col("n_shared") / F.col("n_spans"), 6).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_SPAN_DUP_RATIO_SQL = f"""
+WITH shingled AS ({_spans_sql(SPAN_WORDS)}),
+spans AS (
+  SELECT doc_id, md5(unnest(sh)) AS span_hash FROM shingled
+),
+idx AS (
+  SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs FROM spans GROUP BY span_hash
+)
+SELECT s.doc_id,
+  COUNT(*) AS n_spans,
+  CAST(SUM(CASE WHEN i.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  round(SUM(CASE WHEN i.n_docs >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_ratio
+FROM spans s JOIN idx i USING (span_hash)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+QUERIES = {
+    "text_common_spans": text_common_spans,
+    "text_span_dup_ratio": text_span_dup_ratio,
+}
+ORACLES = {
+    "text_common_spans": TEXT_COMMON_SPANS_SQL,
+    "text_span_dup_ratio": TEXT_SPAN_DUP_RATIO_SQL,
+}
