@@ -1,0 +1,48 @@
+"""Substring-dedup span operators on hand-built documents."""
+
+from __future__ import annotations
+
+import pytest
+
+from debezium_server_bigquery_spark.functions.spans import (
+    SPAN_WORDS,
+    text_common_spans,
+    text_span_dup_ratio,
+)
+
+
+@pytest.fixture()
+def docs_dir(spark, tmp_path):
+    shared = " ".join(f"s{i}" for i in range(SPAN_WORDS))  # one exact span
+    rows = [
+        (1, f"alpha beta {shared} gamma delta", "en", "web", 0),
+        (2, f"unrelated prefix {shared}", "en", "web", 0),
+        (3, "totally different words without overlap here at all", "en", "web", 0),
+        (4, "short", "en", "web", 0),  # < SPAN_WORDS tokens: no spans
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_common_spans_finds_the_shared_window(spark, docs_dir):
+    out = text_common_spans(spark, docs_dir).collect()
+    # exactly the one 8-word window occurs in two documents
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_docs"] == 2
+    assert (row["first_doc"], row["last_doc"]) == (1, 2)
+
+
+def test_span_dup_ratio_per_document(spark, docs_dir):
+    r = {x["doc_id"]: x for x in text_span_dup_ratio(spark, docs_dir).collect()}
+    # doc 1: 5 extra words around the span -> 5 windows total, 1 shared
+    assert r[1]["n_shared"] == 1 and r[1]["n_spans"] > 1
+    assert 0 < r[1]["dup_ratio"] < 1
+    # doc 2: 2 extra words -> 3 windows, 1 shared
+    assert r[2]["n_shared"] == 1
+    # doc 3 has no shared window; doc 4 has no windows at all
+    assert r[3]["n_shared"] == 0 and r[3]["dup_ratio"] == 0.0
+    assert 4 not in r
