@@ -74,9 +74,10 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
 
-    # Each query: warm, then best of two timed runs.  Identical back-to-back
-    # runs were observed to swing 2.8 s <-> 10 s from JIT/GC churn on the
-    # codegen-heavy plans; min-of-2 reports the plan's steady-state cost.
+    # Each query: warm, then best of SPARK_GRAFT_BENCH_REPS (default 3)
+    # timed runs.  Identical back-to-back runs were observed to swing
+    # 2.8 s <-> 10 s from JIT/GC churn on the codegen-heavy plans; the min
+    # reports the plan's steady-state cost.
     # A query that raises must cost its name, not the whole benchmark: the
     # driver parses the one JSON line, so the loop never propagates (the
     # round-2 bench was lost to a single analysis error in a timed run).
@@ -88,8 +89,9 @@ def main() -> None:
         except Exception:
             pass
         best = None
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
         try:
-            for _rep in range(2):
+            for _rep in range(reps):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 try:
