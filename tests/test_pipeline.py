@@ -131,3 +131,32 @@ def test_per_destination_transform_hook(spark, sf_dir, tmp_path):
     # destination-specific filter applied only to p0
     assert t0.filter(F.col("event_type") == "view").count() == 0
     assert t1.filter(F.col("event_type") == "view").count() > 0
+
+
+def test_snapshot_backfill_then_stream(spark, tmp_path):
+    """T9 parity (SURVEY §2.7): initial snapshot rows arrive with __op='r'
+    (batch backfill), then streaming changes resume on top.  A later 'u'
+    must beat the snapshot row; an untouched snapshot row survives; and a
+    replayed snapshot batch cannot resurrect overwritten state thanks to
+    op-priority ('r' < 'u') plus epoch markers."""
+    from debezium_server_bigquery_spark.operators.merge import merge_upsert
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    cols = "user_id long, v string, __op string, __source_ts_ns long, __deleted boolean"
+    t = ParquetTable(
+        spark, str(tmp_path / "t"), key_cols=["user_id"], mode="upsert", n_buckets=4
+    )
+    snapshot = spark.createDataFrame(
+        [(1, "snap1", "r", 100, False), (2, "snap2", "r", 100, False)], cols
+    )
+    merge_upsert(t, snapshot, epoch_id="snapshot.0")
+    stream1 = spark.createDataFrame([(1, "live1", "u", 100, False)], cols)
+    merge_upsert(t, stream1, epoch_id=1)  # same ts: op-priority u > r wins
+    got = {r["user_id"]: (r["v"], r["__op"]) for r in t.read().collect()}
+    assert got == {1: ("live1", "u"), 2: ("snap2", "r")}
+    # replaying the snapshot epoch is a no-op (marker), and even a re-merge
+    # of the same snapshot rows cannot beat the newer 'u' state
+    merge_upsert(t, snapshot, epoch_id="snapshot.0")
+    merge_upsert(t, snapshot, epoch_id="snapshot.1")
+    got = {r["user_id"]: (r["v"], r["__op"]) for r in t.read().collect()}
+    assert got == {1: ("live1", "u"), 2: ("snap2", "r")}
