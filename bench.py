@@ -83,13 +83,13 @@ def main() -> None:
     # round-2 bench was lost to a single analysis error in a timed run).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     for name, fn in headline:
         try:
             fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         except Exception:
             pass
         best = None
-        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
         try:
             for _rep in range(reps):
                 t0 = time.time()

@@ -79,14 +79,23 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-_SHINGLES_SQL = r"""
+def shingles_sql(n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles`, parameterized on n so the span
+    operators (functions/spans.py) share the exact same tokenizer —
+    one definition, no drift between the dedup family's oracles and the
+    substring-dedup oracles."""
+    join = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return rf"""
   SELECT doc_id,
-    CASE WHEN len(w) >= 3
-         THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+    CASE WHEN len(w) >= {n}
+         THEN list_distinct(list_transform(range(1, len(w) - {n - 2}), i -> {join}))
          ELSE [] END AS sh
   FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
         FROM documents)
 """
+
+
+_SHINGLES_SQL = shingles_sql(3)
 
 
 # --------------------------------------------------------------------------

@@ -507,7 +507,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
     hits = ivf.join(exact, ["query_id", "neighbor_id"], "left_semi")
-    per_q = ivf.groupBy("query_id").agg(F.count("*").alias("n_returned"))
+    per_q = ivf.select("query_id").distinct()
     n_hits = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
     return (
         per_q.join(n_hits, "query_id", "left")

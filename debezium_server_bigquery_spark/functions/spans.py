@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from debezium_server_bigquery_spark.functions.dedup_fuzzy import shingles
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import shingles, shingles_sql
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 SPAN_WORDS = 8  # minimum span length to count as duplication
@@ -52,20 +52,8 @@ def text_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spans_sql(n: int) -> str:
-    join = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
-    return rf"""
-  SELECT doc_id,
-    CASE WHEN len(w) >= {n}
-         THEN list_distinct(list_transform(range(1, len(w) - {n - 2}), i -> {join}))
-         ELSE [] END AS sh
-  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
-        FROM documents)
-"""
-
-
 TEXT_COMMON_SPANS_SQL = f"""
-WITH shingled AS ({_spans_sql(SPAN_WORDS)}),
+WITH shingled AS ({shingles_sql(SPAN_WORDS)}),
 exploded AS (
   SELECT doc_id, unnest(sh) AS span FROM shingled
 )
@@ -116,7 +104,7 @@ def text_span_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_SPAN_DUP_RATIO_SQL = f"""
-WITH shingled AS ({_spans_sql(SPAN_WORDS)}),
+WITH shingled AS ({shingles_sql(SPAN_WORDS)}),
 spans AS (
   SELECT doc_id, md5(unnest(sh)) AS span_hash FROM shingled
 ),

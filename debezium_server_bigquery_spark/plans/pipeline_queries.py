@@ -40,12 +40,14 @@ def _run_pipeline(spark: SparkSession, sf_dir: str, **kw) -> CdcPipeline:
 
 
 def _union_tables(p: CdcPipeline, cols: list[str]) -> DataFrame:
-    import os
-
+    # Enumerate from the pipeline's registry, not the filesystem: a lazy
+    # destination that has not compacted yet exists only as an
+    # underscore-prefixed staging dir that a directory listing skips.
+    dests = sorted(p.tables)
+    if not dests:
+        raise ValueError("pipeline produced no destination tables")
     dfs = []
-    for dest in sorted(os.listdir(p.target_root)):
-        if dest.startswith((".", "_")):
-            continue
+    for dest in dests:
         df = p.read_table(dest).withColumn("table_name", F.lit(dest))
         dfs.append(df.select("table_name", *cols))
     out = dfs[0]

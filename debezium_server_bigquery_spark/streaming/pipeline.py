@@ -82,13 +82,17 @@ class CdcPipeline:
     _lazy: dict = field(default_factory=dict)
 
     def table_for(self, destination: str) -> ParquetTable:
-        upserting = self.mode in ("upsert", "upsert_lazy")
+        # A4 parity: without key columns even an upsert-configured pipeline
+        # runs append (doUpsert/doTableHasPrimaryKey,
+        # StreamBigqueryChangeConsumer.java:163-174) — the table must then
+        # be TIME-partitioned, not key-bucketed, or the append raises.
+        upserting = self.mode in ("upsert", "upsert_lazy") and bool(self.key_cols)
         if destination not in self.tables:
             self.tables[destination] = ParquetTable(
                 self.spark,
                 os.path.join(self.target_root, destination),
                 key_cols=self.key_cols if upserting else (),
-                mode="upsert" if upserting else self.mode,
+                mode="upsert" if upserting else "append",
                 n_buckets=self.n_buckets,
                 partition_type=self.partition_type,
                 partition_field=self.partition_field,

@@ -39,7 +39,14 @@ def epoch_micros(col: Column, dtype: T.DataType) -> Column:
 
 
 def epoch_millis(col: Column, dtype: T.DataType) -> Column:
-    """Epoch milliseconds — same semantics as :func:`epoch_micros`."""
+    """Epoch milliseconds — same semantics as :func:`epoch_micros`.
+
+    ``timestamp_diff(MILLISECOND, ...)`` truncates toward zero for
+    pre-1970 sub-millisecond instants — and so does DuckDB's ``epoch_ms``
+    (verified: -500 us -> 0 in both engines), so the direct form is the
+    oracle-exact one.  (``unix_millis`` on LTZ floors instead; the two
+    differ only for pre-1970 fractions, which the driver data never has.)
+    """
     if isinstance(dtype, T.TimestampNTZType):
         return F.timestamp_diff("MILLISECOND", _ntz_epoch(), col)
     return F.unix_millis(col)

@@ -160,3 +160,17 @@ def test_snapshot_backfill_then_stream(spark, tmp_path):
     merge_upsert(t, snapshot, epoch_id="snapshot.1")
     got = {r["user_id"]: (r["v"], r["__op"]) for r in t.read().collect()}
     assert got == {1: ("live1", "u"), 2: ("snap2", "r")}
+
+
+def test_pkless_upsert_modes_fall_back_to_append(spark, sf_dir, tmp_path):
+    """A4 parity at the PIPELINE level: upsert/upsert_lazy with no key
+    columns must run append (time-partitioned tables), not raise.
+    Regression: table_for built a key-bucketed table for these modes even
+    without keys, and the append branch then failed in with_partition_col."""
+    cdc = _cdc_df(spark, sf_dir)
+    expected = cdc.filter(~F.col("destination").startswith("__debezium")).count()
+    for i, mode in enumerate(("upsert", "upsert_lazy")):
+        p = CdcPipeline(spark, str(tmp_path / f"t{i}"), mode=mode, key_cols=())
+        p.run_batch(cdc)
+        total = sum(p.read_table(d).count() for d in p.tables)
+        assert total == expected, mode

@@ -81,3 +81,29 @@ def test_as_instant_is_session_tz_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert utc == tokyo
+
+
+def test_epoch_millis_truncation_matches_duckdb_pre_1970(spark):
+    """Both timestamp_diff(MILLISECOND, ...) and DuckDB's epoch_ms truncate
+    toward zero on pre-1970 sub-millisecond instants (-500us -> 0); the NTZ
+    epoch_millis must reproduce DuckDB exactly, not floor."""
+    import duckdb
+
+    vals = [
+        "1969-12-31 23:59:59.9995",
+        "1969-12-31 23:59:59.0005",
+        "1970-01-01 00:00:00.0005",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+    got = [
+        r["ms"]
+        for r in df.select(
+            epoch_millis(F.col("ts"), df.schema["ts"].dataType).alias("ms")
+        ).collect()
+    ]
+    want = [
+        duckdb.sql(f"SELECT epoch_ms(TIMESTAMP '{v}')").fetchone()[0] for v in vals
+    ]
+    assert got == want == [0, -999, 0]

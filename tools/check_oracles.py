@@ -78,6 +78,9 @@ def main():
         if a == "--plain":
             continue
         if a == "--tz":  # e.g. --tz America/New_York: regression for
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                print("usage: --tz <IANA zone name>", file=sys.stderr)
+                return 2
             tz = argv[i + 1]  # session-time-zone-dependent renderings
             skip = True
             continue
