@@ -117,7 +117,7 @@ _TIER1 = [
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
+    "text_span_dup_ratio",
     "pipeline_lazy_upsert_e2e",
     "corpus_recipe",
     "chunk_documents",
