@@ -69,10 +69,13 @@ def main() -> None:
     # plans, not HotSpot compilation.  The warm-up must be *adjacent*: a
     # single warm-all pass lets the ~20 other plans evict this query's
     # compiled classes before its measurement (observed as a random query
-    # paying ~5-9 s of recompilation each run).
-    warm_dir = "/root/testdata/sf0.001"
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # paying ~5-9 s of recompilation each run).  It must also run at the
+    # MEASURED sf_dir: AQE's runtime re-plan (broadcast switches, coalesced
+    # stage shapes) differs by input size, so a warm-up at a smaller SF
+    # leaves the first timed rep paying ~1 s of sf-specific codegen/JIT
+    # (measured: q8 rep series 2.31 -> 1.61 -> 1.30 s after an
+    # sf0.001-only warm-up).
+    warm_dir = sf_dir
 
     # Each query: warm, then best of SPARK_GRAFT_BENCH_REPS (default 3)
     # timed runs.  Identical back-to-back runs were observed to swing

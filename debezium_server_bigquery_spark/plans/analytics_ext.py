@@ -387,19 +387,22 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE per-order aggregation serves both the HAVING filter and the
+    # reported total: lineitem is scanned and shuffled once (the dominant
+    # cost — it is the largest table at any SF), and the >150 survivor set
+    # is tiny, so AQE broadcasts it into the orders join at runtime.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
-        .select("l_orderkey")
-    )
-    li_qty = li.groupBy(F.col("l_orderkey").alias("lk")).agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("total_qty")
+        .select(
+            F.col("l_orderkey").alias("lk"),
+            F.col("sum_qty").cast("double").alias("total_qty"),
+        )
     )
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        orders.join(big, orders.o_orderkey == F.col("lk"))
         .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(li_qty, orders.o_orderkey == F.col("lk"))
         .select(
             "c_custkey",
             "c_name",
