@@ -101,7 +101,19 @@ def build_pipeline(spark, props: dict[str, str]):
         c.strip() for c in props.get("engine.key-columns", "").split(",") if c.strip()
     )
     sink = f"debezium.sink.{sink_type}"
-    staleness = int(props.get("engine.max-staleness-batches", "0"))
+    raw_staleness = props.get("engine.max-staleness-batches", "0")
+    try:
+        staleness = int(raw_staleness)
+    except ValueError:
+        raise ValueError(
+            "engine.max-staleness-batches must be an integer "
+            f"(got {raw_staleness!r})"
+        ) from None
+    if staleness < 0:
+        raise ValueError(
+            "engine.max-staleness-batches must be >= 0 "
+            f"(0 = eager upsert; got {staleness})"
+        )
     mode = "append"
     if upsert:
         mode = "upsert_lazy" if staleness > 0 else "upsert"

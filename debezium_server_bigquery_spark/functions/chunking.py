@@ -47,7 +47,12 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "source",
-        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0).alias("t"),
+        # coalesce: a NULL text must behave like an empty document in BOTH
+        # engines (Spark size(NULL) and DuckDB len(NULL) disagree on the
+        # sentinel; '' yields 0 tokens in each).
+        F.regexp_extract_all(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(TOKEN_REGEX), 0
+        ).alias("t"),
     ).withColumn("n", F.size("t")).filter(F.col("n") > 0)
     # sequence(0, n-1, stride): last start is the largest multiple of
     # stride strictly below n — same set DuckDB's range(0, n, stride)
@@ -83,7 +88,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_DOCUMENTS_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, source,
-         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0) AS t
+         regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0) AS t
   FROM documents
 ),
 sized AS (
@@ -126,7 +131,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes agree.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
+    t = F.coalesce(F.col("text"), F.lit(""))  # NULL text == empty document
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
@@ -144,13 +149,13 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_PII_SCRUB_SQL = rf"""
 SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '{PII_EMAIL}', 0)) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(text, '{PII_IPV4}', 0)) AS BIGINT) AS n_ipv4,
-  CAST(len(regexp_extract_all(text, '\+[0-9]{{7,15}}', 0)) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(coalesce(text, ''), '{PII_EMAIL}', 0)) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(coalesce(text, ''), '{PII_IPV4}', 0)) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(coalesce(text, ''), '\+[0-9]{{7,15}}', 0)) AS BIGINT) AS n_phones,
   md5(
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+        regexp_replace(coalesce(text, ''), '{PII_EMAIL}', '<EMAIL>', 'g'),
         '{PII_IPV4}', '<IP>', 'g'),
       '\+[0-9]{{7,15}}', '<PHONE>', 'g')
   ) AS scrubbed_hash

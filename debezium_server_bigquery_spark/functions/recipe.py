@@ -35,7 +35,13 @@ def corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "text",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+        # coalesce: NULL text counts as an empty document in both engines
+        # (Spark size(NULL) and DuckDB len(NULL) disagree on the sentinel).
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(TOKEN_REGEX), 0
+            )
+        )
         .cast("long")
         .alias("n_tokens"),
         (
@@ -85,7 +91,7 @@ def corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_RECIPE_SQL = rf"""
 WITH scored AS (
   SELECT doc_id, lang, source, text,
-    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT)
+    CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT)
       AS n_tokens,
     len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
       / greatest(len(text), 1) AS punct_ratio

@@ -428,7 +428,13 @@ _SQDIST_SQL = (
     "(x, y) -> x + y)"
 )
 
-ANN_IVF_SQL = f"""
+# The CTE chain (centroids -> cell assignment -> probes -> scored -> topk)
+# is shared by ANN_IVF_SQL and ANN_IVF_RECALL_SQL as a named constant;
+# composing the recall oracle from the constant (rather than slicing the
+# final query out of ANN_IVF_SQL with str.index) keeps cosmetic edits to
+# either SELECT from raising at import time and taking down the whole
+# query registry.
+_IVF_CTES = f"""
 WITH cent_pos AS (
   SELECT label AS cell_id, u.pos AS pos,
     CAST(SUM(CAST(CAST(u.val AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cval
@@ -473,6 +479,9 @@ topk AS (
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
   FROM scored
 )
+"""
+
+ANN_IVF_SQL = _IVF_CTES + f"""
 SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cell, round(sim, 6) AS cosine_sim
 FROM topk WHERE rank <= {IVF_TOPK} ORDER BY query_id, rank
 """
@@ -521,10 +530,6 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id")
     )
 
-
-_IVF_CTES = ANN_IVF_SQL[: ANN_IVF_SQL.index(
-    "SELECT query_id, CAST(rank AS INTEGER) AS rank"
-)]
 
 ANN_IVF_RECALL_SQL = f"""{_IVF_CTES}
 , ivf AS (

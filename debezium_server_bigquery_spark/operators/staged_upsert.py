@@ -31,6 +31,7 @@ the new value on ties, StreamBigqueryChangeConsumer.java:212-218).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -73,6 +74,15 @@ class StagedUpsertTable:
         self._staging_path = os.path.join(
             os.path.dirname(base), "_staging_" + os.path.basename(base)
         )
+        # Durable metadata OUTSIDE the staging data dir: epoch markers and
+        # the stage-seq high-water mark must survive compaction (which
+        # truncates staging wholesale).  Markers inside staging would lose
+        # exactly-once replay protection across a compaction boundary: a
+        # streaming retry of an already-staged epoch arriving just after an
+        # auto-compact would re-stage and re-merge the batch.
+        self._meta_dir = os.path.join(
+            os.path.dirname(base), "_stagemeta_" + os.path.basename(base)
+        )
         self.staging = self._new_staging()
         self._staged = self._staged_on_disk()
 
@@ -86,29 +96,95 @@ class StagedUpsertTable:
             clustering_field=self.table.clustering_field,
         )
 
+    # -- durable staging metadata (survives compaction truncation) ---------
+    def _stage_marker(self, epoch_id: int | str | None) -> str | None:
+        if epoch_id is None:
+            return None
+        return os.path.join(self._meta_dir, "_epochs", f"{epoch_id}.json")
+
+    def stage_epoch_committed(self, epoch_id: int | str | None) -> bool:
+        marker = self._stage_marker(epoch_id)
+        return marker is not None and os.path.exists(marker)
+
+    def _commit_stage_epoch(self, epoch_id: int | str | None) -> None:
+        marker = self._stage_marker(epoch_id)
+        if marker is None:
+            return
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w", encoding="utf-8") as fh:
+            json.dump({"epoch": epoch_id, "seq": self._staged}, fh)
+
+    @property
+    def _seq_path(self) -> str:
+        return os.path.join(self._meta_dir, "next_seq.json")
+
+    def _persist_seq(self) -> None:
+        os.makedirs(self._meta_dir, exist_ok=True)
+        with open(self._seq_path, "w", encoding="utf-8") as fh:
+            json.dump({"next_seq": self._staged}, fh)
+
     def _staged_on_disk(self) -> int:
-        """Recover the stage counter after a restart (max over staged rows)."""
+        """Recover the stage counter after a restart.
+
+        The counter is GLOBALLY monotone (never reset by compaction) so a
+        compaction's MERGE epoch id derived from it is unique per
+        generation; recovery takes the max of the persisted high-water mark
+        and what the staged rows themselves say.
+        """
+        persisted = 0
+        try:
+            with open(self._seq_path, encoding="utf-8") as fh:
+                persisted = int(json.load(fh)["next_seq"])
+        except (OSError, ValueError, KeyError):
+            pass
         raw = self.staging.read_raw() if self.staging.exists() else None
         if raw is None or _STAGE_SEQ not in raw.columns:
-            return 0
+            return persisted
         row = raw.agg(F.max(_STAGE_SEQ)).collect()[0][0]
-        return 0 if row is None else int(row) + 1
+        return persisted if row is None else max(persisted, int(row) + 1)
 
     # -- write path ---------------------------------------------------------
     def apply(self, batch: DataFrame, epoch_id: int | str | None = None) -> None:
         """Stage one micro-batch; auto-compact at the staleness bound."""
-        if self.staging.epoch_committed(epoch_id):
+        if self.stage_epoch_committed(epoch_id):
             return
         deduped = dedup_last_writer(
             batch, self.table.key_cols, order_col=self.order_col, tiebreak=self.tiebreak
         ).withColumn(_STAGE_SEQ, F.lit(self._staged))
-        self.staging.append(deduped, epoch_id=epoch_id)
+        # Marker lives in the durable meta dir, not the staging data dir; a
+        # crash between append and marker replays the append, which
+        # converges (identical rows, identical seq -> same LWW winner).
+        self.staging.append(deduped, epoch_id=None)
         self._staged += 1
-        if self._staged >= self.staleness_batches:
+        self._persist_seq()
+        self._commit_stage_epoch(epoch_id)
+        if self._pending_batches() >= self.staleness_batches:
             self.compact()
 
+    def _pending_batches(self) -> int:
+        """Distinct staged (uncompacted) batch count, from the seq counter
+        vs the last compaction's high-water mark."""
+        return self._staged - self._compacted_through()
+
+    @property
+    def _compacted_path(self) -> str:
+        return os.path.join(self._meta_dir, "compacted_through.json")
+
+    def _compacted_through(self) -> int:
+        try:
+            with open(self._compacted_path, encoding="utf-8") as fh:
+                return int(json.load(fh)["through_seq"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
     def compact(self) -> None:
-        """Fold all staged rows into the base table; truncate staging."""
+        """Fold all staged rows into the base table; truncate staging.
+
+        The MERGE carries a deterministic epoch id derived from the
+        (globally monotone) stage-seq high-water mark, so a crash between
+        the MERGE and the staging truncation replays as a no-op MERGE on
+        restart instead of re-applying the staged rows.
+        """
         staged = self.staging.read_raw() if self.staging.exists() else None
         if staged is None or not staged.head(1):
             return
@@ -124,11 +200,13 @@ class StagedUpsertTable:
             keep_deletes=self.keep_deletes,
             order_col=self.order_col,
             tiebreak=self.tiebreak,
-            epoch_id=None,
+            epoch_id=f"__compact_{self._staged}",
         )
         shutil.rmtree(self.staging.path, ignore_errors=True)
+        os.makedirs(self._meta_dir, exist_ok=True)
+        with open(self._compacted_path, "w", encoding="utf-8") as fh:
+            json.dump({"through_seq": self._staged}, fh)
         self.staging = self._new_staging()
-        self._staged = 0
 
     # -- read paths ---------------------------------------------------------
     def read_stale(self) -> DataFrame:

@@ -188,3 +188,45 @@ def test_streaming_lazy_upsert_with_checkpoint_restart(spark, sf_dir, tmp_path):
         assert _snap(
             p2.lazy_for(d).read_stale().select("user_id", F.col("event_type").alias("v"), "__op")
         ) == _snap(eager.read_table(d).select("user_id", F.col("event_type").alias("v"), "__op"))
+
+def test_epoch_replay_protection_survives_compaction(spark, tmp_path):
+    """A streaming retry of an already-staged epoch arriving AFTER an
+    auto-compaction must be skipped: markers live outside the staging data
+    dir, so truncating staging does not forget which epochs committed."""
+    batches = _batches(spark)
+    base = ParquetTable(
+        spark, str(tmp_path / "lazyx"), key_cols=["user_id"], mode="upsert", n_buckets=4
+    )
+    lazy = StagedUpsertTable(base, staleness_batches=2)
+    lazy.apply(batches[0], epoch_id=0)
+    lazy.apply(batches[1], epoch_id=1)  # hits staleness -> auto-compacts
+    after_compact = _snap(lazy.read_current())
+    lazy.apply(batches[1], epoch_id=1)  # late retry straddling the boundary
+    assert _snap(lazy.read_current()) == after_compact
+    # nothing was re-staged: the staging overlay holds no data files
+    assert lazy.staging.read_raw() is None
+
+
+def test_compaction_merge_is_epoch_marked(spark, tmp_path):
+    """A crash between the compaction MERGE and the staging truncation
+    replays as a no-op: the MERGE carries a deterministic epoch id derived
+    from the monotone stage-seq high-water mark."""
+    batches = _batches(spark)
+    base = ParquetTable(
+        spark, str(tmp_path / "lazym"), key_cols=["user_id"], mode="upsert", n_buckets=4
+    )
+    lazy = StagedUpsertTable(base, staleness_batches=10)
+    lazy.apply(batches[0], epoch_id=0)
+    lazy.apply(batches[1], epoch_id=1)
+    lazy.compact()
+    assert base.epoch_committed("__compact_2")
+    state = _snap(lazy.read_current())
+    # simulate the crash replay: same staged rows, same high-water mark
+    lazy._staged = 2
+    lazy.compact()  # staging is empty -> early return; marker still guards
+    assert _snap(lazy.read_current()) == state
+    # a LATER generation gets a different id, so future compactions run
+    lazy.apply(batches[2], epoch_id=2)
+    lazy.compact()
+    assert base.epoch_committed("__compact_3")
+    assert _snap(lazy.read_stale()) == _snap(_eager(spark, tmp_path, batches, 3))
