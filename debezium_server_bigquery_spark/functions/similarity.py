@@ -354,50 +354,45 @@ class IvfIndex:
         cents.write.mode("overwrite").parquet(idx.centroid_path)
         return idx
 
-    def probe_cells(self, queries: list[tuple[int, list[float]]], nprobe: int):
-        """Driver-side cell resolution: k centroids x q queries is tiny."""
-        cents = [
-            (r["cell_id"], r["centroid"])
-            for r in self.spark.read.parquet(self.centroid_path).collect()
-        ]
-        out: dict[int, list] = {}
-        for qid, vec in queries:
-            dists = sorted(
-                (sum((float(a) - c) ** 2 for a, c in zip(vec, cent)), cell)
-                for cell, cent in cents
-            )
-            out[qid] = [cell for _, cell in dists[:nprobe]]
-        return out
-
     def search(
         self,
         queries: DataFrame,
         nprobe: int = NPROBE,
         topk: int = IVF_TOPK,
+        broadcast_queries: bool = True,
     ) -> DataFrame:
-        """Top-k cosine neighbors for (query_id, embedding) rows."""
-        qrows = [
-            (r["query_id"], [float(x) for x in r["embedding"]])
-            for r in queries.collect()
-        ]
-        cells = self.probe_cells(qrows, nprobe)
-        all_cells = sorted({c for cs in cells.values() for c in cs})
-        # literal IN-list on the partition column => partition pruning
-        data = self.spark.read.parquet(self.data_path).filter(
-            F.col("cell_id").isin(all_cells)
+        """Top-k cosine neighbors for (query_id, embedding) rows.
+
+        Fully distributed, DataFrame -> DataFrame: probe-cell assignment is
+        a broadcast nested-loop against the k-row centroid table plus a
+        per-query window rank — no driver-side collect at ANY query-side
+        cardinality (a 10^9-query batch join is the same plan).  With
+        ``broadcast_queries=True`` (interactive/top-k shape) the probe set
+        is broadcast into the cell join, and Spark's dynamic partition
+        pruning restricts the cell scan to the probed partitions
+        (``PartitionFilters: ... dynamicpruning...`` in the physical plan
+        — the runtime analog of the literal IN-list).  For a query batch
+        too large to broadcast, pass ``False``: the join shuffles both
+        sides on ``cell_id`` instead, which is the right plan when nearly
+        every cell is probed anyway.
+        """
+        cents = broadcast(self.spark.read.parquet(self.centroid_path))
+        q = queries.select(
+            "query_id", F.col("embedding").cast("array<double>").alias("q_emb")
+        ).withColumn("q_norm", F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))))
+        scored = q.crossJoin(cents).withColumn(
+            "dist", _sq_dist(F.col("q_emb"), F.col("centroid"))
         )
-        probes = self.spark.createDataFrame(
-            [
-                (qid, vec, cell)
-                for qid, vec in qrows
-                for cell in cells[qid]
-            ],
-            "query_id long, q_emb array<double>, probe_cell int",
+        w_cell = Window.partitionBy("query_id").orderBy("dist", "cell_id")
+        probes = (
+            scored.withColumn("crank", F.row_number().over(w_cell))
+            .filter(F.col("crank") <= nprobe)
+            .select("query_id", "q_emb", "q_norm", F.col("cell_id").alias("probe_cell"))
         )
-        probes = probes.withColumn(
-            "q_norm", F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
-        )
-        cands = broadcast(probes).join(
+        if broadcast_queries:
+            probes = broadcast(probes)
+        data = self.spark.read.parquet(self.data_path)
+        cands = probes.join(
             data,
             (F.col("probe_cell") == F.col("cell_id"))
             & (F.col("query_id") != F.col("vec_id")),

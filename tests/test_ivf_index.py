@@ -53,7 +53,25 @@ def test_search_scan_is_partition_pruned(spark, sf_dir, tmp_path):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     plan = idx.search(queries)._jdf.queryExecution().executedPlan().toString()
-    # the data scan must carry the cell_id partition filter (pruned read),
-    # not a post-scan filter over the full corpus
-    assert "PartitionFilters" in plan
-    assert "cell_id" in plan.split("PartitionFilters", 1)[1][:200]
+    # the cell scan must carry a runtime partition filter on cell_id
+    # (dynamic partition pruning fed by the broadcast probe side), not a
+    # post-scan filter over the full corpus; and nothing may collect the
+    # query side to the driver to get there (search is pure DataFrame ops).
+    assert "PartitionFilters: [isnotnull(cell_id" in plan
+    assert "dynamicpruning" in plan
+
+
+def test_search_batch_mode_matches_broadcast_mode(spark, sf_dir, tmp_path):
+    """broadcast_queries=False (the 10^9-query batch shape: shuffle join on
+    cell_id, no broadcast of the probe side) returns identical results."""
+    idx = _build(spark, sf_dir, tmp_path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = idx.search(queries, broadcast_queries=True).collect()
+    b = idx.search(queries, broadcast_queries=False).collect()
+    as_tuples = lambda rows: [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"]) for r in rows
+    ]
+    assert as_tuples(a) == as_tuples(b)
