@@ -17,6 +17,8 @@ Recognized keys (reference key -> pipeline field):
 - ``debezium.sink.bigquerystream.upsert-dedup-column``  dedup_order_col
 - ``debezium.sink.batch.destination-regexp``            destination_regexp
 - ``debezium.sink.batch.destination-regexp-replace``    destination_regexp_replace
+- ``debezium.sink.batch.nested-as-json``      full-envelope sub-structs land
+                                              as JSON text columns
 - ``debezium.sink.batch.concurrent-uploads``            concurrent_uploads
 - ``debezium.sink.batch.batch-size-wait``     No|Max|DynamicBatchSizeWait
 - ``debezium.sink.<type>.partition-type``     YEAR|MONTH|DAY|HOUR
@@ -130,6 +132,7 @@ def build_pipeline(spark, props: dict[str, str]):
         destination_regexp_replace=props.get(
             "debezium.sink.batch.destination-regexp-replace", ""
         ),
+        nested_as_json=_bool(props.get("debezium.sink.batch.nested-as-json")),
         concurrent_uploads=int(
             props.get("debezium.sink.batch.concurrent-uploads", "1")
         ),
@@ -162,7 +165,10 @@ def build_source(spark, props: dict[str, str]):
         from debezium_server_bigquery_spark.sources.cdc import read_cdc_ndjson
 
         return read_cdc_ndjson(
-            spark, props["engine.source.path"], streaming=streaming
+            spark,
+            props["engine.source.path"],
+            streaming=streaming,
+            nested_as_json=_bool(props.get("debezium.sink.batch.nested-as-json")),
         )
     if kind == "kafka":
         import json
@@ -176,6 +182,7 @@ def build_source(spark, props: dict[str, str]):
             props["engine.source.kafka.topics"],
             json.loads(hint) if hint else None,
             streaming=streaming,
+            nested_as_json=_bool(props.get("debezium.sink.batch.nested-as-json")),
         )
     raise ValueError(f"unsupported engine.source: {kind}")
 

@@ -70,7 +70,12 @@ def decimal_from_bytes(col: Column, node: dict[str, Any], mode: str) -> Column:
 
 
 def _coerce_node(
-    col: Column, node: dict[str, Any], name: str | None, *, decimal_mode: str
+    col: Column,
+    node: dict[str, Any],
+    name: str | None,
+    *,
+    decimal_mode: str,
+    nested_as_json: bool = False,
 ) -> Column:
     """Coercion expression for one schema node; recurses into containers."""
     phys = node.get("type")
@@ -118,10 +123,20 @@ def _coerce_node(
                 ).alias("wkb"),
             )
             return F.when(col.isNull(), F.lit(None)).otherwise(geom)
+        if nested_as_json:
+            # nested-as-json mode: the wire schema already parsed this
+            # sub-struct as raw JSON text (schema.py:83-87 mirror of
+            # StreamRecordConverter.java:58-69) — keep it verbatim, the
+            # destination column type is JSON (CommonConfig.java:24-26).
+            return col
         # F3 — recurse into sub-fields (:281-291).
         sub = [
             _coerce_node(
-                col.getField(f["field"]), f, f["field"], decimal_mode=decimal_mode
+                col.getField(f["field"]),
+                f,
+                f["field"],
+                decimal_mode=decimal_mode,
+                nested_as_json=nested_as_json,
             ).alias(f["field"])
             for f in node.get("fields", [])
         ]
@@ -132,7 +147,10 @@ def _coerce_node(
             return col
         # F9 — element-wise coercion via transform (:376-386).
         return F.transform(
-            col, lambda x: _coerce_node(x, items, None, decimal_mode=decimal_mode)
+            col,
+            lambda x: _coerce_node(
+                x, items, None, decimal_mode=decimal_mode, nested_as_json=nested_as_json
+            ),
         )
     if phys == "bytes" and sem == S.SEM_DECIMAL:
         # F10 — decimal.handling.mode: precise wire bytes -> DECIMAL (or
@@ -143,20 +161,30 @@ def _coerce_node(
 
 
 def coercion_columns(
-    schema_node: dict[str, Any], *, decimal_handling_mode: str = "double"
+    schema_node: dict[str, Any],
+    *,
+    decimal_handling_mode: str = "double",
+    nested_as_json: bool = False,
 ) -> list[Column]:
     """Select-list turning wire-schema rows into destination rows.
 
     ``decimal_handling_mode`` mirrors ``debezium.source.decimal.handling.mode``
     (double default, DebeziumConfig.java:30-32); "precise" preserves
-    Connect Decimal wire bytes as DECIMAL(p,s).
+    Connect Decimal wire bytes as DECIMAL(p,s).  ``nested_as_json`` mirrors
+    ``debezium.sink.batch.nested-as-json`` (CommonConfig.java:24-26): the
+    wire parse kept sub-structs as JSON text, so struct coercion is a
+    pass-through (geometry stays typed either way, matching schema.py).
     """
     cols = []
     for f in schema_node.get("fields", []):
         name = f["field"]
         cols.append(
             _coerce_node(
-                F.col(name), f, name, decimal_mode=decimal_handling_mode
+                F.col(name),
+                f,
+                name,
+                decimal_mode=decimal_handling_mode,
+                nested_as_json=nested_as_json,
             ).alias(name)
         )
     return cols

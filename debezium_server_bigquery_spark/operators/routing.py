@@ -36,8 +36,22 @@ def rewrite_destination(
 
 def drop_tombstones(df: DataFrame, payload_probe: str = "__op") -> DataFrame:
     """R5 — skip records with null payload (reference
-    BatchRecordConverter.java:37-39, StreamRecordConverter.java:45-47)."""
-    return df.filter(F.col(payload_probe).isNotNull())
+    BatchRecordConverter.java:37-39, StreamRecordConverter.java:45-47).
+
+    A tombstone has ``value == null`` before any unwrap, so every payload
+    column parses null; probing the op column covers both shapes — ``__op``
+    for ExtractNewRecordState-flattened events, ``op`` for full envelopes
+    (nested-as-json mode runs without the unwrap SMT).  Batches with
+    neither column pass through untouched.
+    """
+    probe = (
+        payload_probe
+        if payload_probe in df.columns
+        else ("op" if "op" in df.columns else None)
+    )
+    if probe is None:
+        return df
+    return df.filter(F.col(probe).isNotNull())
 
 
 def destinations_in(df: DataFrame) -> list[str]:

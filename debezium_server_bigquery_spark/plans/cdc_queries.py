@@ -231,6 +231,121 @@ FROM cdc ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# nested-as-json mode (CommonConfig.java:24-26; asserted by
+# StreamBigqueryChangeConsumerNestedTest.java:43-62): running WITHOUT
+# ExtractNewRecordState, the full Debezium envelope arrives and its
+# sub-structs (before/after/source/transaction) must land as JSON text
+# columns while scalars stay typed.  The query rebuilds full-envelope JSON
+# lines from the synthesized stream (pure column algebra), parses them
+# through the real nested wire path (schema.py nested_as_json=True ->
+# from_json raw-capture -> coercion pass-through), and proves the JSON
+# columns are queryable by re-extracting the key from `after`.
+# --------------------------------------------------------------------------
+_NESTED_ENV_SCHEMA = {
+    "type": "struct",
+    "fields": [
+        {
+            "type": "struct",
+            "optional": True,
+            "field": "before",
+            "fields": [
+                {"type": "int64", "field": "event_id"},
+                {"type": "int64", "field": "user_id"},
+                {"type": "string", "field": "event_type"},
+            ],
+        },
+        {
+            "type": "struct",
+            "optional": True,
+            "field": "after",
+            "fields": [
+                {"type": "int64", "field": "event_id"},
+                {"type": "int64", "field": "user_id"},
+                {"type": "string", "field": "event_type"},
+            ],
+        },
+        {
+            "type": "struct",
+            "optional": True,
+            "field": "source",
+            "fields": [
+                {"type": "string", "field": "db"},
+                {"type": "string", "field": "table"},
+                {"type": "int64", "field": "ts_ms"},
+            ],
+        },
+        {"type": "string", "field": "op"},
+        {"type": "int64", "field": "ts_ms"},
+    ],
+}
+
+
+def cdc_nested_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_bigquery_spark.coerce import coercion_columns
+    from debezium_server_bigquery_spark.schema import debezium_schema_to_struct
+
+    df = filter_heartbeats(_cdc(spark, sf_dir))
+    after_json = F.concat(
+        F.lit('{"event_id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"user_id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"event_type":"'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    source_json = F.concat(
+        F.lit('{"db":"'),
+        F.col("__db"),
+        F.lit('","table":"'),
+        F.col("__table"),
+        F.lit('","ts_ms":'),
+        F.col("__source_ts_ms").cast("string"),
+        F.lit("}"),
+    )
+    line = F.concat(
+        F.lit('{"before":null,"after":'),
+        after_json,
+        F.lit(',"source":'),
+        source_json,
+        F.lit(',"op":"'),
+        F.col("__op"),
+        F.lit('","ts_ms":'),
+        F.col("__ts_ms").cast("string"),
+        F.lit("}"),
+    )
+    wire_schema = debezium_schema_to_struct(_NESTED_ENV_SCHEMA, nested_as_json=True)
+    wire = (
+        df.select(line.alias("value"))
+        .select(F.from_json("value", wire_schema).alias("e"))
+        .select("e.*")
+    )
+    out = wire.select(coercion_columns(_NESTED_ENV_SCHEMA, nested_as_json=True))
+    return out.select(
+        F.get_json_object("after", "$.event_id").cast("long").alias("event_id"),
+        F.col("before"),
+        F.col("after"),
+        F.col("source"),
+        F.col("op"),
+        F.col("ts_ms"),
+    ).orderBy("event_id")
+
+
+CDC_NESTED_ENVELOPE_SQL = f"""{_CDC_CTE}
+SELECT CAST(event_id AS BIGINT) AS event_id,
+  CAST(NULL AS VARCHAR) AS before,
+  '{{"event_id":' || CAST(event_id AS VARCHAR) || ',"user_id":' || CAST(user_id AS VARCHAR)
+    || ',"event_type":"' || event_type || '"}}' AS after,
+  '{{"db":"' || __db || '","table":"' || __table || '","ts_ms":'
+    || CAST(__source_ts_ms AS VARCHAR) || '}}' AS source,
+  __op AS op, __ts_ms AS ts_ms
+FROM cdc
+WHERE destination NOT LIKE '\\_\\_debezium-heartbeat%' ESCAPE '\\'
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "cdc_flatten": cdc_flatten,
     "cdc_route": cdc_route,
@@ -239,6 +354,7 @@ QUERIES = {
     "cdc_upsert_keep_deletes": cdc_upsert_keep_deletes,
     "cdc_append_stats": cdc_append_stats,
     "cdc_coerce_scalars": cdc_coerce_scalars,
+    "cdc_nested_envelope": cdc_nested_envelope,
 }
 
 ORACLES = {
@@ -249,4 +365,5 @@ ORACLES = {
     "cdc_upsert_keep_deletes": CDC_KEEP_DELETES_SQL,
     "cdc_append_stats": CDC_APPEND_SQL,
     "cdc_coerce_scalars": CDC_COERCE_SQL,
+    "cdc_nested_envelope": CDC_NESTED_ENVELOPE_SQL,
 }

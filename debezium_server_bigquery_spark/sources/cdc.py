@@ -104,7 +104,9 @@ def cdc_synth_oracle_sql(events_rel: str = "events") -> str:
     """
 
 
-def parse_cdc_kafka(raw: DataFrame, schema_hint: dict) -> DataFrame:
+def parse_cdc_kafka(
+    raw: DataFrame, schema_hint: dict, *, nested_as_json: bool = False
+) -> DataFrame:
     """Kafka-wire rows -> flattened CDC rows (S1's production path).
 
     The reference consumes ``ChangeEvent<Object, Object>`` records from the
@@ -121,7 +123,7 @@ def parse_cdc_kafka(raw: DataFrame, schema_hint: dict) -> DataFrame:
     ``debezium.transforms.unwrap.drop.tombstones=true``
     (docs/configuration.md:24).
     """
-    struct = debezium_schema_to_struct(schema_hint)
+    struct = debezium_schema_to_struct(schema_hint, nested_as_json=nested_as_json)
     val = F.col("value").cast("string")
     payload = F.from_json(
         F.coalesce(F.get_json_object(val, "$.payload"), val), struct
@@ -140,6 +142,7 @@ def read_cdc_kafka(
     streaming: bool = True,
     starting_offsets: str = "earliest",
     options: dict | None = None,
+    nested_as_json: bool = False,
 ) -> DataFrame:
     """Subscribe to Debezium topics over Kafka and emit flattened CDC rows.
 
@@ -161,7 +164,7 @@ def read_cdc_kafka(
     )
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
-    return parse_cdc_kafka(reader.load(), schema_hint)
+    return parse_cdc_kafka(reader.load(), schema_hint, nested_as_json=nested_as_json)
 
 
 def read_cdc_ndjson(
@@ -170,8 +173,16 @@ def read_cdc_ndjson(
     *,
     streaming: bool = False,
     schema_hint: dict | None = None,
+    nested_as_json: bool = False,
 ) -> DataFrame:
     """Read newline-delimited Debezium change events.
+
+    ``nested_as_json=True`` mirrors ``debezium.sink.batch.nested-as-json``
+    (reference CommonConfig.java:24-26): sub-structs of the event (the full
+    envelope's ``before``/``after``/``source``/``transaction`` when running
+    without ExtractNewRecordState) are parsed as raw JSON text columns
+    instead of typed structs — the BigQuery JSON-column analog, asserted by
+    StreamBigqueryChangeConsumerNestedTest.java:43-62.
 
     Each line is ``{"schema": {...}, "payload": {...}}`` (or a bare flattened
     payload). The Debezium schema node is translated to a Spark StructType
@@ -200,7 +211,7 @@ def read_cdc_ndjson(
                 "events carry no embedded schema; pass schema_hint= explicitly "
                 "(reference requires schemas.enable=true, DebeziumConfig.java:34-40)"
             )
-    struct = debezium_schema_to_struct(schema_hint)
+    struct = debezium_schema_to_struct(schema_hint, nested_as_json=nested_as_json)
     reader = spark.readStream if streaming else spark.read
     raw = reader.text(path)
     parsed = raw.select(

@@ -59,6 +59,12 @@ class CdcPipeline:
     max_staleness_batches: int = 4
     destination_regexp: str = ""  # debezium.sink.batch.destination-regexp
     destination_regexp_replace: str = ""
+    # debezium.sink.batch.nested-as-json (CommonConfig.java:24-26): when the
+    # source runs without ExtractNewRecordState, sub-structs of the envelope
+    # (before/after/source/transaction) land as JSON text columns.  Consumed
+    # by the source parse (read_cdc_ndjson/read_cdc_kafka nested_as_json=) —
+    # carried here so the CLI/table metadata reflect the configured mode.
+    nested_as_json: bool = False
     concurrent_uploads: int = 4  # debezium.sink.batch.concurrent-uploads
     dedup_order_col: str = "__source_ts_ns"  # ...upsert-dedup-column
     dedup_tiebreak: tuple[str, ...] = ()  # extra deterministic ordering cols

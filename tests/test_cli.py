@@ -35,6 +35,7 @@ def test_build_pipeline_maps_reference_keys(spark, tmp_path):
         "debezium.sink.bigquerystream.clustering-field": "__ts_ms",
         "debezium.sink.batch.destination-regexp": "_p\\d+$",
         "debezium.sink.batch.destination-regexp-replace": "",
+        "debezium.sink.batch.nested-as-json": "true",
         "debezium.sink.batch.concurrent-uploads": "2",
         "engine.target-root": str(tmp_path / "tgt"),
         "engine.key-columns": "user_id",
@@ -47,6 +48,7 @@ def test_build_pipeline_maps_reference_keys(spark, tmp_path):
     assert p.partition_type == "DAY"
     assert p.clustering_field == "__ts_ms"
     assert p.destination_regexp == "_p\\d+$"
+    assert p.nested_as_json is True
     assert p.concurrent_uploads == 2
 
 

@@ -130,6 +130,68 @@ def test_various_array_data_types_fixture(spark, tmp_path):
     ]
 
 
+def test_serde_with_schema_nested_as_json_mode(spark, tmp_path):
+    # nested-as-json=true (CommonConfig.java:24-26): same full envelope, but
+    # before/after/source must land as raw JSON text columns while op/ts_ms
+    # stay typed — the assertions of
+    # StreamBigqueryChangeConsumerNestedTest.java:43-62 (JSON/STRING/INTEGER
+    # column types) replayed against the engine.
+    from pyspark.sql import types as T
+
+    docs = _docs("serde-with-schema.json")
+    path = tmp_path / "nested.ndjson"
+    path.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    wire = read_cdc_ndjson(spark, str(path), nested_as_json=True)
+    out = wire.select(coercion_columns(docs[0]["schema"], nested_as_json=True))
+    sch = {f.name: f.dataType for f in out.schema.fields}
+    assert isinstance(sch["before"], T.StringType)
+    assert isinstance(sch["after"], T.StringType)
+    assert isinstance(sch["source"], T.StringType)
+    assert isinstance(sch["op"], T.StringType)
+    assert isinstance(sch["ts_ms"], T.LongType)
+    row = out.collect()[0]
+    p = docs[0]["payload"]
+    assert row["before"] is None
+    assert json.loads(row["after"]) == p["after"]
+    assert json.loads(row["source"]) == p["source"]
+    assert row["op"] == "c"
+    assert row["ts_ms"] == p["ts_ms"]
+
+
+def test_pipeline_nested_as_json_e2e(spark, tmp_path):
+    # Full-envelope replication without ExtractNewRecordState: parse with
+    # nested-as-json, run through the batch pipeline, read the destination
+    # table back — sub-structs are queryable JSON text columns end-to-end.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline
+
+    docs = _docs("serde-with-schema.json")
+    path = tmp_path / "nested.ndjson"
+    path.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    wire = read_cdc_ndjson(spark, str(path), nested_as_json=True)
+    batch = wire.withColumn("destination", F.lit("testc.inventory.customers"))
+    pipe = CdcPipeline(
+        spark,
+        str(tmp_path / "tgt"),
+        mode="append",
+        partition_field="ts_ms",
+        nested_as_json=True,
+    )
+    pipe.run_batch(batch)
+    got = pipe.read_table("testc_inventory_customers")
+    sch = {f.name: f.dataType for f in got.schema.fields}
+    assert isinstance(sch["after"], T.StringType)
+    assert isinstance(sch["source"], T.StringType)
+    rows = got.collect()
+    assert len(rows) == len(docs)
+    p = docs[0]["payload"]
+    assert json.loads(rows[0]["after"]) == p["after"]
+    assert json.loads(rows[0]["source"])["db"] == "inventory"
+    assert rows[0]["op"] == "c"
+
+
 def test_serde_with_schema_nested_structs(spark, tmp_path):
     # serde-with-schema.json — the classic non-unwrapped envelope: F3 struct
     # recursion must coerce before/after/source without flattening them.
