@@ -19,6 +19,10 @@ Recognized keys (reference key -> pipeline field):
 - ``debezium.sink.batch.destination-regexp-replace``    destination_regexp_replace
 - ``debezium.sink.batch.nested-as-json``      full-envelope sub-structs land
                                               as JSON text columns
+- ``debezium.sink.bigquerystream.ignore-unknown-fields``  default true;
+                                              false fails the read when a
+                                              payload field is absent from
+                                              the schema
 - ``debezium.sink.batch.concurrent-uploads``            concurrent_uploads
 - ``debezium.sink.batch.batch-size-wait``     No|Max|DynamicBatchSizeWait
 - ``debezium.sink.<type>.partition-type``     YEAR|MONTH|DAY|HOUR
@@ -155,6 +159,9 @@ def build_source(spark, props: dict[str, str]):
     """Materialize the configured event source as a DataFrame."""
     kind = props.get("engine.source", "synthetic")
     streaming = _bool(props.get("engine.streaming"))
+    ignore_unknown = _bool(
+        props.get("debezium.sink.bigquerystream.ignore-unknown-fields"), True
+    )
     if kind == "synthetic":
         from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
         from debezium_server_bigquery_spark.sources.tables import load_table
@@ -169,6 +176,7 @@ def build_source(spark, props: dict[str, str]):
             props["engine.source.path"],
             streaming=streaming,
             nested_as_json=_bool(props.get("debezium.sink.batch.nested-as-json")),
+            ignore_unknown_fields=ignore_unknown,
         )
     if kind == "kafka":
         import json
@@ -183,6 +191,7 @@ def build_source(spark, props: dict[str, str]):
             json.loads(hint) if hint else None,
             streaming=streaming,
             nested_as_json=_bool(props.get("debezium.sink.batch.nested-as-json")),
+            ignore_unknown_fields=ignore_unknown,
         )
     raise ValueError(f"unsupported engine.source: {kind}")
 

@@ -38,6 +38,59 @@ OP_CASE = (
 HEARTBEAT_PREFIX = "__debezium-heartbeat"
 
 
+def unknown_field_paths(payload_text, node: dict) -> "F.Column":
+    """Array<string> of JSON paths present in ``payload_text`` but absent
+    from the Debezium schema ``node`` — the detection side of
+    ``debezium.sink.bigquerystream.ignore-unknown-fields``
+    (StreamConsumerConfig.java:30-32).
+
+    The reference's strict mode surfaces unknown payload fields as a failed
+    BigQuery append (JsonStreamWriter ``setIgnoreUnknownFields(false)``,
+    which validates recursively); ``from_json`` instead drops them
+    silently, so strict mode must diff the raw JSON keys against the schema
+    BEFORE the parse.  Pure Catalyst: ``json_object_keys`` per level,
+    ``array_except`` against the known field names, recursing into
+    struct-typed fields (array elements are not descended — same practical
+    scope as a top-level+struct schema walk; the reference test corpus's
+    unknown properties sit inside ``before``/``after``,
+    serde-unknown-property.json).
+    """
+    known = [f.get("field") for f in node.get("fields", []) if f.get("field")]
+    keys = F.coalesce(
+        F.json_object_keys(payload_text), F.array().cast("array<string>")
+    )
+    unknown = F.array_except(keys, F.array(*[F.lit(k) for k in known]))
+    parts = [unknown]
+    for f in node.get("fields", []):
+        if f.get("type") == "struct" and f.get("field"):
+            name = f["field"]
+            sub = unknown_field_paths(
+                F.get_json_object(payload_text, f"$.{name}"), f
+            )
+            parts.append(F.transform(sub, lambda p: F.concat(F.lit(f"{name}."), p)))
+    out = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return out
+
+
+def _strict_unknown_guard(payload_text, schema_hint: dict, col):
+    """Wrap ``col`` so materializing a row with unknown payload fields fails
+    with a clear error — the Spark-side analog of the reference's failed
+    stream append under ignore-unknown-fields=false."""
+    unk = unknown_field_paths(payload_text, schema_hint)
+    return F.when(
+        F.size(unk) > 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "unknown payload field(s) not in schema "
+                    "(ignore-unknown-fields=false): "
+                ),
+                F.concat_ws(", ", unk),
+            )
+        ),
+    ).otherwise(col)
+
+
 def synthesize_cdc_events(events: DataFrame) -> DataFrame:
     """events(event_id, ts, user_id, event_type, value, props) -> CDC rows.
 
@@ -105,7 +158,11 @@ def cdc_synth_oracle_sql(events_rel: str = "events") -> str:
 
 
 def parse_cdc_kafka(
-    raw: DataFrame, schema_hint: dict, *, nested_as_json: bool = False
+    raw: DataFrame,
+    schema_hint: dict,
+    *,
+    nested_as_json: bool = False,
+    ignore_unknown_fields: bool = True,
 ) -> DataFrame:
     """Kafka-wire rows -> flattened CDC rows (S1's production path).
 
@@ -125,9 +182,10 @@ def parse_cdc_kafka(
     """
     struct = debezium_schema_to_struct(schema_hint, nested_as_json=nested_as_json)
     val = F.col("value").cast("string")
-    payload = F.from_json(
-        F.coalesce(F.get_json_object(val, "$.payload"), val), struct
-    )
+    payload_text = F.coalesce(F.get_json_object(val, "$.payload"), val)
+    payload = F.from_json(payload_text, struct)
+    if not ignore_unknown_fields:
+        payload = _strict_unknown_guard(payload_text, schema_hint, payload)
     return raw.select(
         F.col("topic").alias("destination"), payload.alias("payload")
     ).select("destination", "payload.*")
@@ -143,6 +201,7 @@ def read_cdc_kafka(
     starting_offsets: str = "earliest",
     options: dict | None = None,
     nested_as_json: bool = False,
+    ignore_unknown_fields: bool = True,
 ) -> DataFrame:
     """Subscribe to Debezium topics over Kafka and emit flattened CDC rows.
 
@@ -164,7 +223,12 @@ def read_cdc_kafka(
     )
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
-    return parse_cdc_kafka(reader.load(), schema_hint, nested_as_json=nested_as_json)
+    return parse_cdc_kafka(
+        reader.load(),
+        schema_hint,
+        nested_as_json=nested_as_json,
+        ignore_unknown_fields=ignore_unknown_fields,
+    )
 
 
 def read_cdc_ndjson(
@@ -174,8 +238,15 @@ def read_cdc_ndjson(
     streaming: bool = False,
     schema_hint: dict | None = None,
     nested_as_json: bool = False,
+    ignore_unknown_fields: bool = True,
 ) -> DataFrame:
     """Read newline-delimited Debezium change events.
+
+    ``ignore_unknown_fields=False`` mirrors
+    ``debezium.sink.bigquerystream.ignore-unknown-fields``
+    (StreamConsumerConfig.java:30-32): a payload field absent from the
+    schema fails the read with a clear error instead of being silently
+    dropped by ``from_json``.
 
     ``nested_as_json=True`` mirrors ``debezium.sink.batch.nested-as-json``
     (reference CommonConfig.java:24-26): sub-structs of the event (the full
@@ -220,9 +291,10 @@ def read_cdc_ndjson(
     )
     # Tombstones (null payload) are preserved as null structs and filtered by
     # the pipeline's R5 stage, not here.
-    return parsed.select(
-        F.from_json(
-            F.coalesce(F.get_json_object(F.col("value"), "$.payload"), F.col("value")),
-            struct,
-        ).alias("payload")
-    ).select("payload.*")
+    payload_text = F.coalesce(
+        F.get_json_object(F.col("value"), "$.payload"), F.col("value")
+    )
+    payload = F.from_json(payload_text, struct)
+    if not ignore_unknown_fields:
+        payload = _strict_unknown_guard(payload_text, schema_hint, payload)
+    return parsed.select(payload.alias("payload")).select("payload.*")
