@@ -37,6 +37,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from debezium_server_bigquery_spark.operators.retry import (
+    DEFAULT_POLICY,
+    RetryPolicy,
+    with_retry,
+)
+
 PART_MONTH = "__part_month"
 KEY_BUCKET = "__kb"
 
@@ -73,6 +79,7 @@ class ParquetTable:
         clustering_field: str = "__source_ts_ms",
         partition_type: str = "MONTH",  # YEAR | MONTH | DAY | HOUR
         partition_field: str = "__ts_ms",
+        retry_policy: RetryPolicy = DEFAULT_POLICY,
     ):
         if partition_type not in PART_FORMATS:
             raise ValueError(
@@ -87,6 +94,10 @@ class ParquetTable:
         self.clustering_field = clustering_field
         self.partition_type = partition_type
         self.partition_field = partition_field
+        # T7 — bounded driver-side retry around write actions; Spark task
+        # retries cover executor failures, this covers whole-action faults
+        # (operators/retry.py budgets mirror ConsumerUtil.java:134-147).
+        self.retry_policy = retry_policy
 
     # -- metadata ----------------------------------------------------------
     @property
@@ -196,9 +207,19 @@ class ParquetTable:
         cols = [c for c in self.clustering_cols() if c in df.columns]
         return df.sortWithinPartitions(*cols) if cols else df
 
+    def _write_append(self, out: DataFrame) -> None:
+        """The raw append write action (separable for fault injection)."""
+        out.write.mode("append").partitionBy(self.partition_col()).parquet(self.path)
+
     def append(self, df: DataFrame, epoch_id: int | str | None = None) -> None:
         """S3 analog — append a uniform-schema batch, evolving the table
-        schema if the batch adds columns."""
+        schema if the batch adds columns.
+
+        The write runs under the T7 bounded-retry budget.  A retried append
+        is safe: Spark's output committer only publishes files at job
+        commit, so a failed attempt leaves nothing visible, and a replay of
+        an already-committed epoch is skipped by the marker check.
+        """
         if self.epoch_committed(epoch_id):
             return
         out = self.with_partition_col(df)
@@ -208,7 +229,11 @@ class ParquetTable:
             for f in missing:
                 out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
         out = self._cluster_sort(out)
-        out.write.mode("append").partitionBy(self.partition_col()).parquet(self.path)
+        with_retry(
+            lambda: self._write_append(out),
+            policy=self.retry_policy,
+            describe=f"append {self.path}",
+        )
         self._write_meta(df.schema.json())
         self._commit_epoch(epoch_id, -1)
 
@@ -289,24 +314,42 @@ class ParquetTable:
         part_col = self.partition_col()
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
         out = self._cluster_sort(df)
-        out.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+        # mode("overwrite") makes a retried staging write idempotent.
+        with_retry(
+            lambda: out.write.mode("overwrite").partitionBy(part_col).parquet(staging),
+            policy=self.retry_policy,
+            describe=f"stage-overwrite {self.path}",
+        )
         try:
             staged = {
                 d
                 for d in os.listdir(staging)
                 if d.startswith(f"{part_col}=") and os.path.isdir(os.path.join(staging, d))
             }
-            for d in staged:
-                target = os.path.join(self.path, d)
-                if os.path.exists(target):
-                    shutil.rmtree(target)
-                os.replace(os.path.join(staging, d), target)
-            for value in expected_partitions:
-                d = f"{part_col}={value}"
-                if d not in staged:
-                    stale = os.path.join(self.path, d)
-                    if os.path.exists(stale):
-                        shutil.rmtree(stale)
+
+            def swap() -> None:
+                # Idempotent per directory: a partition already moved by a
+                # previous attempt (source gone) is skipped, so the T7 retry
+                # wrapper can safely replay a partially-completed swap —
+                # the FS-hiccup window between overwrite and marker commit.
+                for d in staged:
+                    src = os.path.join(staging, d)
+                    target = os.path.join(self.path, d)
+                    if not os.path.exists(src):
+                        continue
+                    if os.path.exists(target):
+                        shutil.rmtree(target)
+                    os.replace(src, target)
+                for value in expected_partitions:
+                    d = f"{part_col}={value}"
+                    if d not in staged:
+                        stale = os.path.join(self.path, d)
+                        if os.path.exists(stale):
+                            shutil.rmtree(stale)
+
+            with_retry(
+                swap, policy=self.retry_policy, describe=f"swap {self.path}"
+            )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         self._write_meta(df.drop(part_col).schema.json())
