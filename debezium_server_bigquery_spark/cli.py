@@ -23,6 +23,11 @@ Recognized keys (reference key -> pipeline field):
                                               false fails the read when a
                                               payload field is absent from
                                               the schema
+- ``debezium.sink.<type>.allow-field-addition``  schema evolution on new
+                                              batch columns (batch default
+                                              true, stream default false)
+- ``debezium.sink.bigquerystream.create-if-needed``  default true; false
+                                              fails writes to missing tables
 - ``debezium.sink.batch.concurrent-uploads``            concurrent_uploads
 - ``debezium.sink.batch.batch-size-wait``     No|Max|DynamicBatchSizeWait
 - ``debezium.sink.<type>.partition-type``     YEAR|MONTH|DAY|HOUR
@@ -137,6 +142,13 @@ def build_pipeline(spark, props: dict[str, str]):
             "debezium.sink.batch.destination-regexp-replace", ""
         ),
         nested_as_json=_bool(props.get("debezium.sink.batch.nested-as-json")),
+        allow_field_addition=_bool(
+            props.get(f"{sink}.allow-field-addition"),
+            sink_type == "bigquerybatch",  # per-sink reference defaults
+        ),
+        create_if_needed=_bool(
+            props.get("debezium.sink.bigquerystream.create-if-needed"), True
+        ),
         concurrent_uploads=int(
             props.get("debezium.sink.batch.concurrent-uploads", "1")
         ),

@@ -60,12 +60,16 @@ def merge_upsert(
     deduped = dedup_last_writer(
         batch, table.key_cols, order_col=order_col, tiebreak=tiebreak
     )
-    src = table.with_partition_col(deduped).withColumn(_SRC_RANK, F.lit(1))
+    src = table.with_partition_col(deduped)
 
     # Affected buckets: tiny driver-side list (<= n_buckets) that prunes the
     # target scan and bounds the partition rewrite.
     buckets = [r[0] for r in src.select(KEY_BUCKET).distinct().collect()]
     live = table.read_raw() if table.exists() else None
+    table.guard_create(live is not None)
+    # allow-field-addition gate: new batch columns are dropped instead of
+    # evolving the target (StreamBigqueryChangeConsumer.java:300).
+    src = table.restrict_to_live(src, live).withColumn(_SRC_RANK, F.lit(1))
     if live is not None:
         live = live.filter(F.col(KEY_BUCKET).isin(buckets)).withColumn(
             _SRC_RANK, F.lit(0)

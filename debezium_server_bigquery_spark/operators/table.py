@@ -80,6 +80,8 @@ class ParquetTable:
         partition_type: str = "MONTH",  # YEAR | MONTH | DAY | HOUR
         partition_field: str = "__ts_ms",
         retry_policy: RetryPolicy = DEFAULT_POLICY,
+        allow_field_addition: bool = True,
+        create_if_needed: bool = True,
     ):
         if partition_type not in PART_FORMATS:
             raise ValueError(
@@ -98,6 +100,15 @@ class ParquetTable:
         # retries cover executor failures, this covers whole-action faults
         # (operators/retry.py budgets mirror ConsumerUtil.java:134-147).
         self.retry_policy = retry_policy
+        # Schema-evolution gate — allow-field-addition (batch default true,
+        # BatchConsumerConfig.java:51-53; stream default false,
+        # StreamConsumerConfig.java:52-54).  When off, new batch columns are
+        # dropped at write, matching a BigQuery append against a table whose
+        # schema was never ALTERed (the un-schema'd fields don't land).
+        self.allow_field_addition = allow_field_addition
+        # create-if-needed (StreamConsumerConfig.java:34-36): when off, a
+        # write against a missing table fails instead of creating it.
+        self.create_if_needed = create_if_needed
 
     # -- metadata ----------------------------------------------------------
     @property
@@ -211,6 +222,23 @@ class ParquetTable:
         """The raw append write action (separable for fault injection)."""
         out.write.mode("append").partitionBy(self.partition_col()).parquet(self.path)
 
+    def guard_create(self, live_exists: bool) -> None:
+        """create-if-needed parity (StreamBigqueryChangeConsumer.java:291)."""
+        if not live_exists and not self.create_if_needed:
+            raise ValueError(
+                f"table {self.path} does not exist and create-if-needed is false"
+            )
+
+    def restrict_to_live(self, df: DataFrame, live: DataFrame | None) -> DataFrame:
+        """Drop columns the live table does not know when field addition is
+        disabled (BatchBigqueryChangeConsumer.java:72,
+        StreamBigqueryChangeConsumer.java:300 gate the schema update)."""
+        if self.allow_field_addition or live is None:
+            return df
+        known = set(live.columns) | {self.partition_col()}
+        extra = [c for c in df.columns if c not in known]
+        return df.drop(*extra) if extra else df
+
     def append(self, df: DataFrame, epoch_id: int | str | None = None) -> None:
         """S3 analog — append a uniform-schema batch, evolving the table
         schema if the batch adds columns.
@@ -224,6 +252,8 @@ class ParquetTable:
             return
         out = self.with_partition_col(df)
         live = self.read_raw() if self.exists() else None
+        self.guard_create(live is not None)
+        out = self.restrict_to_live(out, live)
         if live is not None:
             missing = [f for f in live.schema.fields if f.name not in out.columns]
             for f in missing:
@@ -234,7 +264,9 @@ class ParquetTable:
             policy=self.retry_policy,
             describe=f"append {self.path}",
         )
-        self._write_meta(df.schema.json())
+        # Record what was actually written (restriction may have dropped
+        # batch columns; evolution may have added live ones).
+        self._write_meta(out.drop(self.partition_col()).schema.json())
         self._commit_epoch(epoch_id, -1)
 
     def partition_file_counts(self) -> dict[str, int]:

@@ -69,6 +69,13 @@ class CdcPipeline:
     dedup_order_col: str = "__source_ts_ns"  # ...upsert-dedup-column
     dedup_tiebreak: tuple[str, ...] = ()  # extra deterministic ordering cols
     n_buckets: int = 32
+    # debezium.sink.<type>.allow-field-addition: when False, new batch
+    # columns never evolve a destination's schema (batch default true,
+    # stream default false — the CLI applies the per-sink defaults).
+    allow_field_addition: bool = True
+    # debezium.sink.bigquerystream.create-if-needed: when False, a write
+    # against a missing destination table fails instead of creating it.
+    create_if_needed: bool = True
     partition_type: str = "MONTH"  # debezium.sink.*.partition-type
     partition_field: str = "__ts_ms"  # debezium.sink.*.partition-field
     clustering_field: str = "__source_ts_ms"  # ...clustering-field
@@ -103,6 +110,8 @@ class CdcPipeline:
                 partition_type=self.partition_type,
                 partition_field=self.partition_field,
                 clustering_field=self.clustering_field,
+                allow_field_addition=self.allow_field_addition,
+                create_if_needed=self.create_if_needed,
             )
         return self.tables[destination]
 
