@@ -154,18 +154,17 @@ def dedup_exact_stream(
 # --------------------------------------------------------------------------
 # MinHash + LSH candidate pairs.
 # --------------------------------------------------------------------------
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-explode once, then *one* md5 per shingle: the k seed-hashes
+def minhash_band_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band signatures for ``docs(doc_id, text)``.
+
+    Shingle-explode once, then *one* md5 per shingle: the k seed-hashes
     are derived arithmetically (Broder double hashing,
-    ``(h1 + seed*h2) & mask``) so per-row cost is 1 digest + k adds instead
-    of k digests — an order of magnitude less CPU and a codegen method small
-    enough to JIT.  One map-side-combinable ``groupBy(doc_id)`` of k
-    ``min``s follows (the shuffle carries 12 longs per doc per map
-    partition), and the band self-join is the only other exchange, on
-    (band, sig) whose cardinality is ~4 rows/doc regardless of doc size:
-    that is the 100 TB path.
+    ``(h1 + seed*h2) & mask``) so per-row cost is 1 digest + k adds
+    instead of k digests.  One map-side-combinable ``groupBy(doc_id)`` of
+    k ``min``s follows (the shuffle carries 12 longs per doc per map
+    partition).  Shared by the self-join dedup below and the incremental
+    cross-corpus index (functions/dedup_incremental.py).
     """
-    docs = load_table(spark, sf_dir, "documents", spread=True)
     shingled = docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
     )
@@ -201,20 +200,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"b{band}")
         for band in range(n_bands)
     ]
-    bands = sig.select("doc_id", *band_sigs).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).cast("long").alias("band"),
-                        F.col(f"b{band}").alias("sig"),
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    return (
+        sig.select("doc_id", *band_sigs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).cast("long").alias("band"),
+                            F.col(f"b{band}").alias("sig"),
+                        )
+                        for band in range(n_bands)
+                    ]
+                )
+            ).alias("bs"),
+        )
+        .select(
+            "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs via band-signature self-join — the band join is
+    the only exchange besides the signature aggregation, on (band, sig)
+    whose cardinality is ~4 rows/doc regardless of doc size: that is the
+    100 TB path."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bands = minhash_band_table(docs)
     # Self-join via shuffle-hash, NOT broadcast: with a broadcast join the
     # two sides have different exchange types, so Catalyst recomputes the
     # whole shingle->md5->minhash pipeline twice (the dominant CPU).  A

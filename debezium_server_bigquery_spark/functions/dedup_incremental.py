@@ -1,0 +1,218 @@
+"""Incremental (cross-corpus) MinHash dedup.
+
+The dedup family in :mod:`dedup_fuzzy` compares a corpus against itself.
+A production training-data pipeline rarely re-deduplicates the world: it
+admits a NEW batch (today's crawl) against an EXISTING corpus, so the
+operator it needs is "which new documents near-duplicate something we
+already have" — candidate generation must stay banded (never new x corpus
+all-pairs) and the corpus side must be a stored index the batch probes,
+not a table re-signatured per batch.
+
+Two shapes, mirroring the IVF pattern (inline graded query + stored
+deployment index):
+
+- :func:`dedup_incremental_minhash` — inline, oracle-checked: one band
+  self-join (signatures computed ONCE via ReusedExchange, parity
+  predicates inside the join condition split corpus from new), then an
+  exact shingle-Jaccard verification on the candidate pairs only.
+  Candidate + verify is the full near-dup pipeline: LSH recall, exact
+  precision, and the expensive comparison never touches a non-candidate.
+- :class:`MinHashBandIndex` — the corpus signatures persisted
+  ``partitionBy(band, sig_pre)`` (sig md5-prefix sub-partitions).  A new
+  batch computes its own bands, collects its distinct ``(band, prefix)``
+  keys (<= bands x 256 — metadata, not data), prunes the index scan to
+  those partitions, and broadcast-joins the batch's bands: per-batch cost
+  is proportional to the batch and the touched index slice, not the
+  corpus.  ``append`` admits the deduplicated batch's signatures so the
+  index stays current without rebuilds.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+    BAND_R,
+    MINHASH_K,
+    minhash_band_table,
+    shingles,
+    shingles_sql,
+)
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+# Exact-Jaccard threshold for declaring a candidate a duplicate of the
+# corpus (stricter than the pair-mining threshold in dedup_fuzzy: admission
+# decisions drop data, so precision matters more than recall here).
+INCR_DUP_THRESHOLD = 0.5
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New docs (odd doc_id) probed against the corpus (even doc_id).
+
+    Plan: ONE signature pipeline feeds both join sides (shuffle-hash
+    self-join -> ReusedExchange, parity split inside the join condition);
+    candidates then verify with exact shingle Jaccard — array_intersect /
+    array_union on the two docs' distinct-shingle arrays, fetched for
+    candidate documents only.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bands = minhash_band_table(docs)
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") % 2 == 1)  # a = the new batch
+            & (F.col("b.doc_id") % 2 == 0),  # b = the stored corpus
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("corpus_doc")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    return (
+        cand.join(sh.alias("n"), F.col("new_doc") == F.col("n.doc_id"))
+        .join(sh.alias("c"), F.col("corpus_doc") == F.col("c.doc_id"))
+        .select(
+            "new_doc",
+            "corpus_doc",
+            "n_shared_bands",
+            (
+                F.size(F.array_intersect(F.col("n.sh"), F.col("c.sh")))
+                / F.size(F.array_union(F.col("n.sh"), F.col("c.sh")))
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .withColumn("is_dup", F.col("jaccard") >= F.lit(INCR_DUP_THRESHOLD))
+        .orderBy("new_doc", "corpus_doc")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH shingled AS ({shingles_sql(3)}),
+exploded AS (
+  SELECT doc_id, unnest(sh) AS sh FROM shingled WHERE len(sh) > 0
+),
+based AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h1,
+    ('0x' || substr(md5(sh), 17, 8))::BIGINT AS h2
+  FROM exploded
+),
+hashed AS (
+  SELECT doc_id, seed, (h1 + seed * h2) & {(1 << 60) - 1} AS h
+  FROM based, (SELECT unnest(range({MINHASH_K})) AS seed)
+),
+sig AS (
+  SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {BAND_R} AS band,
+         md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS sig
+  FROM sig GROUP BY doc_id, seed // {BAND_R}
+),
+cand AS (
+  SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc, COUNT(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig
+   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT new_doc, corpus_doc, n_shared_bands,
+  CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+    / len(list_distinct(list_concat(n.sh, c.sh))) AS jaccard,
+  CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+    / len(list_distinct(list_concat(n.sh, c.sh))) >= {INCR_DUP_THRESHOLD} AS is_dup
+FROM cand
+JOIN shingled n ON cand.new_doc = n.doc_id
+JOIN shingled c ON cand.corpus_doc = c.doc_id
+ORDER BY new_doc, corpus_doc
+"""
+
+
+class MinHashBandIndex:
+    """Persisted corpus band signatures for incremental dedup.
+
+    Layout: ``partitionBy(band, sig_pre)`` where ``sig_pre`` is the first
+    ``PREFIX_LEN`` hex chars of the band signature — bands x 256
+    directories whose statistics let a batch probe read only the slice it
+    can possibly collide with.
+    """
+
+    PREFIX_LEN = 2
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _bands(self, docs: DataFrame) -> DataFrame:
+        return minhash_band_table(docs).withColumn(
+            "sig_pre", F.substring("sig", 1, self.PREFIX_LEN)
+        )
+
+    def build(self, docs: DataFrame) -> None:
+        self._bands(docs).write.mode("overwrite").partitionBy(
+            "band", "sig_pre"
+        ).parquet(self.path)
+
+    def append(self, docs: DataFrame) -> None:
+        """Admit a (deduplicated) batch's signatures into the index."""
+        self._bands(docs).write.mode("append").partitionBy(
+            "band", "sig_pre"
+        ).parquet(self.path)
+
+    def match(self, new_docs: DataFrame, *, broadcast_batch: bool = True) -> DataFrame:
+        """(new_doc, corpus_doc, n_shared_bands) candidate pairs.
+
+        The batch's distinct ``(band, sig_pre)`` keys are collected
+        driver-side (<= bands x 16^PREFIX_LEN rows — metadata, the same
+        O(metadata) contract as MERGE's bucket list) and pushed as
+        partition filters, so the index scan touches only colliding
+        partitions.  ``broadcast_batch=False`` switches to a shuffle join
+        for batches too large to broadcast.
+        """
+        nb = self._bands(new_docs)
+        keys = (
+            nb.select("band", "sig_pre").distinct().collect()
+        )  # O(metadata): bounded by bands x 256
+        by_band: dict[int, set[str]] = {}
+        for r in keys:
+            by_band.setdefault(r["band"], set()).add(r["sig_pre"])
+        idx = self.spark.read.parquet(self.path)
+        cond = reduce(
+            lambda x, y: x | y,
+            [
+                (F.col("band") == b) & F.col("sig_pre").isin(sorted(pres))
+                for b, pres in sorted(by_band.items())
+            ],
+        )
+        idx = idx.filter(cond)
+        probe = F.broadcast(nb) if broadcast_batch else nb
+        return (
+            idx.alias("c")
+            .join(
+                probe.alias("n"),
+                (F.col("c.band") == F.col("n.band"))
+                & (F.col("c.sig") == F.col("n.sig")),
+            )
+            .groupBy(
+                F.col("n.doc_id").alias("new_doc"),
+                F.col("c.doc_id").alias("corpus_doc"),
+            )
+            .agg(F.count("*").alias("n_shared_bands"))
+        )
+
+
+QUERIES = {
+    "dedup_incremental_minhash": dedup_incremental_minhash,
+}
+
+ORACLES = {
+    "dedup_incremental_minhash": DEDUP_INCREMENTAL_SQL,
+}

@@ -1,0 +1,70 @@
+"""Incremental cross-corpus MinHash dedup (functions/dedup_incremental.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.functions.dedup_incremental import (
+    MinHashBandIndex,
+    dedup_incremental_minhash,
+)
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_inline_candidates_match_stored_index(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = MinHashBandIndex(spark, str(tmp_path / "mhidx"))
+    idx.build(corpus)
+    stored_pairs = {
+        (r["new_doc"], r["corpus_doc"], r["n_shared_bands"])
+        for r in idx.match(new).collect()
+    }
+    inline_pairs = {
+        (r["new_doc"], r["corpus_doc"], r["n_shared_bands"])
+        for r in dedup_incremental_minhash(spark, SF).collect()
+    }
+    assert stored_pairs == inline_pairs
+    assert stored_pairs, "fixture corpus must contain cross-split near-dups"
+
+
+def test_match_shuffle_mode_parity(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    idx = MinHashBandIndex(spark, str(tmp_path / "mhidx"))
+    idx.build(docs.filter(F.col("doc_id") % 2 == 0))
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    a = sorted(tuple(r) for r in idx.match(new, broadcast_batch=True).collect())
+    b = sorted(tuple(r) for r in idx.match(new, broadcast_batch=False).collect())
+    assert a == b
+
+
+def test_append_admits_new_signatures(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    idx = MinHashBandIndex(spark, str(tmp_path / "mhidx"))
+    idx.build(docs.filter(F.col("doc_id") % 4 == 0))
+    idx.append(docs.filter(F.col("doc_id") % 4 == 2))
+    # After append the index equals a fresh build over the union.
+    full = MinHashBandIndex(spark, str(tmp_path / "mhidx_full"))
+    full.build(docs.filter(F.col("doc_id") % 2 == 0))
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    got = sorted(tuple(r) for r in idx.match(new).collect())
+    want = sorted(tuple(r) for r in full.match(new).collect())
+    assert got == want
+
+
+def test_match_plan_prunes_and_never_cartesian(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    idx = MinHashBandIndex(spark, str(tmp_path / "mhidx"))
+    idx.build(docs.filter(F.col("doc_id") % 2 == 0))
+    out = idx.match(docs.filter(F.col("doc_id") % 2 == 1))
+    out.sparkSession.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the (band, sig_pre) keys reach the index scan as partition filters
+    assert "PartitionFilters: [" in plan
+    assert "sig_pre" in plan.split("PartitionFilters")[1][:600]
