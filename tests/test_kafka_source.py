@@ -116,3 +116,70 @@ def test_read_cdc_kafka_requires_schema_hint(spark):
 
     with pytest.raises(ValueError, match="schema_hint"):
         read_cdc_kafka(spark, "localhost:9092", "t", None)
+
+
+NESTED_HINT = {
+    "type": "struct",
+    "fields": [
+        {
+            "type": "struct",
+            "optional": True,
+            "field": "after",
+            "fields": [
+                {"type": "int32", "field": "id"},
+                {"type": "string", "field": "name"},
+            ],
+        },
+        {"type": "string", "optional": True, "field": "op"},
+    ],
+}
+
+
+def test_parse_cdc_kafka_nested_as_json(spark):
+    rows = [
+        (
+            None,
+            json.dumps(
+                {
+                    "schema": NESTED_HINT,
+                    "payload": {"after": {"id": 7, "name": "x"}, "op": "c"},
+                }
+            ).encode(),
+            "t1",
+            0,
+            0,
+            None,
+        )
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_SCHEMA)
+    df = parse_cdc_kafka(raw, NESTED_HINT, nested_as_json=True)
+    assert isinstance(df.schema["after"].dataType, T.StringType)
+    got = df.collect()[0]
+    assert json.loads(got["after"]) == {"id": 7, "name": "x"}
+    assert got["op"] == "c"
+
+
+def test_parse_cdc_kafka_strict_unknown_fields(spark):
+    import pytest
+
+    rows = [
+        (
+            None,
+            json.dumps(
+                {
+                    "schema": SCHEMA_HINT,
+                    "payload": {"id": 1, "name": "a", "surprise": True},
+                }
+            ).encode(),
+            "t1",
+            0,
+            0,
+            None,
+        )
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_SCHEMA)
+    # permissive default: parses, unknown key silently dropped
+    assert parse_cdc_kafka(raw, SCHEMA_HINT).collect()[0]["id"] == 1
+    # strict: materialization fails naming the offending key
+    with pytest.raises(Exception, match="surprise"):
+        parse_cdc_kafka(raw, SCHEMA_HINT, ignore_unknown_fields=False).collect()
