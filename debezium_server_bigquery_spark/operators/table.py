@@ -247,9 +247,16 @@ class ParquetTable:
         is safe: Spark's output committer only publishes files at job
         commit, so a failed attempt leaves nothing visible, and a replay of
         an already-committed epoch is skipped by the marker check.
+
+        The epoch marker records the exact row count written, measured by
+        ``DataFrame.observe`` DURING the write job — the consumer-metrics
+        analog (the reference polls Debezium MBeans for processed counts)
+        with zero extra pass over the data.
         """
         if self.epoch_committed(epoch_id):
             return
+        from pyspark.sql import Observation
+
         out = self.with_partition_col(df)
         live = self.read_raw() if self.exists() else None
         self.guard_create(live is not None)
@@ -259,15 +266,21 @@ class ParquetTable:
             for f in missing:
                 out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
         out = self._cluster_sort(out)
-        with_retry(
-            lambda: self._write_append(out),
-            policy=self.retry_policy,
-            describe=f"append {self.path}",
+
+        def attempt() -> Observation:
+            # fresh Observation per attempt: one Observation serves exactly
+            # one action, and a failed job must not leave a stale metric.
+            o = Observation()
+            self._write_append(out.observe(o, F.count(F.lit(1)).alias("rows")))
+            return o
+
+        obs = with_retry(
+            attempt, policy=self.retry_policy, describe=f"append {self.path}"
         )
         # Record what was actually written (restriction may have dropped
         # batch columns; evolution may have added live ones).
         self._write_meta(out.drop(self.partition_col()).schema.json())
-        self._commit_epoch(epoch_id, -1)
+        self._commit_epoch(epoch_id, int(obs.get["rows"]))
 
     def partition_file_counts(self) -> dict[str, int]:
         """Data-file count per partition directory (driver-side listing —
@@ -324,6 +337,28 @@ class ParquetTable:
             subset = subset.repartition(F.col(part_col))
         self.overwrite_partitions(subset, expected_partitions=values)
         return len(values)
+
+    def expire_partitions(self, keep_from: str) -> list[str]:
+        """Drop time partitions strictly older than ``keep_from`` — the
+        BigQuery time-partition *expiration* analog for append (audit-log)
+        tables.  ``keep_from`` is a partition value in this table's
+        granularity format (e.g. ``'2024-01'`` for MONTH): lexicographic
+        comparison is chronological for every PART_FORMATS pattern.  A
+        metadata-only operation (directory drops — at cluster scale, the
+        metastore partition-drop); returns the expired partition values.
+        Upsert (key-bucketed) tables refuse: their partitions are not time.
+        """
+        if self.mode == "upsert":
+            raise ValueError("expire_partitions applies to time-partitioned tables")
+        import shutil
+
+        expired = []
+        for d in sorted(self.partition_file_counts()):
+            value = d.split("=", 1)[1]
+            if value != "unknown" and value < keep_from:
+                shutil.rmtree(os.path.join(self.path, d))
+                expired.append(value)
+        return expired
 
     def overwrite_partitions(
         self, df: DataFrame, expected_partitions: Sequence[object] = ()
