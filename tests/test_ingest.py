@@ -71,6 +71,28 @@ def test_ingest_reingest_same_docs_rejected(spark, tmp_path):
     assert pipe.corpus().count() == n
 
 
+def test_ingest_run_stream_availablenow(spark, tmp_path):
+    """The streaming entry drains a file source through the same dedup
+    body; the drained corpus matches the batch-mode result."""
+    docs, batches = _batches(spark)
+    src_dir = str(tmp_path / "src")
+    docs.write.parquet(src_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+
+    pipe = DedupIngestPipeline(spark, str(tmp_path / "ing_s"))
+    q = pipe.run_stream(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    ref = DedupIngestPipeline(spark, str(tmp_path / "ing_b"))
+    ref.run_batch(docs)
+    # one big availableNow batch == one run_batch over the same rows
+    assert pipe.corpus().count() == ref.corpus().count()
+    assert (
+        pipe.corpus().select(F.md5("text")).distinct().count()
+        == pipe.corpus().count()
+    )
+
+
 def test_ingest_crash_between_index_and_rows_replays_cleanly(
     spark, tmp_path, monkeypatch
 ):
