@@ -152,6 +152,9 @@ def build_pipeline(spark, props: dict[str, str]):
         concurrent_uploads=int(
             props.get("debezium.sink.batch.concurrent-uploads", "1")
         ),
+        concurrent_uploads_timeout_minutes=float(
+            props.get("debezium.sink.batch.concurrent-uploads.timeout-minutes", "60")
+        ),
         dedup_order_col=props.get(
             "debezium.sink.bigquerystream.upsert-dedup-column", "__source_ts_ns"
         ),

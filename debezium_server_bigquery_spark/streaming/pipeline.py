@@ -66,6 +66,11 @@ class CdcPipeline:
     # carried here so the CLI/table metadata reflect the configured mode.
     nested_as_json: bool = False
     concurrent_uploads: int = 4  # debezium.sink.batch.concurrent-uploads
+    # debezium.sink.batch.concurrent-uploads.timeout-minutes
+    # (CommonConfig.java:32-34): bound on the whole parallel upload batch;
+    # expiry cancels pending tasks and fails the micro-batch (the epoch
+    # replays, markers make completed tables no-ops).
+    concurrent_uploads_timeout_minutes: float = 60.0
     dedup_order_col: str = "__source_ts_ns"  # ...upsert-dedup-column
     dedup_tiebreak: tuple[str, ...] = ()  # extra deterministic ordering cols
     n_buckets: int = 32
@@ -204,8 +209,41 @@ class CdcPipeline:
                         table.append(group, epoch_id=sub_epoch)
 
             if self.concurrent_uploads > 1 and len(dests) > 1:
-                with ThreadPoolExecutor(max_workers=self.concurrent_uploads) as pool:
-                    list(pool.map(upload, sorted(dests)))
+                # invokeAll-with-timeout parity (BaseChangeConsumer.java
+                # :243-270): wait for every per-table task up to the
+                # configured bound, aggregate ALL failures (not just the
+                # first), and surface timeouts as cancellations.
+                from concurrent.futures import wait
+
+                pool = ThreadPoolExecutor(max_workers=self.concurrent_uploads)
+                try:
+                    futures = {
+                        pool.submit(upload, d): d for d in sorted(dests)
+                    }
+                    done, not_done = wait(
+                        futures,
+                        timeout=self.concurrent_uploads_timeout_minutes * 60.0,
+                    )
+                    failures: list[str] = []
+                    first: BaseException | None = None
+                    for f in not_done:
+                        f.cancel()
+                        failures.append(
+                            f"{futures[f]}: timed out after "
+                            f"{self.concurrent_uploads_timeout_minutes} min"
+                        )
+                    for f in done:
+                        exc = f.exception()
+                        if exc is not None:
+                            first = first or exc
+                            failures.append(f"{futures[f]}: {exc}")
+                    if failures:
+                        raise RuntimeError(
+                            "one or more parallel upload tasks failed: "
+                            + "; ".join(sorted(failures))
+                        ) from first
+                finally:
+                    pool.shutdown(wait=False, cancel_futures=True)
             else:
                 for dest in sorted(dests):
                     upload(dest)

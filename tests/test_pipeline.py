@@ -174,3 +174,54 @@ def test_pkless_upsert_modes_fall_back_to_append(spark, sf_dir, tmp_path):
         p.run_batch(cdc)
         total = sum(p.read_table(d).count() for d in p.tables)
         assert total == expected, mode
+
+
+def test_parallel_upload_timeout_fails_batch(spark, sf_dir, tmp_path):
+    # concurrent-uploads.timeout-minutes parity (CommonConfig.java:32-34,
+    # BaseChangeConsumer.java:243-253): a hung per-table task cancels the
+    # batch with a timeout error instead of blocking forever.
+    import time
+
+    import pytest
+
+    def slow(df):
+        time.sleep(3)
+        return df
+
+    p = CdcPipeline(
+        spark,
+        str(tmp_path / "tgt"),
+        mode="append",
+        concurrent_uploads=4,
+        concurrent_uploads_timeout_minutes=0.005,  # 300 ms
+        transforms={"*": [slow]},
+    )
+    with pytest.raises(RuntimeError, match="timed out"):
+        p.run_batch(_cdc_df(spark, sf_dir))
+
+
+def test_parallel_upload_aggregates_all_failures(spark, sf_dir, tmp_path):
+    # invokeAll parity: every failed destination is reported, not just the
+    # first (BaseChangeConsumer.java:255-266).
+    import pytest
+
+    def boom_for(dest):
+        def fn(df):
+            raise ValueError(f"boom-{dest}")
+
+        return fn
+
+    p = CdcPipeline(
+        spark,
+        str(tmp_path / "tgt"),
+        mode="append",
+        concurrent_uploads=4,
+        transforms={
+            "testc_inventory_events_p0": [boom_for("p0")],
+            "testc_inventory_events_p2": [boom_for("p2")],
+        },
+    )
+    with pytest.raises(RuntimeError) as ei:
+        p.run_batch(_cdc_df(spark, sf_dir))
+    msg = str(ei.value)
+    assert "boom-p0" in msg and "boom-p2" in msg
