@@ -142,6 +142,12 @@ def build_pipeline(spark, props: dict[str, str]):
             "debezium.sink.batch.destination-regexp-replace", ""
         ),
         nested_as_json=_bool(props.get("debezium.sink.batch.nested-as-json")),
+        heartbeat_prefix=props.get(
+            "debezium.source.topic.heartbeat.prefix", "__debezium-heartbeat"
+        ),
+        heartbeat_skip=_bool(
+            props.get("debezium.source.topic.heartbeat.skip-consuming"), True
+        ),
         allow_field_addition=_bool(
             props.get(f"{sink}.allow-field-addition"),
             sink_type == "bigquerybatch",  # per-sink reference defaults

@@ -59,6 +59,11 @@ class CdcPipeline:
     max_staleness_batches: int = 4
     destination_regexp: str = ""  # debezium.sink.batch.destination-regexp
     destination_regexp_replace: str = ""
+    # debezium.source.topic.heartbeat.prefix / .skip-consuming
+    # (DebeziumConfig.java:82-88): heartbeat topics are skipped by default;
+    # skip=False lets them replicate like any destination.
+    heartbeat_prefix: str = "__debezium-heartbeat"
+    heartbeat_skip: bool = True
     # debezium.sink.batch.nested-as-json (CommonConfig.java:24-26): when the
     # source runs without ExtractNewRecordState, sub-structs of the envelope
     # (before/after/source/transaction) land as JSON text columns.  Consumed
@@ -161,7 +166,8 @@ class CdcPipeline:
 
     # -- the micro-batch body (== handleBatch, BaseChangeConsumer.java:139) --
     def process_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
-        batch = filter_heartbeats(batch)
+        if self.heartbeat_skip:
+            batch = filter_heartbeats(batch, self.heartbeat_prefix)
         batch = drop_tombstones(batch)
         batch = self._coerce_meta(batch)
         batch = rewrite_destination(

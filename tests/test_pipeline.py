@@ -225,3 +225,20 @@ def test_parallel_upload_aggregates_all_failures(spark, sf_dir, tmp_path):
         p.run_batch(_cdc_df(spark, sf_dir))
     msg = str(ei.value)
     assert "boom-p0" in msg and "boom-p2" in msg
+
+
+def test_heartbeat_skip_consuming_false_replicates_heartbeats(
+    spark, sf_dir, tmp_path
+):
+    # debezium.source.topic.heartbeat.skip-consuming=false
+    # (DebeziumConfig.java:86-88): heartbeat topics replicate like any
+    # destination instead of being dropped.
+    p = CdcPipeline(
+        spark, str(tmp_path / "tgt"), mode="append", heartbeat_skip=False
+    )
+    cdc = _cdc_df(spark, sf_dir)
+    p.run_batch(cdc)
+    dests = sorted(os.listdir(tmp_path / "tgt"))
+    assert "__debezium-heartbeat_testc" in dests
+    n_hb = cdc.filter(F.col("destination").startswith("__debezium")).count()
+    assert p.read_table("__debezium-heartbeat_testc").count() == n_hb
