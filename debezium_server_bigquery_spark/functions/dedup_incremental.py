@@ -136,13 +136,20 @@ ORDER BY new_doc, corpus_doc
 """
 
 
+# Synthetic band id carrying the full-content hash: exact copies collide
+# here even when the text is too short to produce any shingle (< n-gram
+# tokens), so cross-batch exact dedup rides the same pruned index probe.
+EXACT_BAND = -1
+
+
 class MinHashBandIndex:
     """Persisted corpus band signatures for incremental dedup.
 
     Layout: ``partitionBy(band, sig_pre)`` where ``sig_pre`` is the first
-    ``PREFIX_LEN`` hex chars of the band signature — bands x 256
+    ``PREFIX_LEN`` hex chars of the band signature — (bands+1) x 256
     directories whose statistics let a batch probe read only the slice it
-    can possibly collide with.
+    can possibly collide with.  Besides the LSH bands every document
+    stores one ``EXACT_BAND`` row keyed by ``md5(text)``.
     """
 
     PREFIX_LEN = 2
@@ -151,36 +158,70 @@ class MinHashBandIndex:
         self.spark = spark
         self.path = path
 
-    def _bands(self, docs: DataFrame) -> DataFrame:
-        return minhash_band_table(docs).withColumn(
+    def signatures(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, band, sig, sig_pre) rows: LSH bands + the exact-hash
+        band.  Compute ONCE per batch and share between in-batch self-joins
+        and :meth:`match_bands` (persist it — three derivations of the
+        shingle/minhash pipeline per batch is the expensive mistake)."""
+        lsh = minhash_band_table(docs)
+        exact = docs.select(
+            "doc_id",
+            F.lit(EXACT_BAND).cast("long").alias("band"),
+            F.md5("text").alias("sig"),
+        )
+        return lsh.unionByName(exact).withColumn(
             "sig_pre", F.substring("sig", 1, self.PREFIX_LEN)
         )
 
     def build(self, docs: DataFrame) -> None:
-        self._bands(docs).write.mode("overwrite").partitionBy(
+        self.signatures(docs).write.mode("overwrite").partitionBy(
             "band", "sig_pre"
         ).parquet(self.path)
 
     def append(self, docs: DataFrame) -> None:
         """Admit a (deduplicated) batch's signatures into the index."""
-        self._bands(docs).write.mode("append").partitionBy(
-            "band", "sig_pre"
-        ).parquet(self.path)
+        self.append_bands(self.signatures(docs))
 
-    def match(self, new_docs: DataFrame, *, broadcast_batch: bool = True) -> DataFrame:
-        """(new_doc, corpus_doc, n_shared_bands) candidate pairs.
+    def append_bands(self, sig_rows: DataFrame) -> None:
+        """Admit precomputed :meth:`signatures` rows (reuse, don't re-derive)."""
+        sig_rows.write.mode("append").partitionBy("band", "sig_pre").parquet(
+            self.path
+        )
 
-        The batch's distinct ``(band, sig_pre)`` keys are collected
-        driver-side (<= bands x 16^PREFIX_LEN rows — metadata, the same
-        O(metadata) contract as MERGE's bucket list) and pushed as
+    def _empty_result(self) -> DataFrame:
+        from pyspark.sql import types as T
+
+        return self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("new_doc", T.LongType()),
+                    T.StructField("corpus_doc", T.LongType()),
+                    T.StructField("n_shared_bands", T.LongType()),
+                    T.StructField("exact_match", T.BooleanType()),
+                ]
+            ),
+        )
+
+    def match_bands(
+        self, probe: DataFrame, *, broadcast_batch: bool = True
+    ) -> DataFrame:
+        """Candidate pairs for precomputed probe ``signatures`` rows:
+        (new_doc, corpus_doc, n_shared_bands, exact_match) where
+        ``n_shared_bands`` counts DISTINCT LSH bands (immune to duplicate
+        index rows left by crash replays — the ingest contract) and
+        ``exact_match`` marks a full-content hash collision.
+
+        The probe's distinct ``(band, sig_pre)`` keys are collected
+        driver-side (<= (bands+1) x 16^PREFIX_LEN rows — metadata, the
+        same O(metadata) contract as MERGE's bucket list) and pushed as
         partition filters, so the index scan touches only colliding
         partitions.  ``broadcast_batch=False`` switches to a shuffle join
         for batches too large to broadcast.
         """
-        nb = self._bands(new_docs)
-        keys = (
-            nb.select("band", "sig_pre").distinct().collect()
-        )  # O(metadata): bounded by bands x 256
+        keys = probe.select("band", "sig_pre").distinct().collect()
+        if not keys:  # empty batch / all docs shorter than one shingle
+            return self._empty_result()
         by_band: dict[int, set[str]] = {}
         for r in keys:
             by_band.setdefault(r["band"], set()).add(r["sig_pre"])
@@ -193,11 +234,11 @@ class MinHashBandIndex:
             ],
         )
         idx = idx.filter(cond)
-        probe = F.broadcast(nb) if broadcast_batch else nb
+        side = F.broadcast(probe) if broadcast_batch else probe
         return (
             idx.alias("c")
             .join(
-                probe.alias("n"),
+                side.alias("n"),
                 (F.col("c.band") == F.col("n.band"))
                 & (F.col("c.sig") == F.col("n.sig")),
             )
@@ -205,7 +246,18 @@ class MinHashBandIndex:
                 F.col("n.doc_id").alias("new_doc"),
                 F.col("c.doc_id").alias("corpus_doc"),
             )
-            .agg(F.count("*").alias("n_shared_bands"))
+            .agg(
+                F.count_distinct(
+                    F.when(F.col("c.band") != EXACT_BAND, F.col("c.band"))
+                ).alias("n_shared_bands"),
+                F.max(F.col("c.band") == EXACT_BAND).alias("exact_match"),
+            )
+        )
+
+    def match(self, new_docs: DataFrame, *, broadcast_batch: bool = True) -> DataFrame:
+        """Convenience wrapper: compute the batch signatures and probe."""
+        return self.match_bands(
+            self.signatures(new_docs), broadcast_batch=broadcast_batch
         )
 
 

@@ -56,12 +56,12 @@ def with_retry(
     original exception so callers keep their error semantics.
     """
     start = clock()
-    last: BaseException | None = None
+    last: Exception | None = None
     for attempt in range(1, policy.attempts + 1):
         try:
             return action()
-        except BaseException as exc:  # noqa: BLE001 — budget decides, not type
-            last = exc
+        except Exception as exc:  # KeyboardInterrupt/SystemExit propagate:
+            last = exc  # an interactive abort must not re-run a 5-min write
             if attempt >= policy.attempts:
                 break
             if clock() - start >= policy.max_elapsed_s:

@@ -223,19 +223,39 @@ class ParquetTable:
         out.write.mode("append").partitionBy(self.partition_col()).parquet(self.path)
 
     def guard_create(self, live_exists: bool) -> None:
-        """create-if-needed parity (StreamBigqueryChangeConsumer.java:291)."""
-        if not live_exists and not self.create_if_needed:
+        """create-if-needed parity (StreamBigqueryChangeConsumer.java:291).
+
+        A table whose every row was deleted still EXISTS (its meta file
+        survives an all-bucket delete — ``read()`` serves it as an empty
+        frame), so existence is ``self.exists() or live data present``.
+        """
+        if not (live_exists or self.exists()) and not self.create_if_needed:
             raise ValueError(
                 f"table {self.path} does not exist and create-if-needed is false"
             )
 
+    def known_columns(self, live: DataFrame | None) -> list[str] | None:
+        """Column names the table currently knows: live data if present,
+        else the meta-recorded schema (an emptied table keeps its schema);
+        None when the table has never been created."""
+        if live is not None:
+            return list(live.columns)
+        if self.exists():
+            with open(self.meta_path, "r", encoding="utf-8") as fh:
+                meta = json.load(fh)
+            return [f["name"] for f in meta["schema"]["fields"]]
+        return None
+
     def restrict_to_live(self, df: DataFrame, live: DataFrame | None) -> DataFrame:
-        """Drop columns the live table does not know when field addition is
+        """Drop columns the table does not know when field addition is
         disabled (BatchBigqueryChangeConsumer.java:72,
         StreamBigqueryChangeConsumer.java:300 gate the schema update)."""
-        if self.allow_field_addition or live is None:
+        if self.allow_field_addition:
             return df
-        known = set(live.columns) | {self.partition_col()}
+        cols = self.known_columns(live)
+        if cols is None:
+            return df
+        known = set(cols) | {self.partition_col()}
         extra = [c for c in df.columns if c not in known]
         return df.drop(*extra) if extra else df
 

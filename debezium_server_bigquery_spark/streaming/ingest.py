@@ -33,8 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from debezium_server_bigquery_spark.functions.dedup_fuzzy import minhash_band_table
 from debezium_server_bigquery_spark.functions.dedup_incremental import (
+    EXACT_BAND,
     MinHashBandIndex,
 )
 from debezium_server_bigquery_spark.operators.table import ParquetTable
@@ -72,9 +72,12 @@ class DedupIngestPipeline:
             )
         return self._index
 
-    def _novel(self, batch: DataFrame) -> DataFrame:
-        """Batch rows that survive in-batch exact dedup and the corpus
-        near-dup probe."""
+    def _novel(self, batch: DataFrame, sigs: DataFrame) -> DataFrame:
+        """Batch rows that survive in-batch exact dedup, in-batch near-dup
+        thinning, and the corpus probe.  ``sigs`` is the batch's persisted
+        :meth:`MinHashBandIndex.signatures` frame — computed ONCE by the
+        caller and shared by the self-join and the index probe (the
+        shingle/minhash pipeline is the dominant per-batch CPU)."""
         # (1) in-batch exact dedup, keep-first by doc_id (deterministic).
         w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
         batch = (
@@ -82,12 +85,14 @@ class DedupIngestPipeline:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # (2) in-batch NEAR-dup elimination: band self-join within the
+        # (2) in-batch NEAR-dup elimination: LSH-band self-join within the
         # batch (cost bounded by batch size, not corpus), greedy
         # keep-smallest — any doc with a smaller near-dup partner is
         # rejected, so no admitted pair can share >= dup_bands bands.
-        bands = minhash_band_table(batch.select("doc_id", "text"))
-        a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+        # (Exact in-batch copies are already gone via the md5 window, so
+        # the EXACT_BAND rows are excluded here.)
+        lsh = sigs.filter(F.col("band") != EXACT_BAND)
+        a, b = lsh.alias("a"), lsh.hint("shuffle_hash").alias("b")
         losers = (
             a.join(
                 b,
@@ -98,26 +103,30 @@ class DedupIngestPipeline:
             .groupBy(
                 F.col("a.doc_id").alias("keep"), F.col("b.doc_id").alias("doc_id")
             )
-            .agg(F.count("*").alias("n"))
+            .agg(F.count_distinct("a.band").alias("n"))
             .filter(F.col("n") >= self.dup_bands)
             .select("doc_id")
             .distinct()
         )
         batch = batch.join(losers, "doc_id", "left_anti")
-        # (3) near-dup probe against the admitted corpus.
+        # (3) probe against the admitted corpus: near-dup by distinct LSH
+        # bands OR exact full-content hash (catches identical docs too
+        # short to shingle).
         if not os.path.isdir(self.index.path) or not self.table.exists():
             return batch  # first batch: nothing admitted yet
-        matches = self.index.match(batch.select("doc_id", "text"))
+        matches = self.index.match_bands(sigs)
         # Truth filter: the index may hold orphaned signatures from a crash
         # between index append and row append — only matches whose corpus
         # doc was actually admitted count (doc_id-only columnar scan).
         admitted = self.table.read().select(F.col("doc_id").alias("corpus_doc"))
         dup_ids = (
             matches.join(admitted, "corpus_doc", "leftsemi")
-            .groupBy("new_doc")
-            .agg(F.max("n_shared_bands").alias("max_shared"))
-            .filter(F.col("max_shared") >= self.dup_bands)
+            .filter(
+                F.col("exact_match")
+                | (F.col("n_shared_bands") >= self.dup_bands)
+            )
             .select(F.col("new_doc").alias("doc_id"))
+            .distinct()
         )
         return batch.join(dup_ids, "doc_id", "left_anti")
 
@@ -125,7 +134,10 @@ class DedupIngestPipeline:
     def process_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
         if self.table.epoch_committed(epoch_id):
             return
-        novel = self._novel(batch)
+        # One signature pass per batch, shared by the in-batch self-join,
+        # the corpus probe, and the index append.
+        sigs = self.index.signatures(batch.select("doc_id", "text")).persist()
+        novel = self._novel(batch, sigs)
         novel.persist()
         try:
             if novel.limit(1).count() == 0:
@@ -136,10 +148,13 @@ class DedupIngestPipeline:
             # contract): orphaned signatures are filtered by the corpus
             # membership check, whereas admitted-but-unindexed rows would
             # silently stop catching future duplicates.
-            self.index.append(novel.select("doc_id", "text"))
+            self.index.append_bands(
+                sigs.join(novel.select("doc_id"), "doc_id", "leftsemi")
+            )
             self.table.append(novel, epoch_id=epoch_id)
         finally:
             novel.unpersist()
+            sigs.unpersist()
 
     def run_batch(self, df: DataFrame) -> None:
         self.process_batch(df, epoch_id=None)

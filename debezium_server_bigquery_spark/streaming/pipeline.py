@@ -218,13 +218,29 @@ class CdcPipeline:
                 # invokeAll-with-timeout parity (BaseChangeConsumer.java
                 # :243-270): wait for every per-table task up to the
                 # configured bound, aggregate ALL failures (not just the
-                # first), and surface timeouts as cancellations.
+                # first), and surface timeouts as cancellations.  Expiry
+                # also cancels the stragglers' SPARK JOBS via a shared job
+                # group — a Python thread cannot be killed, but killing its
+                # in-flight job makes the write raise and the thread exit,
+                # so a replayed epoch never races a zombie writer on the
+                # same table.
+                import uuid
                 from concurrent.futures import wait
+
+                sc = self.spark.sparkContext
+                group = f"cdc-upload-{uuid.uuid4().hex[:8]}"
+
+                def grouped_upload(dest: str) -> None:
+                    sc.setJobGroup(group, f"upload {dest}", True)
+                    try:
+                        upload(dest)
+                    finally:
+                        sc.setJobGroup("", "")
 
                 pool = ThreadPoolExecutor(max_workers=self.concurrent_uploads)
                 try:
                     futures = {
-                        pool.submit(upload, d): d for d in sorted(dests)
+                        pool.submit(grouped_upload, d): d for d in sorted(dests)
                     }
                     done, not_done = wait(
                         futures,
@@ -232,6 +248,8 @@ class CdcPipeline:
                     )
                     failures: list[str] = []
                     first: BaseException | None = None
+                    if not_done:
+                        sc.cancelJobGroup(group)
                     for f in not_done:
                         f.cancel()
                         failures.append(

@@ -13,6 +13,16 @@ from debezium_server_bigquery_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 
 
+def _lsh_pairs(df):
+    """Stored-index matches restricted to the LSH-band view the inline
+    query produces (exact-only pairs carry n_shared_bands = 0)."""
+    return {
+        (r["new_doc"], r["corpus_doc"], r["n_shared_bands"])
+        for r in df.collect()
+        if r["n_shared_bands"] > 0
+    }
+
+
 def test_inline_candidates_match_stored_index(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
@@ -20,10 +30,7 @@ def test_inline_candidates_match_stored_index(spark, tmp_path):
 
     idx = MinHashBandIndex(spark, str(tmp_path / "mhidx"))
     idx.build(corpus)
-    stored_pairs = {
-        (r["new_doc"], r["corpus_doc"], r["n_shared_bands"])
-        for r in idx.match(new).collect()
-    }
+    stored_pairs = _lsh_pairs(idx.match(new))
     inline_pairs = {
         (r["new_doc"], r["corpus_doc"], r["n_shared_bands"])
         for r in dedup_incremental_minhash(spark, SF).collect()
@@ -54,6 +61,47 @@ def test_append_admits_new_signatures(spark, tmp_path):
     got = sorted(tuple(r) for r in idx.match(new).collect())
     want = sorted(tuple(r) for r in full.match(new).collect())
     assert got == want
+
+
+def test_duplicate_index_rows_do_not_inflate_band_counts(spark, tmp_path):
+    """Crash-replay contract: re-appending the same signatures (the crash
+    window in streaming/ingest.py) must not change any n_shared_bands —
+    distinct-band counting makes duplicates harmless."""
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = MinHashBandIndex(spark, str(tmp_path / "mhidx"))
+    idx.build(corpus)
+    before = sorted(tuple(r) for r in idx.match(new).collect())
+    idx.append(corpus)  # duplicate every signature row
+    after = sorted(tuple(r) for r in idx.match(new).collect())
+    assert before == after
+
+
+def test_exact_band_catches_unshingleable_docs(spark, tmp_path):
+    """Docs shorter than one shingle produce no LSH bands; identical text
+    must still collide via the exact-hash band."""
+    corpus = spark.createDataFrame(
+        [(1, "hello world"), (2, "tiny")], "doc_id long, text string"
+    )
+    idx = MinHashBandIndex(spark, str(tmp_path / "mhidx"))
+    idx.build(corpus)
+    probe = spark.createDataFrame(
+        [(11, "hello world"), (12, "fresh text")], "doc_id long, text string"
+    )
+    rows = {(r["new_doc"], r["corpus_doc"]): r for r in idx.match(probe).collect()}
+    assert (11, 1) in rows
+    assert rows[(11, 1)]["exact_match"] is True
+    assert rows[(11, 1)]["n_shared_bands"] == 0
+    assert not any(nd == 12 for nd, _ in rows)
+
+
+def test_match_empty_probe_returns_empty(spark, tmp_path):
+    corpus = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    idx = MinHashBandIndex(spark, str(tmp_path / "mhidx"))
+    idx.build(corpus)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert idx.match(empty).count() == 0
 
 
 def test_match_plan_prunes_and_never_cartesian(spark, tmp_path):

@@ -69,6 +69,35 @@ def test_merge_field_addition_disabled_keeps_target_schema(spark, tmp_path):
     assert got.count() == 8
 
 
+def test_emptied_table_still_exists_for_create_and_restriction(spark, tmp_path):
+    """A table whose every row was deleted keeps its meta file: it EXISTS,
+    so create-if-needed=false must not reject writes to it, and
+    allow-field-addition=false must still restrict against the
+    meta-recorded schema."""
+    t = ParquetTable(
+        spark,
+        str(tmp_path / "t"),
+        key_cols=["id"],
+        mode="upsert",
+        n_buckets=4,
+        create_if_needed=False,
+        allow_field_addition=False,
+    )
+    seed = ParquetTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], mode="upsert", n_buckets=4
+    )
+    merge_upsert(seed, _rows(spark, range(4)), epoch_id=0)
+    # delete every row -> all bucket partitions dropped, meta survives
+    deletes = _rows(spark, range(4)).withColumn("__op", F.lit("d"))
+    merge_upsert(seed, deletes, epoch_id=1)
+    assert seed.read().count() == 0 and t.exists()
+    # strict table accepts new writes (it exists) and sheds unknown columns
+    merge_upsert(t, _rows(spark, range(2), extra=True), epoch_id=2)
+    got = t.read()
+    assert got.count() == 2
+    assert "new_col" not in got.columns
+
+
 def test_create_if_needed_false_fails_on_missing_table(spark, tmp_path):
     t = ParquetTable(
         spark, str(tmp_path / "t"), mode="append", create_if_needed=False

@@ -71,6 +71,43 @@ def test_ingest_reingest_same_docs_rejected(spark, tmp_path):
     assert pipe.corpus().count() == n
 
 
+def test_ingest_short_doc_exact_dup_rejected_across_batches(spark, tmp_path):
+    """A document too short to shingle (no LSH bands) must still be
+    rejected when an identical copy arrives in a later batch — the
+    exact-hash band covers it."""
+    pipe = DedupIngestPipeline(spark, str(tmp_path / "ing"))
+    b1 = spark.createDataFrame(
+        [(1, "hello world"), (2, "a distinctly longer document body here")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(11, "hello world"), (12, "completely novel content for batch two")],
+        "doc_id long, text string",
+    )
+    pipe.process_batch(b1, epoch_id=0)
+    pipe.process_batch(b2, epoch_id=1)
+    admitted = {r["doc_id"] for r in pipe.corpus().select("doc_id").collect()}
+    assert admitted == {1, 2, 12}  # 11 is an exact copy of 1
+
+
+def test_ingest_all_short_doc_batch_does_not_crash(spark, tmp_path):
+    """A non-first batch whose docs all lack shingles AND exact matches
+    must flow through (empty-probe guard) and be admitted."""
+    pipe = DedupIngestPipeline(spark, str(tmp_path / "ing"))
+    pipe.process_batch(
+        spark.createDataFrame(
+            [(1, "some reasonably long first document")], "doc_id long, text string"
+        ),
+        epoch_id=0,
+    )
+    pipe.process_batch(
+        spark.createDataFrame([(2, "tiny one")], "doc_id long, text string"),
+        epoch_id=1,
+    )
+    admitted = {r["doc_id"] for r in pipe.corpus().select("doc_id").collect()}
+    assert admitted == {1, 2}
+
+
 def test_ingest_run_stream_availablenow(spark, tmp_path):
     """The streaming entry drains a file source through the same dedup
     body; the drained corpus matches the batch-mode result."""

@@ -50,6 +50,20 @@ def test_with_retry_exhausts_budget_and_reraises():
     assert flaky.calls == 5  # attempts budget, ConsumerUtil.java:138
 
 
+def test_with_retry_lets_interrupts_propagate():
+    """Ctrl-C during a write must abort immediately, not re-run the
+    action for 5 attempts."""
+    calls = {"n": 0}
+
+    def interrupted():
+        calls["n"] += 1
+        raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        with_retry(interrupted, policy=NO_WAIT_POLICY)
+    assert calls["n"] == 1
+
+
 def test_with_retry_respects_elapsed_cap():
     flaky = Flaky(fail_times=100)
     t = {"now": 0.0}
