@@ -43,6 +43,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.operators.skewjoin",),
         ("debezium_server_bigquery_spark.functions.dedup_fuzzy",),
         ("debezium_server_bigquery_spark.functions.dedup_incremental",),
+        ("debezium_server_bigquery_spark.functions.timeseries",),
         ("debezium_server_bigquery_spark.functions.similarity",),
         ("debezium_server_bigquery_spark.functions.sketches",),
         ("debezium_server_bigquery_spark.functions.text",),
