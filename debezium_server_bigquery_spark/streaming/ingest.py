@@ -20,8 +20,9 @@ its corpus_doc actually exists in the corpus table (a doc_id semi-join;
 column-pruned to one slim column).  A crash between the two appends
 replays cleanly: the batch matches its own orphaned signatures, but those
 corpus_docs are absent from the table, so the rows are still admitted
-(duplicate signatures in the index are harmless — matching aggregates
-with max()).  Epoch markers on the corpus table make full replays no-ops.
+(duplicate signatures in the index are harmless — matching counts
+DISTINCT bands).  Epoch markers on the corpus table make full replays
+no-ops.
 """
 
 from __future__ import annotations
