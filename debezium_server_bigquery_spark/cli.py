@@ -183,6 +183,7 @@ def build_source(spark, props: dict[str, str]):
     ignore_unknown = _bool(
         props.get("debezium.sink.bigquerystream.ignore-unknown-fields"), True
     )
+    nested = _bool(props.get("debezium.sink.batch.nested-as-json"))
     if kind == "synthetic":
         from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
         from debezium_server_bigquery_spark.sources.tables import load_table
@@ -196,7 +197,7 @@ def build_source(spark, props: dict[str, str]):
             spark,
             props["engine.source.path"],
             streaming=streaming,
-            nested_as_json=_bool(props.get("debezium.sink.batch.nested-as-json")),
+            nested_as_json=nested,
             ignore_unknown_fields=ignore_unknown,
         )
     if kind == "kafka":
@@ -211,7 +212,7 @@ def build_source(spark, props: dict[str, str]):
             props["engine.source.kafka.topics"],
             json.loads(hint) if hint else None,
             streaming=streaming,
-            nested_as_json=_bool(props.get("debezium.sink.batch.nested-as-json")),
+            nested_as_json=nested,
             ignore_unknown_fields=ignore_unknown,
         )
     raise ValueError(f"unsupported engine.source: {kind}")

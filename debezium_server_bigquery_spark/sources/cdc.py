@@ -68,8 +68,7 @@ def unknown_field_paths(payload_text, node: dict) -> "F.Column":
                 F.get_json_object(payload_text, f"$.{name}"), f
             )
             parts.append(F.transform(sub, lambda p: F.concat(F.lit(f"{name}."), p)))
-    out = parts[0] if len(parts) == 1 else F.concat(*parts)
-    return out
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
 def _strict_unknown_guard(payload_text, schema_hint: dict, col):
