@@ -54,6 +54,9 @@ Engine namespace:
 - ``engine.source.path``       ndjson: file or directory of event lines
 - ``engine.source.kafka.bootstrap-servers`` / ``engine.source.kafka.topics``
 - ``engine.streaming``         true -> run_stream (availableNow), else run_batch
+- ``engine.on-error``          fail (default; reference DebeziumException
+  parity on malformed/unknown-field events) | route (flag rows instead)
+- ``engine.rejects-destination``  dead-letter table name for routed rows
 """
 
 from __future__ import annotations
@@ -173,6 +176,7 @@ def build_pipeline(spark, props: dict[str, str]):
             for c in props.get("engine.dedup-tiebreak", "").split(",")
             if c.strip()
         ),
+        rejects_destination=props.get("engine.rejects-destination") or None,
     )
 
 
@@ -184,6 +188,9 @@ def build_source(spark, props: dict[str, str]):
         props.get("debezium.sink.bigquerystream.ignore-unknown-fields"), True
     )
     nested = _bool(props.get("debezium.sink.batch.nested-as-json"))
+    # engine.on-error: fail (reference DebeziumException parity) | route
+    # (emit __reject_reason; pair with engine.rejects-destination).
+    on_error = props.get("engine.on-error", "fail")
     if kind == "synthetic":
         from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
         from debezium_server_bigquery_spark.sources.tables import load_table
@@ -199,6 +206,7 @@ def build_source(spark, props: dict[str, str]):
             streaming=streaming,
             nested_as_json=nested,
             ignore_unknown_fields=ignore_unknown,
+            on_error=on_error,
         )
     if kind == "kafka":
         import json
@@ -214,6 +222,7 @@ def build_source(spark, props: dict[str, str]):
             streaming=streaming,
             nested_as_json=nested,
             ignore_unknown_fields=ignore_unknown,
+            on_error=on_error,
         )
     raise ValueError(f"unsupported engine.source: {kind}")
 

@@ -37,6 +37,11 @@ OP_CASE = (
 
 HEARTBEAT_PREFIX = "__debezium-heartbeat"
 
+# Column names the readers emit in on_error="route" mode; the pipeline
+# splits on REJECT_COL and diverts flagged rows to the rejects table.
+REJECT_COL = "__reject_reason"
+REJECT_RAW_COL = "__raw"
+
 
 def unknown_field_paths(payload_text, node: dict) -> "F.Column":
     """Array<string> of JSON paths present in ``payload_text`` but absent
@@ -71,23 +76,45 @@ def unknown_field_paths(payload_text, node: dict) -> "F.Column":
     return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
-def _strict_unknown_guard(payload_text, schema_hint: dict, col):
-    """Wrap ``col`` so materializing a row with unknown payload fields fails
-    with a clear error — the Spark-side analog of the reference's failed
-    stream append under ignore-unknown-fields=false."""
-    unk = unknown_field_paths(payload_text, schema_hint)
-    return F.when(
-        F.size(unk) > 0,
-        F.raise_error(
+def reject_reason(value_col, payload_text, schema_hint: dict, strict: bool):
+    """NULL for clean rows, else why the event must not reach its table.
+
+    Two reject classes, mirroring the two ways the reference's conversion/
+    append path throws (it has no dead-letter concept — any of these stops
+    the whole pipeline with a DebeziumException):
+
+    - **malformed wire JSON** — Jackson would throw in DebeziumSerdes
+      deserialization (BaseChangeConsumer.java:65-66).  ``from_json`` instead
+      yields an all-null struct, indistinguishable from a tombstone, so the
+      garbage would otherwise be *silently dropped* by R5.  Detection is
+      pure Catalyst: ``json_object_keys`` is NULL for anything that is not a
+      JSON object, while blank/NULL values (real tombstones) are excluded.
+    - **unknown payload fields** under ignore-unknown-fields=false
+      (StreamConsumerConfig.java:30-32) — the failed-append analog.
+
+    At 100 TB one poisoned record must not kill a 1000-executor job; the
+    route mode turns both classes into a ``__reject_reason`` column the
+    pipeline diverts to a dead-letter table instead of raising.
+    """
+    is_blank = value_col.isNull() | (F.trim(value_col) == "")
+    malformed = (~is_blank) & F.json_object_keys(F.trim(value_col)).isNull()
+    reason = F.when(
+        malformed,
+        F.concat(F.lit("malformed JSON: "), F.substring(F.trim(value_col), 1, 120)),
+    )
+    if strict:
+        unk = unknown_field_paths(payload_text, schema_hint)
+        reason = reason.when(
+            F.size(unk) > 0,
             F.concat(
                 F.lit(
                     "unknown payload field(s) not in schema "
                     "(ignore-unknown-fields=false): "
                 ),
                 F.concat_ws(", ", unk),
-            )
-        ),
-    ).otherwise(col)
+            ),
+        )
+    return reason.otherwise(F.lit(None).cast("string"))
 
 
 def synthesize_cdc_events(events: DataFrame) -> DataFrame:
@@ -162,6 +189,7 @@ def parse_cdc_kafka(
     *,
     nested_as_json: bool = False,
     ignore_unknown_fields: bool = True,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Kafka-wire rows -> flattened CDC rows (S1's production path).
 
@@ -178,13 +206,30 @@ def parse_cdc_kafka(
     dropped by the pipeline's R5 stage, matching
     ``debezium.transforms.unwrap.drop.tombstones=true``
     (docs/configuration.md:24).
+
+    ``on_error`` decides what happens to a value that cannot be converted
+    (malformed JSON, or unknown payload fields under strict mode):
+    ``"fail"`` raises — the reference's DebeziumException parity — while
+    ``"route"`` emits ``__reject_reason``/``__raw`` columns so the pipeline
+    can divert poisoned records to a dead-letter table and keep running.
     """
+    if on_error not in ("fail", "route"):
+        raise ValueError(f"on_error must be 'fail' or 'route', got {on_error!r}")
     struct = debezium_schema_to_struct(schema_hint, nested_as_json=nested_as_json)
     val = F.col("value").cast("string")
     payload_text = F.coalesce(F.get_json_object(val, "$.payload"), val)
     payload = F.from_json(payload_text, struct)
-    if not ignore_unknown_fields:
-        payload = _strict_unknown_guard(payload_text, schema_hint, payload)
+    reason = reject_reason(val, payload_text, schema_hint, strict=not ignore_unknown_fields)
+    if on_error == "route":
+        return raw.select(
+            F.col("topic").alias("destination"),
+            payload.alias("payload"),
+            reason.alias(REJECT_COL),
+            F.when(reason.isNotNull(), val).alias(REJECT_RAW_COL),
+        ).select("destination", "payload.*", REJECT_COL, REJECT_RAW_COL)
+    payload = F.when(
+        reason.isNotNull(), F.raise_error(F.concat(F.lit("CDC event rejected: "), reason))
+    ).otherwise(payload)
     return raw.select(
         F.col("topic").alias("destination"), payload.alias("payload")
     ).select("destination", "payload.*")
@@ -201,6 +246,7 @@ def read_cdc_kafka(
     options: dict | None = None,
     nested_as_json: bool = False,
     ignore_unknown_fields: bool = True,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Subscribe to Debezium topics over Kafka and emit flattened CDC rows.
 
@@ -227,6 +273,7 @@ def read_cdc_kafka(
         schema_hint,
         nested_as_json=nested_as_json,
         ignore_unknown_fields=ignore_unknown_fields,
+        on_error=on_error,
     )
 
 
@@ -238,8 +285,18 @@ def read_cdc_ndjson(
     schema_hint: dict | None = None,
     nested_as_json: bool = False,
     ignore_unknown_fields: bool = True,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Read newline-delimited Debezium change events.
+
+    ``on_error="fail"`` (default) raises on a line that cannot be converted
+    — malformed JSON (the reference's Jackson/DebeziumSerdes failure,
+    BaseChangeConsumer.java:65-66) or, under strict mode, unknown payload
+    fields.  ``on_error="route"`` instead emits ``__reject_reason`` and
+    ``__raw`` columns; feed the result to a :class:`CdcPipeline` with
+    ``rejects_destination`` set and poisoned lines land in a dead-letter
+    table while the stream keeps running (the behavior you want when one
+    bad record must not kill a 1000-executor job).
 
     ``ignore_unknown_fields=False`` mirrors
     ``debezium.sink.bigquerystream.ignore-unknown-fields``
@@ -281,6 +338,8 @@ def read_cdc_ndjson(
                 "events carry no embedded schema; pass schema_hint= explicitly "
                 "(reference requires schemas.enable=true, DebeziumConfig.java:34-40)"
             )
+    if on_error not in ("fail", "route"):
+        raise ValueError(f"on_error must be 'fail' or 'route', got {on_error!r}")
     struct = debezium_schema_to_struct(schema_hint, nested_as_json=nested_as_json)
     reader = spark.readStream if streaming else spark.read
     raw = reader.text(path)
@@ -294,6 +353,16 @@ def read_cdc_ndjson(
         F.get_json_object(F.col("value"), "$.payload"), F.col("value")
     )
     payload = F.from_json(payload_text, struct)
-    if not ignore_unknown_fields:
-        payload = _strict_unknown_guard(payload_text, schema_hint, payload)
+    reason = reject_reason(
+        F.col("value"), payload_text, schema_hint, strict=not ignore_unknown_fields
+    )
+    if on_error == "route":
+        return parsed.select(
+            payload.alias("payload"),
+            reason.alias(REJECT_COL),
+            F.when(reason.isNotNull(), F.col("value")).alias(REJECT_RAW_COL),
+        ).select("payload.*", REJECT_COL, REJECT_RAW_COL)
+    payload = F.when(
+        reason.isNotNull(), F.raise_error(F.concat(F.lit("CDC event rejected: "), reason))
+    ).otherwise(payload)
     return parsed.select(payload.alias("payload")).select("payload.*")

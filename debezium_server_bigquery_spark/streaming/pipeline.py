@@ -70,6 +70,14 @@ class CdcPipeline:
     # by the source parse (read_cdc_ndjson/read_cdc_kafka nested_as_json=) —
     # carried here so the CLI/table metadata reflect the configured mode.
     nested_as_json: bool = False
+    # Dead-letter table name (beyond-reference; the reference stops the
+    # whole pipeline with a DebeziumException on any conversion failure,
+    # ConsumerUtil/BaseChangeConsumer).  When a source running
+    # ``on_error="route"`` emits __reject_reason, flagged rows are appended
+    # to <target_root>/<rejects_destination> (raw bytes + reason + ingest
+    # time) and clean rows continue — one poisoned record must not kill a
+    # 1000-executor job.  None = rejects columns are an error to ship.
+    rejects_destination: str | None = None
     concurrent_uploads: int = 4  # debezium.sink.batch.concurrent-uploads
     # debezium.sink.batch.concurrent-uploads.timeout-minutes
     # (CommonConfig.java:32-34): bound on the whole parallel upload batch;
@@ -164,8 +172,65 @@ class CdcPipeline:
             df = df.withColumn("__deleted", F.col("__deleted").cast("boolean"))
         return df
 
+    def rejects_table(self) -> ParquetTable:
+        """The dead-letter table (append-only, ingest-time partitioned)."""
+        if self.rejects_destination is None:
+            raise ValueError("rejects_destination is not configured")
+        dest = self.rejects_destination
+        if dest not in self.tables:
+            self.tables[dest] = ParquetTable(
+                self.spark,
+                os.path.join(self.target_root, dest),
+                key_cols=(),
+                mode="append",
+                partition_type=self.partition_type,
+                partition_field="__ts_ms",
+                clustering_field="",
+            )
+        return self.tables[dest]
+
+    def _divert_rejects(self, batch: DataFrame, epoch_id) -> DataFrame:
+        """Split a route-mode batch: flagged rows -> dead-letter table,
+        clean rows continue.  No-op when the source ran on_error='fail'."""
+        from debezium_server_bigquery_spark.sources.cdc import (
+            REJECT_COL,
+            REJECT_RAW_COL,
+        )
+
+        if REJECT_COL not in batch.columns:
+            return batch
+        if self.rejects_destination is None:
+            raise ValueError(
+                "batch carries __reject_reason (source on_error='route') "
+                "but rejects_destination is not configured"
+            )
+        rejects = batch.filter(F.col(REJECT_COL).isNotNull())
+        if not rejects.isEmpty():
+            dest_col = (
+                F.col("destination") if "destination" in batch.columns else F.lit(None)
+            )
+            raw_col = (
+                F.col(REJECT_RAW_COL)
+                if REJECT_RAW_COL in batch.columns
+                else F.lit(None)
+            )
+            out = rejects.select(
+                dest_col.cast("string").alias("source_destination"),
+                F.col(REJECT_COL).alias("reject_reason"),
+                raw_col.cast("string").alias("raw"),
+                # Ingest-time partitioning: a malformed line has no usable
+                # event time, and the DLQ is queried by "when did we see it".
+                F.current_timestamp().alias("__ts_ms"),
+            )
+            self.rejects_table().append(
+                out, epoch_id=None if epoch_id is None else f"{epoch_id}.rejects"
+            )
+        drop = [c for c in (REJECT_COL, REJECT_RAW_COL) if c in batch.columns]
+        return batch.filter(F.col(REJECT_COL).isNull()).drop(*drop)
+
     # -- the micro-batch body (== handleBatch, BaseChangeConsumer.java:139) --
     def process_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        batch = self._divert_rejects(batch, epoch_id)
         if self.heartbeat_skip:
             batch = filter_heartbeats(batch, self.heartbeat_prefix)
         batch = drop_tombstones(batch)
@@ -302,6 +367,8 @@ class CdcPipeline:
         return writer.start()
 
     def read_table(self, destination: str) -> DataFrame:
+        if destination == self.rejects_destination:
+            return self.rejects_table().read()
         if self.mode == "upsert_lazy" and self.key_cols:
             return self.lazy_for(destination).read_current()
         return self.table_for(destination).read()

@@ -131,3 +131,37 @@ def test_run_lazy_upsert_from_properties(spark, sf_dir, tmp_path):
     # run() compacted: base tables alone hold the final state, staging gone
     for t in summary["tables"]:
         assert summary["rows"][t] > 0
+
+
+def test_run_ndjson_route_rejects_from_properties(spark, tmp_path):
+    """engine.on-error=route + engine.rejects-destination: a poisoned line
+    lands in the dead-letter table, clean events replicate (beyond-reference;
+    the reference pipeline dies on the first unconvertible event)."""
+    import json
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"type": "int64", "field": "id"},
+            {"type": "string", "optional": True, "field": "destination"},
+            {"type": "int64", "optional": True, "field": "__ts_ms"},
+            {"type": "string", "optional": True, "field": "__op"},
+        ],
+    }
+    good = {"id": 1, "destination": "t1", "__ts_ms": 1700000000000, "__op": "c"}
+    events = tmp_path / "events.ndjson"
+    events.write_text(
+        json.dumps({"schema": schema, "payload": good}) + "\n<<corrupt>>\n"
+    )
+    conf = tmp_path / "application.properties"
+    conf.write_text(
+        "debezium.sink.type=bigquerybatch\n"
+        f"engine.target-root={tmp_path / 'tgt'}\n"
+        "engine.source=ndjson\n"
+        f"engine.source.path={events}\n"
+        "engine.on-error=route\n"
+        "engine.rejects-destination=_rejects\n"
+    )
+    summary = run(str(conf), spark=spark)
+    assert summary["rows"]["t1"] == 1
+    assert summary["rows"]["_rejects"] == 1
