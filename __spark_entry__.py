@@ -56,6 +56,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.quantize",),
         ("debezium_server_bigquery_spark.functions.dedup_clusters",),
         ("debezium_server_bigquery_spark.functions.mixing",),
+        ("debezium_server_bigquery_spark.functions.sharding",),
         ("debezium_server_bigquery_spark.plans.funnel",),
         ("debezium_server_bigquery_spark.plans.validation",),
         ("debezium_server_bigquery_spark.plans.analytics_windows",),
