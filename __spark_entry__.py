@@ -87,11 +87,12 @@ def _collect(attr: str) -> dict:
 #
 # Round-4 rotation: components that had never had a driver-graded row
 # (schema evolution S6/R4, §2.5 window functions and rollup/cube, the
-# distributed prefix-sum packing path, nested-as-json) replace
-# multiply-covered family members (one of the three graded upsert variants,
-# the keep-deletes aggregate twin, the second text-stats and
-# embedding-pairs representatives, one of four plain-agg analytics) — the
-# displaced queries stay registered right after the graded prefix.
+# distributed prefix-sum packing path, nested-as-json, and the new
+# dead-letter route e2e) replace multiply-covered family members (one of
+# the three graded upsert variants, the keep-deletes aggregate twin, the
+# second text-stats and embedding-pairs representatives, one of four
+# plain-agg analytics, one of five fuzzy-dedup variants) — the displaced
+# queries stay registered right after the graded prefix.
 _TIER1 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -118,8 +119,8 @@ _TIER1 = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_clusters",
+    "pipeline_rejects_e2e",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf",
@@ -150,6 +151,7 @@ _TIER1 = [
     "pipeline_upsert_e2e",
     "text_token_stats",
     "embedding_neardup_pairs",
+    "dedup_ngram_jaccard",
 ]
 
 

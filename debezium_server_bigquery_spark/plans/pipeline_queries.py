@@ -120,6 +120,77 @@ GROUP BY 1, 2 ORDER BY table_name, __op
 """
 
 
+def pipeline_rejects_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing end-to-end: CDC events serialized to Debezium
+    NDJSON wire lines with every 97th corrupted, read back with
+    ``on_error="route"``, replicated with a rejects table.  Asserts the
+    whole split — poisoned lines land (only) in the DLQ, every clean
+    non-heartbeat event reaches its destination (beyond-reference: the
+    Java pipeline dies on the first unconvertible event)."""
+    import json as _json
+    from functools import reduce
+
+    from debezium_server_bigquery_spark.sources.cdc import read_cdc_ndjson
+
+    synth = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    schema_hint = {
+        "type": "struct",
+        "fields": [
+            {"type": "string", "field": "destination"},
+            {"type": "int64", "field": "event_id"},
+            {"type": "int64", "optional": True, "field": "user_id"},
+            {"type": "string", "optional": True, "field": "event_type"},
+            {"type": "double", "optional": True, "field": "value"},
+            {"type": "string", "optional": True, "field": "props"},
+            {"type": "string", "optional": True, "field": "__op"},
+            {"type": "string", "optional": True, "field": "__table"},
+            {"type": "string", "optional": True, "field": "__db"},
+            {"type": "int64", "optional": True, "field": "__ts_ms"},
+            {"type": "int64", "optional": True, "field": "__source_ts_ms"},
+            {"type": "int64", "optional": True, "field": "__source_ts_ns"},
+            {"type": "string", "optional": True, "field": "__deleted"},
+        ],
+    }
+    envelope = F.concat(
+        F.lit('{"schema":' + _json.dumps(schema_hint) + ',"payload":'),
+        F.to_json(F.struct(*synth.columns)),
+        F.lit("}"),
+    )
+    line = F.when(
+        F.col("event_id") % 97 == 0,
+        F.concat(F.lit("CORRUPT "), F.col("event_id").cast("string")),
+    ).otherwise(envelope)
+    src_dir = tempfile.mkdtemp(prefix="dsbq_rejects_src_")
+    synth.select(line.alias("value")).write.mode("overwrite").text(src_dir)
+
+    batch = read_cdc_ndjson(spark, src_dir, schema_hint=schema_hint, on_error="route")
+    p = CdcPipeline(
+        spark,
+        tempfile.mkdtemp(prefix="dsbq_rejects_tgt_"),
+        mode="append",
+        rejects_destination="_rejects",
+    )
+    p.run_batch(batch)
+    parts = [
+        p.read_table(d)
+        .groupBy(F.lit(d).alias("table_name"))
+        .agg(F.count("*").alias("n_rows"))
+        for d in sorted(p.tables)
+    ]
+    return reduce(DataFrame.union, parts).orderBy("table_name")
+
+
+PIPELINE_REJECTS_SQL = f"""{_CDC_CTE}
+SELECT table_name, n_rows FROM (
+  SELECT {_TABLE_NAME_SQL} AS table_name, COUNT(*) AS n_rows
+  FROM cdc WHERE event_id % 97 <> 0 AND {_NOT_HEARTBEAT}
+  GROUP BY 1
+  UNION ALL
+  SELECT '_rejects', COUNT(*) FROM cdc WHERE event_id % 97 = 0
+) ORDER BY table_name
+"""
+
+
 def pipeline_keep_deletes_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert with upsert-keep-deletes: tombstones persist flagged."""
     p = _run_pipeline(
@@ -339,6 +410,7 @@ QUERIES = {
     "ivm_incremental_agg_e2e": ivm_incremental_agg_e2e,
     "pipeline_schema_evolution_e2e": pipeline_schema_evolution_e2e,
     "pipeline_lazy_upsert_e2e": pipeline_lazy_upsert_e2e,
+    "pipeline_rejects_e2e": pipeline_rejects_e2e,
 }
 
 ORACLES = {
@@ -349,4 +421,5 @@ ORACLES = {
     "ivm_incremental_agg_e2e": IVM_SQL,
     "pipeline_schema_evolution_e2e": PIPELINE_EVOLUTION_SQL,
     "pipeline_lazy_upsert_e2e": PIPELINE_UPSERT_SQL,
+    "pipeline_rejects_e2e": PIPELINE_REJECTS_SQL,
 }
