@@ -57,6 +57,9 @@ Engine namespace:
 - ``engine.on-error``          fail (default; reference DebeziumException
   parity on malformed/unknown-field events) | route (flag rows instead)
 - ``engine.rejects-destination``  dead-letter table name for routed rows
+- ``engine.auto-compact-every``   append tables: bin-pack fragmented
+  partitions every N epochs (0 = off); ``engine.auto-compact-max-files``
+  sets the per-partition file-count threshold (default 8)
 """
 
 from __future__ import annotations
@@ -177,6 +180,8 @@ def build_pipeline(spark, props: dict[str, str]):
             if c.strip()
         ),
         rejects_destination=props.get("engine.rejects-destination") or None,
+        auto_compact_every=int(props.get("engine.auto-compact-every", "0")),
+        auto_compact_max_files=int(props.get("engine.auto-compact-max-files", "8")),
     )
 
 

@@ -94,6 +94,16 @@ class CdcPipeline:
     # debezium.sink.bigquerystream.create-if-needed: when False, a write
     # against a missing destination table fails instead of creating it.
     create_if_needed: bool = True
+    # Append tables only: every N epochs, bin-pack destinations whose
+    # partitions exceed auto_compact_max_files data files (0 = off).
+    # BigQuery compacts its write-optimized storage in the background
+    # (the reference never sees the cost); a parquet table must do it
+    # explicitly or 2048-event micro-batch appends drown scans in
+    # file-open overhead at scale.  Runs through the same staged-swap
+    # path MERGE uses, so readers never observe a half-compacted
+    # partition, and a replayed epoch just re-packs the same bytes.
+    auto_compact_every: int = 0
+    auto_compact_max_files: int = 8
     partition_type: str = "MONTH"  # debezium.sink.*.partition-type
     partition_field: str = "__ts_ms"  # debezium.sink.*.partition-field
     clustering_field: str = "__source_ts_ms"  # ...clustering-field
@@ -338,6 +348,19 @@ class CdcPipeline:
                     upload(dest)
         finally:
             batch.unpersist()
+        self._maybe_compact(epoch_id)
+
+    def _maybe_compact(self, epoch_id) -> None:
+        """Periodic small-files compaction for append destinations."""
+        if (
+            not self.auto_compact_every
+            or not isinstance(epoch_id, int)
+            or (epoch_id + 1) % self.auto_compact_every != 0
+        ):
+            return
+        for table in self.tables.values():
+            if table.mode == "append":
+                table.compact(max_files_per_partition=self.auto_compact_max_files)
 
     # -- batch entry (bigquerybatch parity over a static DataFrame) ---------
     def run_batch(self, df: DataFrame) -> None:

@@ -57,3 +57,42 @@ def test_compact_upsert_bucket_table(spark, tmp_path):
     assert t.compact(max_files_per_partition=2) > 0
     assert sorted(tuple(r) for r in t.read().collect()) == rows_before
     assert all(c == 1 for c in t.partition_file_counts().values())
+
+
+def test_pipeline_auto_compact_every_n_epochs(spark, tmp_path):
+    """auto_compact_every: after every Nth epoch the pipeline bin-packs
+    fragmented append partitions; rows and values are untouched."""
+    from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline
+
+    def batch(ids):
+        return _rows(spark, ids).withColumn("destination", F.lit("t1"))
+
+    pipe = CdcPipeline(
+        spark,
+        str(tmp_path / "tgt"),
+        mode="append",
+        auto_compact_every=2,
+        auto_compact_max_files=1,
+    )
+    for epoch, ids in enumerate([[1, 2], [3, 4], [5, 6], [7, 8]]):
+        pipe.process_batch(batch(ids), epoch_id=epoch)
+
+    table = pipe.table_for("t1")
+    counts = table.partition_file_counts()
+    # 4 appends (>=4 files) were packed down at epochs 1 and 3.
+    assert counts and all(n <= 2 for n in counts.values()), counts
+    got = sorted(r["id"] for r in table.read().collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_pipeline_auto_compact_off_by_default(spark, tmp_path):
+    from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline
+
+    def batch(ids):
+        return _rows(spark, ids).withColumn("destination", F.lit("t1"))
+
+    pipe = CdcPipeline(spark, str(tmp_path / "tgt"), mode="append")
+    for epoch, ids in enumerate([[1], [2], [3], [4]]):
+        pipe.process_batch(batch(ids), epoch_id=epoch)
+    counts = pipe.table_for("t1").partition_file_counts()
+    assert counts and max(counts.values()) >= 4  # fragmentation untouched
