@@ -5,6 +5,8 @@ this query chains them the way a real pre-training corpus build does:
 
     quality filter  ->  exact dedup (first-writer)  ->  per-language cap
                     ->  per-(lang, source) corpus summary
+                    |->  deterministic shard layout -> export manifest
+                         (corpus_export_manifest)
 
 The point under test is *composition*: Catalyst collapses the four
 conceptual stages into scan -> project -> two hash aggregations -> one
@@ -26,10 +28,12 @@ from debezium_server_bigquery_spark.sources.tables import load_table
 MIN_TOKENS = 20
 MAX_PUNCT_RATIO = 0.30
 PER_LANG_CAP = 200
+EXPORT_SHARDS = 4
 
 
-def corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+def _capped_survivors(docs: DataFrame) -> DataFrame:
+    """quality filter -> exact dedup -> per-language cap: the documents a
+    corpus build actually ships (columns doc_id, lang, source, n_tokens)."""
     scored = docs.select(
         "doc_id",
         "lang",
@@ -72,9 +76,15 @@ def corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk1") <= PER_LANG_CAP
     )
     w_cap = Window.partitionBy("lang").orderBy("doc_id")
-    capped = pruned.withColumn("rk", F.row_number().over(w_cap)).filter(
-        F.col("rk") <= PER_LANG_CAP
+    return (
+        pruned.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= PER_LANG_CAP)
+        .select("doc_id", "lang", "source", "n_tokens")
     )
+
+
+def corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = _capped_survivors(load_table(spark, sf_dir, "documents", spread=True))
     return (
         capped.groupBy("lang", "source")
         .agg(
@@ -88,7 +98,31 @@ def corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CORPUS_RECIPE_SQL = rf"""
+def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-build terminal: recipe survivors -> deterministic
+    shard layout -> per-shard export manifest (doc count, token budget,
+    first doc in hash order).  Composition is the point: curation and
+    export chain without materializing an intermediate corpus, and the
+    shard stage adds exactly one shuffle (on shard_id) to the recipe plan.
+    """
+    from debezium_server_bigquery_spark.functions.sharding import assign_shards
+
+    capped = _capped_survivors(load_table(spark, sf_dir, "documents", spread=True))
+    assigned = assign_shards(capped, "doc_id", EXPORT_SHARDS)
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min(F.when(F.col("shard_pos") == 1, F.col("doc_id"))).alias(
+                "first_doc"
+            ),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_RECIPE_CTES = rf"""
 WITH scored AS (
   SELECT doc_id, lang, source, text,
     CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT)
@@ -115,6 +149,9 @@ capped AS (
     FROM deduped
   ) WHERE rk <= {PER_LANG_CAP}
 )
+"""
+
+CORPUS_RECIPE_SQL = f"""{_RECIPE_CTES}
 SELECT lang, source,
   COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -124,6 +161,29 @@ GROUP BY lang, source
 ORDER BY lang, source
 """
 
+_H60 = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
 
-QUERIES = {"corpus_recipe": corpus_recipe}
-ORACLES = {"corpus_recipe": CORPUS_RECIPE_SQL}
+CORPUS_EXPORT_SQL = f"""{_RECIPE_CTES}
+, assigned AS (
+  SELECT n_tokens, doc_id,
+    CAST({_H60} % {{n}} AS INTEGER) AS shard_id,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY {_H60} % {{n}} ORDER BY {_H60}, doc_id) AS INTEGER) AS shard_pos
+  FROM capped
+)
+SELECT shard_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  MIN(CASE WHEN shard_pos = 1 THEN doc_id END) AS first_doc
+FROM assigned GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+QUERIES = {
+    "corpus_recipe": corpus_recipe,
+    "corpus_export_manifest": corpus_export_manifest,
+}
+ORACLES = {
+    "corpus_recipe": CORPUS_RECIPE_SQL,
+    "corpus_export_manifest": CORPUS_EXPORT_SQL.format(n=4),
+}
