@@ -168,3 +168,35 @@ def test_dlq_epoch_marker_makes_replay_idempotent(spark, tmp_path):
     pipe.process_batch(batch, epoch_id=7)  # replayed epoch: both writes skip
     assert pipe.rejects_table().read().count() == 1
     assert pipe.read_table("t1").count() == 1
+
+
+def test_streaming_dlq_with_checkpoint_restart(spark, tmp_path):
+    """Streaming route mode: corrupt lines land in the DLQ through
+    foreachBatch, and a checkpoint restart replays nothing (epoch markers
+    + offset checkpoint keep both tables exactly-once)."""
+    path = tmp_path / "stream_src"
+    path.mkdir()
+    (path / "a.ndjson").write_text(
+        _env(GOOD) + "\n{broken\n" + _env(GOOD2) + "\n"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "target")
+
+    def run_once():
+        stream = read_cdc_ndjson(
+            spark, str(path), streaming=True, schema_hint=SCHEMA, on_error="route"
+        )
+        pipe = CdcPipeline(
+            spark, target, mode="append", rejects_destination="_rejects"
+        )
+        q = pipe.run_stream(stream, ckpt, available_now=True)
+        q.awaitTermination(120)
+        return pipe
+
+    p1 = run_once()
+    assert p1.read_table("t1").count() == 2
+    assert p1.rejects_table().read().count() == 1
+
+    p2 = run_once()  # restart, no new files: nothing replays
+    assert p2.read_table("t1").count() == 2
+    assert p2.rejects_table().read().count() == 1
