@@ -55,10 +55,11 @@ def unknown_field_paths(payload_text, node: dict) -> "F.Column":
     silently, so strict mode must diff the raw JSON keys against the schema
     BEFORE the parse.  Pure Catalyst: ``json_object_keys`` per level,
     ``array_except`` against the known field names, recursing into
-    struct-typed fields (array elements are not descended — same practical
-    scope as a top-level+struct schema walk; the reference test corpus's
-    unknown properties sit inside ``before``/``after``,
-    serde-unknown-property.json).
+    struct-typed fields AND into array-of-struct elements (elements are
+    re-exposed as raw JSON text via ``from_json(array<string>)``, so the
+    same walk applies per element; paths read ``name[].sub``).  The
+    reference test corpus's unknown properties sit inside
+    ``before``/``after`` (serde-unknown-property.json).
     """
     known = [f.get("field") for f in node.get("fields", []) if f.get("field")]
     keys = F.coalesce(
@@ -67,12 +68,34 @@ def unknown_field_paths(payload_text, node: dict) -> "F.Column":
     unknown = F.array_except(keys, F.array(*[F.lit(k) for k in known]))
     parts = [unknown]
     for f in node.get("fields", []):
-        if f.get("type") == "struct" and f.get("field"):
-            name = f["field"]
+        name = f.get("field")
+        if not name:
+            continue
+        if f.get("type") == "struct":
             sub = unknown_field_paths(
                 F.get_json_object(payload_text, f"$.{name}"), f
             )
             parts.append(F.transform(sub, lambda p: F.concat(F.lit(f"{name}."), p)))
+        elif (
+            f.get("type") == "array"
+            and isinstance(f.get("items"), dict)
+            and f["items"].get("type") == "struct"
+        ):
+            elems = F.coalesce(
+                F.from_json(
+                    F.get_json_object(payload_text, f"$.{name}"), "array<string>"
+                ),
+                F.array().cast("array<string>"),
+            )
+            per_elem = F.transform(
+                elems, lambda e: unknown_field_paths(e, f["items"])
+            )
+            parts.append(
+                F.transform(
+                    F.array_distinct(F.flatten(per_elem)),
+                    lambda p: F.concat(F.lit(f"{name}[]."), p),
+                )
+            )
     return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 

@@ -24,14 +24,20 @@ def _field(depth: int):
     scalar = st.sampled_from(["int64", "string", "boolean", "float64"])
     if depth <= 0:
         return st.fixed_dictionaries({"type": scalar, "field": _names})
+    sub_fields = st.lists(
+        _field(depth - 1), min_size=0, max_size=3, unique_by=lambda f: f["field"]
+    )
     return st.one_of(
         st.fixed_dictionaries({"type": scalar, "field": _names}),
         st.fixed_dictionaries(
+            {"type": st.just("struct"), "field": _names, "fields": sub_fields}
+        ),
+        st.fixed_dictionaries(
             {
-                "type": st.just("struct"),
+                "type": st.just("array"),
                 "field": _names,
-                "fields": st.lists(
-                    _field(depth - 1), min_size=0, max_size=3, unique_by=lambda f: f["field"]
+                "items": st.fixed_dictionaries(
+                    {"type": st.just("struct"), "fields": sub_fields}
                 ),
             }
         ),
@@ -52,14 +58,19 @@ _scalars = st.one_of(st.none(), st.integers(-5, 5), st.sampled_from(["x", "y"]),
 def _payloads(depth: int = 2):
     if depth <= 0:
         return st.dictionaries(_names, _scalars, max_size=4)
-    return st.dictionaries(
-        _names, st.one_of(_scalars, _payloads(depth - 1)), max_size=4
+    inner = st.one_of(
+        _scalars,
+        _payloads(depth - 1),
+        st.lists(_payloads(depth - 1), max_size=3),
     )
+    return st.dictionaries(_names, inner, max_size=4)
 
 
 def _reference_walk(payload, node, prefix=""):
     """The plain-Python truth: keys present in payload but not in schema,
-    recursing into struct-typed KNOWN fields whose payload value is a dict."""
+    recursing into struct-typed KNOWN fields whose payload value is a dict
+    and into array-of-struct fields whose value is a list (per-element
+    paths spelled ``name[].sub`` and de-duplicated across elements)."""
     if not isinstance(payload, dict):
         return []
     known = {f["field"]: f for f in node.get("fields", [])}
@@ -67,6 +78,18 @@ def _reference_walk(payload, node, prefix=""):
     for name, f in known.items():
         if f.get("type") == "struct" and isinstance(payload.get(name), dict):
             out += _reference_walk(payload[name], f, f"{prefix}{name}.")
+        elif (
+            f.get("type") == "array"
+            and isinstance(f.get("items"), dict)
+            and f["items"].get("type") == "struct"
+            and isinstance(payload.get(name), list)
+        ):
+            seen: list[str] = []
+            for elem in payload[name]:
+                for p in _reference_walk(elem, f["items"], ""):
+                    if p not in seen:
+                        seen.append(p)
+            out += [f"{prefix}{name}[].{p}" for p in seen]
     return out
 
 

@@ -96,3 +96,58 @@ def test_unknown_field_paths_expression(spark):
     assert list(out[1]["unk"]) == ["middle_name"]
     assert list(out[2]["unk"]) == ["address.zip"]
     assert list(out[3]["unk"]) == []
+
+
+ARRAY_SCHEMA = {
+    "type": "struct",
+    "fields": [
+        {"type": "int64", "field": "id"},
+        {
+            "type": "array",
+            "optional": True,
+            "field": "addresses",
+            "items": {
+                "type": "struct",
+                "fields": [
+                    {"type": "string", "field": "city"},
+                    {
+                        "type": "struct",
+                        "optional": True,
+                        "field": "geo",
+                        "fields": [{"type": "string", "field": "lat"}],
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+
+def test_unknown_fields_descend_array_elements(spark):
+    rows = [
+        # clean: known keys only, at every depth
+        {"id": 1, "addresses": [{"city": "Oslo", "geo": {"lat": "59"}}]},
+        # unknown key inside the second array element
+        {"id": 2, "addresses": [{"city": "A"}, {"city": "B", "zip": "5003"}]},
+        # unknown key inside a struct nested in an array element
+        {"id": 3, "addresses": [{"city": "C", "geo": {"lat": "60", "lon": "5"}}]},
+    ]
+    df = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
+    out = df.select(
+        unknown_field_paths(F.col("value"), ARRAY_SCHEMA).alias("unk")
+    ).collect()
+    assert list(out[0]["unk"]) == []
+    assert list(out[1]["unk"]) == ["addresses[].zip"]
+    assert list(out[2]["unk"]) == ["addresses[].geo.lon"]
+
+
+def test_strict_mode_fails_on_array_element_unknown(spark, tmp_path):
+    payload = {"id": 9, "addresses": [{"city": "X", "zip": "1"}]}
+    path = tmp_path / "events.ndjson"
+    path.write_text(
+        json.dumps({"schema": ARRAY_SCHEMA, "payload": payload}) + "\n"
+    )
+    with pytest.raises(Exception, match=r"addresses\[\]\.zip"):
+        read_cdc_ndjson(
+            spark, str(path), ignore_unknown_fields=False
+        ).collect()
