@@ -214,6 +214,29 @@ class ParquetTable:
         with open(marker, "w", encoding="utf-8") as fh:
             json.dump({"epoch": epoch_id, "rows": rows}, fh)
 
+    def epoch_metrics(self) -> list[dict]:
+        """Committed epoch markers as records ``{"epoch": str, "rows": int}``
+        — the engine's consumer-metrics surface.  The reference polls
+        Debezium MBeans for processed-row counts (MaxBatchSizeWait reads
+        them, docs list the JMX names); here every committed epoch already
+        persisted the row count it observed DURING the write job, so the
+        metrics are exact, free, and survive restarts.  Driver-side
+        listing of O(#epochs) small files — metadata, not data.
+        MERGE epochs record rows = -1 (the post-merge bucket state is not
+        a per-epoch row count; operators/merge.py commits the marker for
+        idempotency only)."""
+        d = os.path.join(self.path, "_epochs")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(d, name), "r", encoding="utf-8") as fh:
+                rec = json.load(fh)
+            out.append({"epoch": str(rec.get("epoch")), "rows": int(rec.get("rows", 0))})
+        return out
+
     def _cluster_sort(self, df: DataFrame) -> DataFrame:
         cols = [c for c in self.clustering_cols() if c in df.columns]
         return df.sortWithinPartitions(*cols) if cols else df

@@ -389,6 +389,27 @@ class CdcPipeline:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
+    def metrics(self) -> DataFrame:
+        """Per-(table, epoch) processed-row counts as a DataFrame — the
+        consumer-metrics analog (the reference exposes processed counts
+        via Debezium MBeans; here they come from the epoch markers each
+        committed write persisted, exact and restart-surviving)."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("table_name", T.StringType()),
+                T.StructField("epoch", T.StringType()),
+                T.StructField("rows", T.LongType()),
+            ]
+        )
+        recs = [
+            {"table_name": dest, **m}
+            for dest, table in sorted(self.tables.items())
+            for m in table.epoch_metrics()
+        ]
+        return self.spark.createDataFrame(recs, schema)
+
     def read_table(self, destination: str) -> DataFrame:
         if destination == self.rejects_destination:
             return self.rejects_table().read()

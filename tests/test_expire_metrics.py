@@ -57,3 +57,23 @@ def test_epoch_marker_records_observed_row_count(spark, tmp_path):
     with open(marker, encoding="utf-8") as fh:
         meta = json.load(fh)
     assert meta == {"epoch": 7, "rows": 17}
+
+
+def test_pipeline_metrics_surface(spark, tmp_path):
+    """CdcPipeline.metrics(): per-(table, epoch) processed-row counts read
+    off the epoch markers — exact for appends, -1 sentinel for MERGEs."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline
+
+    def batch(ids, dest="t1"):
+        return _rows(spark, ids, "2024-01").withColumn(
+            "destination", F.lit(dest)
+        )
+
+    pipe = CdcPipeline(spark, str(tmp_path / "tgt"), mode="append")
+    pipe.process_batch(batch([1, 2, 3]), epoch_id=0)
+    pipe.process_batch(batch([4, 5]), epoch_id=1)
+    rows = {r["epoch"]: r["rows"] for r in pipe.metrics().collect()}
+    assert rows == {"0.0": 3, "1.0": 2}  # epoch.group markers, exact counts
+    assert sum(rows.values()) == pipe.read_table("t1").count()
