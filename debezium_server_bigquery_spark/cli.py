@@ -102,6 +102,16 @@ def build_pipeline(spark, props: dict[str, str]):
 
     from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline
 
+    # Only JSON serde is supported, same as the reference
+    # (BaseChangeConsumer.java:96-102 throws for any other
+    # debezium.format.value/key).
+    for side in ("value", "key"):
+        fmt = props.get(f"debezium.format.{side}", "json")
+        if fmt.lower() != "json":
+            raise ValueError(
+                f"debezium.format.{side}={fmt} not supported; only json "
+                "(reference BaseChangeConsumer.java:96-102)"
+            )
     sink_type = props.get("debezium.sink.type", "bigquerybatch")
     if sink_type not in ("bigquerybatch", "bigquerystream"):
         raise ValueError(f"unsupported debezium.sink.type: {sink_type}")

@@ -165,3 +165,17 @@ def test_run_ndjson_route_rejects_from_properties(spark, tmp_path):
     summary = run(str(conf), spark=spark)
     assert summary["rows"]["t1"] == 1
     assert summary["rows"]["_rejects"] == 1
+
+
+def test_build_pipeline_rejects_non_json_format(spark, tmp_path):
+    """Serde parity: only JSON key/value format is supported
+    (BaseChangeConsumer.java:96-102)."""
+    base = {
+        "debezium.sink.type": "bigquerybatch",
+        "engine.target-root": str(tmp_path),
+    }
+    with pytest.raises(ValueError, match="debezium.format.value=avro"):
+        build_pipeline(spark, base | {"debezium.format.value": "avro"})
+    with pytest.raises(ValueError, match="debezium.format.key=protobuf"):
+        build_pipeline(spark, base | {"debezium.format.key": "protobuf"})
+    build_pipeline(spark, base | {"debezium.format.value": "JSON"})  # case-insensitive
