@@ -402,6 +402,29 @@ def pipeline_lazy_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def pipeline_metrics_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer-metrics surface through the gate: two append epochs
+    (events split by id parity), then ``CdcPipeline.metrics()`` — every
+    committed (table, epoch) marker must report the exact row count the
+    write observed (the Debezium MBean processed-counts analog)."""
+    p = CdcPipeline(
+        spark, tempfile.mkdtemp(prefix="dsbq_metrics_"), mode="append"
+    )
+    cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    for epoch, parity in ((0, 0), (1, 1)):
+        p.process_batch(cdc.filter(F.col("event_id") % 2 == parity), epoch_id=epoch)
+    return p.metrics().orderBy("table_name", "epoch")
+
+
+PIPELINE_METRICS_SQL = f"""{_CDC_CTE}
+SELECT {_TABLE_NAME_SQL} AS table_name,
+  CAST(event_id % 2 AS VARCHAR) || '.0' AS epoch,
+  COUNT(*) AS rows
+FROM cdc WHERE {_NOT_HEARTBEAT}
+GROUP BY 1, 2 ORDER BY table_name, epoch
+"""
+
+
 QUERIES = {
     "pipeline_upsert_e2e": pipeline_upsert_e2e,
     "pipeline_append_e2e": pipeline_append_e2e,
@@ -411,6 +434,7 @@ QUERIES = {
     "pipeline_schema_evolution_e2e": pipeline_schema_evolution_e2e,
     "pipeline_lazy_upsert_e2e": pipeline_lazy_upsert_e2e,
     "pipeline_rejects_e2e": pipeline_rejects_e2e,
+    "pipeline_metrics_e2e": pipeline_metrics_e2e,
 }
 
 ORACLES = {
@@ -422,4 +446,5 @@ ORACLES = {
     "pipeline_schema_evolution_e2e": PIPELINE_EVOLUTION_SQL,
     "pipeline_lazy_upsert_e2e": PIPELINE_UPSERT_SQL,
     "pipeline_rejects_e2e": PIPELINE_REJECTS_SQL,
+    "pipeline_metrics_e2e": PIPELINE_METRICS_SQL,
 }
