@@ -253,7 +253,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-DEDUP_MINHASH_SQL = f"""
+# Shared CTE chain: text -> shingles -> Broder double hashing -> minhash
+# signature -> band signatures.  The single source of SQL truth for every
+# minhash oracle (the incremental cross-corpus query composes from it too)
+# — edits to MINHASH_K/BAND_R/the mask apply everywhere at once.
+MINHASH_BAND_CTES = f"""
 WITH shingled AS ({_SHINGLES_SQL}),
 exploded AS (
   SELECT doc_id, unnest(sh) AS sh FROM shingled WHERE len(sh) > 0
@@ -275,7 +279,9 @@ bands AS (
   SELECT doc_id, seed // {BAND_R} AS band,
          md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS sig
   FROM sig GROUP BY doc_id, seed // {BAND_R}
-)
+)"""
+
+DEDUP_MINHASH_SQL = f"""{MINHASH_BAND_CTES}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

@@ -35,11 +35,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
-    BAND_R,
-    MINHASH_K,
+    MINHASH_BAND_CTES,
     minhash_band_table,
     shingles,
-    shingles_sql,
 )
 from debezium_server_bigquery_spark.sources.tables import load_table
 
@@ -94,29 +92,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_INCREMENTAL_SQL = f"""
-WITH shingled AS ({shingles_sql(3)}),
-exploded AS (
-  SELECT doc_id, unnest(sh) AS sh FROM shingled WHERE len(sh) > 0
-),
-based AS (
-  SELECT doc_id,
-    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h1,
-    ('0x' || substr(md5(sh), 17, 8))::BIGINT AS h2
-  FROM exploded
-),
-hashed AS (
-  SELECT doc_id, seed, (h1 + seed * h2) & {(1 << 60) - 1} AS h
-  FROM based, (SELECT unnest(range({MINHASH_K})) AS seed)
-),
-sig AS (
-  SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY doc_id, seed
-),
-bands AS (
-  SELECT doc_id, seed // {BAND_R} AS band,
-         md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS sig
-  FROM sig GROUP BY doc_id, seed // {BAND_R}
-),
+DEDUP_INCREMENTAL_SQL = f"""{MINHASH_BAND_CTES},
 cand AS (
   SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc, COUNT(*) AS n_shared_bands
   FROM bands a JOIN bands b
@@ -167,7 +143,12 @@ class MinHashBandIndex:
         exact = docs.select(
             "doc_id",
             F.lit(EXACT_BAND).cast("long").alias("band"),
-            F.md5("text").alias("sig"),
+            # coalesce: NULL text hashes as the empty document (the package
+            # convention, see chunking/recipe) — a NULL sig would never
+            # equi-join (NULL != NULL), silently exempting empty docs from
+            # cross-batch exact dedup, and its NULL sig_pre key crashes the
+            # driver-side sorted() in match_bands.
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("sig"),
         )
         return lsh.unionByName(exact).withColumn(
             "sig_pre", F.substring("sig", 1, self.PREFIX_LEN)
@@ -229,7 +210,8 @@ class MinHashBandIndex:
         cond = reduce(
             lambda x, y: x | y,
             [
-                (F.col("band") == b) & F.col("sig_pre").isin(sorted(pres))
+                (F.col("band") == b)
+                & F.col("sig_pre").isin(sorted(p for p in pres if p is not None))
                 for b, pres in sorted(by_band.items())
             ],
         )

@@ -15,9 +15,12 @@ semantics-preserving.
 
 from __future__ import annotations
 
+import logging
 import time
 from collections.abc import Callable
 from dataclasses import dataclass
+
+log = logging.getLogger(__name__)
 
 
 @dataclass(frozen=True)
@@ -53,7 +56,9 @@ def with_retry(
     Retries any exception — the reference treats all append/client errors
     as retryable within budget and surfaces the last error once the budget
     is spent (ConsumerUtil.java:134-147).  The final failure re-raises the
-    original exception so callers keep their error semantics.
+    original exception so callers keep their error semantics; ``describe``
+    names the action in the retry WARN logs (the grep handle for "which
+    table write was flapping").
     """
     start = clock()
     last: Exception | None = None
@@ -66,6 +71,15 @@ def with_retry(
                 break
             if clock() - start >= policy.max_elapsed_s:
                 break
+            log.warning(
+                "%s failed (attempt %d/%d), retrying in %.0f ms: %s",
+                describe,
+                attempt,
+                policy.attempts,
+                policy.backoff_ms(attempt),
+                exc,
+            )
             sleep(policy.backoff_ms(attempt) / 1000.0)
     assert last is not None
+    log.error("%s failed after %d attempt(s); raising", describe, attempt)
     raise last

@@ -111,8 +111,13 @@ class StagedUpsertTable:
         if marker is None:
             return
         os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w", encoding="utf-8") as fh:
+        # Atomic publish — stage_epoch_committed checks existence, so a
+        # crash mid-write must not leave a truncated marker that reads as
+        # committed (same contract as ParquetTable._commit_epoch).
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({"epoch": epoch_id, "seq": self._staged}, fh)
+        os.replace(tmp, marker)
 
     @property
     def _seq_path(self) -> str:

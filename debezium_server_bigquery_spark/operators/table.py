@@ -211,8 +211,13 @@ class ParquetTable:
         if marker is None:
             return
         os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w", encoding="utf-8") as fh:
+        # Atomic publish (tmp + rename): epoch_committed checks existence,
+        # so a crash mid-write must never leave a truncated marker that
+        # reads as committed; metrics() readers also json.load these.
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({"epoch": epoch_id, "rows": rows}, fh)
+        os.replace(tmp, marker)
 
     def epoch_metrics(self) -> list[dict]:
         """Committed epoch markers as records ``{"epoch": str, "rows": int}``
@@ -232,8 +237,14 @@ class ParquetTable:
         for name in sorted(os.listdir(d)):
             if not name.endswith(".json"):
                 continue
-            with open(os.path.join(d, name), "r", encoding="utf-8") as fh:
-                rec = json.load(fh)
+            try:
+                with open(os.path.join(d, name), "r", encoding="utf-8") as fh:
+                    rec = json.load(fh)
+            except (OSError, ValueError):
+                # pre-atomic-write legacy truncation, or a marker deleted
+                # between listdir and open: a broken metrics row must not
+                # take down the whole surface.
+                continue
             out.append({"epoch": str(rec.get("epoch")), "rows": int(rec.get("rows", 0))})
         return out
 

@@ -118,17 +118,28 @@ def reject_reason(value_col, payload_text, schema_hint: dict, strict: bool):
     At 100 TB one poisoned record must not kill a 1000-executor job; the
     route mode turns both classes into a ``__reject_reason`` column the
     pipeline diverts to a dead-letter table instead of raising.
+
+    Tombstones are NOT rejects: an envelope whose ``payload`` key is
+    explicitly null (``{"schema": ..., "payload": null}``) is the
+    documented delete marker (dropped later by R5), so it is exempted from
+    the strict unknown-field diff — without the exemption ``payload_text``
+    falls back to the whole envelope and its ``schema``/``payload`` keys
+    would be flagged as unknown payload fields.
     """
-    is_blank = value_col.isNull() | (F.trim(value_col) == "")
-    malformed = (~is_blank) & F.json_object_keys(F.trim(value_col)).isNull()
+    trimmed = F.trim(value_col)
+    is_blank = value_col.isNull() | (trimmed == "")
+    malformed = (~is_blank) & F.json_object_keys(trimmed).isNull()
     reason = F.when(
         malformed,
-        F.concat(F.lit("malformed JSON: "), F.substring(F.trim(value_col), 1, 120)),
+        F.concat(F.lit("malformed JSON: "), F.substring(trimmed, 1, 120)),
     )
     if strict:
+        is_tombstone = F.coalesce(
+            F.array_contains(F.json_object_keys(trimmed), "payload"), F.lit(False)
+        ) & F.get_json_object(value_col, "$.payload").isNull()
         unk = unknown_field_paths(payload_text, schema_hint)
         reason = reason.when(
-            F.size(unk) > 0,
+            (~is_tombstone) & (F.size(unk) > 0),
             F.concat(
                 F.lit(
                     "unknown payload field(s) not in schema "

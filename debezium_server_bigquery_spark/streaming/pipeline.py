@@ -24,6 +24,7 @@ independent, and the local scheduler interleaves their stages.
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -39,6 +40,11 @@ from debezium_server_bigquery_spark.operators.routing import (
     rewrite_destination,
 )
 from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+
+class UploadCancelled(RuntimeError):
+    """An upload thread observed the batch-timeout cancel flag and stopped
+    at a safe point (between schema-group writes, or before starting)."""
 
 
 @dataclass
@@ -240,6 +246,21 @@ class CdcPipeline:
 
     # -- the micro-batch body (== handleBatch, BaseChangeConsumer.java:139) --
     def process_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        from debezium_server_bigquery_spark.sources.cdc import REJECT_COL
+
+        # Route mode reads the batch three ways (reject probe, DLQ append,
+        # clean path): cache the parsed source once so the scan + reject
+        # detection don't run per consumer.
+        routed_src = batch if REJECT_COL in batch.columns else None
+        if routed_src is not None:
+            routed_src.persist()
+        try:
+            self._process_batch_inner(batch, epoch_id)
+        finally:
+            if routed_src is not None:
+                routed_src.unpersist()
+
+    def _process_batch_inner(self, batch: DataFrame, epoch_id: int | None) -> None:
         batch = self._divert_rejects(batch, epoch_id)
         if self.heartbeat_skip:
             batch = filter_heartbeats(batch, self.heartbeat_prefix)
@@ -254,7 +275,7 @@ class CdcPipeline:
         # Cache the filtered batch once; each destination slice re-reads it.
         batch.persist()
         try:
-            def upload(dest: str) -> None:
+            def upload(dest: str, should_abort=None) -> None:
                 from debezium_server_bigquery_spark.streaming.schema_history import (
                     schema_groups,
                 )
@@ -268,6 +289,13 @@ class CdcPipeline:
                 # R4: uniform-schema sub-batches in event order (one group in
                 # the common case; >1 only when DDL landed mid-batch).
                 for gi, (_fp, group) in enumerate(schema_groups(part)):
+                    # Between-jobs cancellation point: cancelJobGroup only
+                    # kills a RUNNING job, so a timed-out thread sitting
+                    # between two schema-group writes must refuse the next.
+                    if should_abort is not None and should_abort():
+                        raise UploadCancelled(
+                            f"upload {dest} aborted before schema group {gi}"
+                        )
                     # Composite marker id: "epoch.group" can never collide
                     # across epochs (an int-arithmetic scheme like e*16+g
                     # would alias epoch e+1 group 0 once a batch carries >16
@@ -294,21 +322,28 @@ class CdcPipeline:
                 # :243-270): wait for every per-table task up to the
                 # configured bound, aggregate ALL failures (not just the
                 # first), and surface timeouts as cancellations.  Expiry
-                # also cancels the stragglers' SPARK JOBS via a shared job
-                # group — a Python thread cannot be killed, but killing its
-                # in-flight job makes the write raise and the thread exit,
-                # so a replayed epoch never races a zombie writer on the
-                # same table.
+                # cancels the stragglers' SPARK JOBS via a shared job group
+                # AND trips a cancel flag the upload loop checks between
+                # schema groups — a Python thread cannot be killed, but an
+                # in-flight job dies cancelled and a between-jobs thread
+                # refuses its next group, then the grace join below waits
+                # for the stragglers to actually exit, so a replayed epoch
+                # never runs concurrently with a zombie writer on the same
+                # table (the remaining exposure is a thread hung past the
+                # grace period, which is surfaced in the error).
                 import uuid
                 from concurrent.futures import wait
 
                 sc = self.spark.sparkContext
                 group = f"cdc-upload-{uuid.uuid4().hex[:8]}"
+                cancelled = threading.Event()
 
                 def grouped_upload(dest: str) -> None:
+                    if cancelled.is_set():
+                        raise UploadCancelled(f"upload {dest} cancelled before start")
                     sc.setJobGroup(group, f"upload {dest}", True)
                     try:
-                        upload(dest)
+                        upload(dest, should_abort=cancelled.is_set)
                     finally:
                         sc.setJobGroup("", "")
 
@@ -324,18 +359,36 @@ class CdcPipeline:
                     failures: list[str] = []
                     first: BaseException | None = None
                     if not_done:
+                        cancelled.set()
                         sc.cancelJobGroup(group)
+                        # Grace join: give cancelled stragglers a bounded
+                        # window to observe the dead job / flag and exit,
+                        # so the epoch replay never overlaps their writes.
+                        done2, still = wait(not_done, timeout=60.0)
+                        done |= done2
+                        not_done = still
                     for f in not_done:
                         f.cancel()
                         failures.append(
                             f"{futures[f]}: timed out after "
-                            f"{self.concurrent_uploads_timeout_minutes} min"
+                            f"{self.concurrent_uploads_timeout_minutes} min "
+                            "(thread still running past the 60 s grace join)"
                         )
                     for f in done:
                         exc = f.exception()
-                        if exc is not None:
-                            first = first or exc
-                            failures.append(f"{futures[f]}: {exc}")
+                        if exc is None:
+                            continue
+                        if isinstance(exc, UploadCancelled):
+                            # Cancelled because the BATCH timed out: report
+                            # it as the timeout it is, not a task failure.
+                            failures.append(
+                                f"{futures[f]}: timed out after "
+                                f"{self.concurrent_uploads_timeout_minutes} "
+                                f"min ({exc})"
+                            )
+                            continue
+                        first = first or exc
+                        failures.append(f"{futures[f]}: {exc}")
                     if failures:
                         raise RuntimeError(
                             "one or more parallel upload tasks failed: "

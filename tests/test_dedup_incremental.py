@@ -116,3 +116,17 @@ def test_match_plan_prunes_and_never_cartesian(spark, tmp_path):
     # the (band, sig_pre) keys reach the index scan as partition filters
     assert "PartitionFilters: [" in plan
     assert "sig_pre" in plan.split("PartitionFilters")[1][:600]
+
+
+def test_null_text_docs_neither_crash_nor_escape_exact_dedup(spark, tmp_path):
+    """NULL text hashes as the empty document: the probe must not crash the
+    driver-side prefix collection, and two NULL/empty docs must collide on
+    the exact band across batches."""
+    idx = MinHashBandIndex(spark, str(tmp_path / "idx"))
+    corpus = spark.createDataFrame([(1, None), (2, "real text here")], "doc_id long, text string")
+    idx.build(corpus)
+    probe = spark.createDataFrame([(10, None), (11, "")], "doc_id long, text string")
+    got = idx.match(probe).collect()
+    exact = {(r["new_doc"], r["corpus_doc"]) for r in got if r["exact_match"]}
+    # NULL == empty == NULL across batches on the exact band
+    assert (10, 1) in exact and (11, 1) in exact

@@ -200,3 +200,22 @@ def test_streaming_dlq_with_checkpoint_restart(spark, tmp_path):
     p2 = run_once()  # restart, no new files: nothing replays
     assert p2.read_table("t1").count() == 2
     assert p2.rejects_table().read().count() == 1
+
+
+def test_strict_mode_passes_tombstones(spark, tmp_path):
+    """{"schema":..., "payload": null} is the documented delete marker —
+    strict mode must not flag the envelope keys as unknown fields."""
+    tomb = json.dumps({"schema": SCHEMA, "payload": None})
+    path = _write(tmp_path, [_env(GOOD), tomb])
+    rows = read_cdc_ndjson(
+        spark, path, schema_hint=SCHEMA, ignore_unknown_fields=False
+    ).collect()
+    assert len(rows) == 2  # both parse; the null payload is an all-null row
+    rows = read_cdc_ndjson(
+        spark,
+        path,
+        schema_hint=SCHEMA,
+        ignore_unknown_fields=False,
+        on_error="route",
+    ).collect()
+    assert all(r[REJECT_COL] is None for r in rows)

@@ -144,11 +144,16 @@ def test_merge_swap_retry_is_idempotent(spark, tmp_path, monkeypatch):
     t.append(_rows(spark, range(20)), epoch_id=0)
     before = sorted(tuple(r) for r in t.read().collect())
 
-    # Fail the first os.replace call of the compaction's swap, then heal.
+    # Fail the first SWAP os.replace of the compaction, then heal.  Scope
+    # the injection to partition-directory renames: epoch-marker commits
+    # also publish via os.replace now, and failing one of those would test
+    # the wrong code path.
     real_replace = os.replace
     state = {"calls": 0}
 
     def flaky_replace(src, dst):
+        if "_epochs" in str(dst):
+            return real_replace(src, dst)
         state["calls"] += 1
         if state["calls"] == 1:
             raise OSError("transient rename failure")
