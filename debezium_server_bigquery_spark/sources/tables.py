@@ -109,7 +109,16 @@ def load_table(
     if spread:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
+            # Hash-partition on monotonically_increasing_id instead of a
+            # plain round-robin repartition: RoundRobinPartitioning inserts
+            # a full local row sort before the shuffle write (its task-retry
+            # determinism guard, spark.sql.execution.sortBeforeRepartition),
+            # which runs on the ONE scan task this branch exists to relieve
+            # (measured ~0.5 s of the q1 bench at sf0.1).  The id is a pure
+            # function of (split, row order) and parquet scans replay in a
+            # stable order, so a retried task reproduces the same mapping —
+            # the determinism the sort buys round-robin comes for free.
+            df = df.repartition(target, F.monotonically_increasing_id())
     # Normalize events.ts across the physical types the driver has shipped:
     #   * TIMESTAMP(NANOS)  -> LongType under nanosAsLong: keep exact nanos
     #     in ts_ns (the CDC dedup column must not lose precision — SURVEY §7
