@@ -157,47 +157,34 @@ def dedup_exact_stream(
 def minhash_band_table(docs: DataFrame) -> DataFrame:
     """(doc_id, band, sig) LSH band signatures for ``docs(doc_id, text)``.
 
-    One md5 per shingle: the k seed-hashes are derived arithmetically
-    (Broder double hashing, ``(h1 + seed*h2) & mask``) so per-shingle cost
-    is 1 digest + k adds instead of k digests.  The per-doc ``min`` runs as
-    array algebra over the shingle array (``transform`` + ``array_min``) —
-    a fully NARROW stage: no shingle explode, no ``groupBy(doc_id)``
-    shuffle.  At 100 TB that deletes an exchange of k longs per document
-    (the earlier explode+groupBy form shuffled rows x 96 B); signatures
-    flow straight into the band join's exchange.  Shared by the self-join
-    dedup below and the incremental cross-corpus index
-    (functions/dedup_incremental.py).
+    Shingle-explode once, then *one* md5 per shingle: the k seed-hashes
+    are derived arithmetically (Broder double hashing,
+    ``(h1 + seed*h2) & mask``) so per-row cost is 1 digest + k adds
+    instead of k digests.  One map-side-combinable ``groupBy(doc_id)`` of
+    k ``min``s follows (the shuffle carries 12 longs per doc per map
+    partition).  Shared by the self-join dedup below and the incremental
+    cross-corpus index (functions/dedup_incremental.py).
     """
-    # Chained transforms guarantee ONE md5 per shingle (subexpression
-    # elimination inside higher-order-function lambdas is not guaranteed).
+    shingled = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    )
     # h1: 60-bit from md5[1:15]; h2: 32-bit from md5[17:24].  seed*h2 stays
     # under 2^36, so h1 + seed*h2 never overflows int64 before the mask.
-    digests = F.transform(shingles(F.col("text")), lambda sh: F.md5(sh))
-    harr = F.transform(
-        digests,
-        lambda m: F.struct(
-            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(m, 17, 8), 16, 10).cast("long").alias("h2"),
-        ),
+    md5 = F.md5(F.col("sh"))
+    based = shingled.select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5, 17, 8), 16, 10).cast("long").alias("h2"),
     )
     mask = (1 << 60) - 1
-
-    def _min_for(seed: int) -> Column:
-        # NB: the inner lambda must stay single-argument — PySpark passes
-        # (element, index) to two-argument transform lambdas.
-        return F.array_min(
-            F.transform(
-                F.col("__ha"),
-                lambda x: (x["h1"] + F.lit(seed) * x["h2"]).bitwiseAND(F.lit(mask)),
-            )
-        ).alias(f"m{seed}")
-
-    # Docs with no shingles (< n words) emit no band rows, matching the
-    # explode-based formulation this replaced (and the SQL oracle).
+    hcols = [
+        (F.col("h1") + F.lit(seed) * F.col("h2")).bitwiseAND(F.lit(mask)).alias(f"h{seed}")
+        for seed in range(MINHASH_K)
+    ]
     sig = (
-        docs.select("doc_id", harr.alias("__ha"))
-        .filter(F.size("__ha") > 0)
-        .select("doc_id", *[_min_for(seed) for seed in range(MINHASH_K)])
+        based.select("doc_id", *hcols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{seed}").alias(f"m{seed}") for seed in range(MINHASH_K)])
     )
     # band signature = md5 of the band's r minhashes in seed order
     n_bands = MINHASH_K // BAND_R
@@ -237,9 +224,9 @@ def minhash_band_table(docs: DataFrame) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs via band-signature self-join — the band join is
-    the ONLY exchange in the whole plan (signatures are narrow array
-    algebra), on (band, sig) whose cardinality is ~4 rows/doc regardless
-    of doc size: that is the 100 TB path."""
+    the only exchange besides the signature aggregation, on (band, sig)
+    whose cardinality is ~4 rows/doc regardless of doc size: that is the
+    100 TB path."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     bands = minhash_band_table(docs)
     # Self-join via shuffle-hash, NOT broadcast: with a broadcast join the

@@ -51,6 +51,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Round-robin repartition (the load_table(spread=True) fan-out)
+        # sorts every row locally before the shuffle write by default, as a
+        # guard against task-retry nondeterminism.  The spread sits directly
+        # on a deterministic parquet scan whose replay order is stable, so
+        # the sort buys nothing and runs serially on exactly the single hot
+        # scan task the spread exists to relieve (~0.5 s of q1 at sf0.1).
+        # Expression-based repartitions elsewhere (bucket salt, inverted
+        # index) are unaffected — they never sort.
+        .config("spark.sql.execution.sortBeforeRepartition", "false")
         # The driver's events.parquet stores ts as TIMESTAMP(NANOS); Spark
         # has no nanos timestamp — read as long, converted in sources/tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

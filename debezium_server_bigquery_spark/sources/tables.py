@@ -109,16 +109,17 @@ def load_table(
     if spread:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
-            # Hash-partition on monotonically_increasing_id instead of a
-            # plain round-robin repartition: RoundRobinPartitioning inserts
-            # a full local row sort before the shuffle write (its task-retry
-            # determinism guard, spark.sql.execution.sortBeforeRepartition),
-            # which runs on the ONE scan task this branch exists to relieve
-            # (measured ~0.5 s of the q1 bench at sf0.1).  The id is a pure
-            # function of (split, row order) and parquet scans replay in a
-            # stable order, so a retried task reproduces the same mapping —
-            # the determinism the sort buys round-robin comes for free.
-            df = df.repartition(target, F.monotonically_increasing_id())
+            # Plain round-robin, NOT an expression like
+            # monotonically_increasing_id(): a nondeterministic partition
+            # expression is never `semanticEquals` to its own copy, which
+            # kills ReusedExchange for every plan that consumes the same
+            # spread scan twice (LSH band self-joins, the n-gram inverted
+            # index) — measured as the whole signature pipeline recomputed
+            # per join side.  Round-robin is a *partitioning*, not a plan
+            # expression, so subtree reuse survives.  Its pre-shuffle local
+            # sort (the task-retry determinism guard) is disabled once in
+            # session.py — see the rationale there.
+            df = df.repartition(target)
     # Normalize events.ts across the physical types the driver has shipped:
     #   * TIMESTAMP(NANOS)  -> LongType under nanosAsLong: keep exact nanos
     #     in ts_ns (the CDC dedup column must not lose precision — SURVEY §7
