@@ -72,7 +72,7 @@ def get_spark(
         .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing -XX:CICompilerCount=16",
         )
         .config("spark.ui.enabled", "false")
     )
