@@ -82,6 +82,7 @@ class ParquetTable:
         retry_policy: RetryPolicy = DEFAULT_POLICY,
         allow_field_addition: bool = True,
         create_if_needed: bool = True,
+        zorder_cols: Sequence[str] = (),
     ):
         if partition_type not in PART_FORMATS:
             raise ValueError(
@@ -109,6 +110,13 @@ class ParquetTable:
         # create-if-needed (StreamConsumerConfig.java:34-36): when off, a
         # write against a missing table fails instead of creating it.
         self.create_if_needed = create_if_needed
+        # Z-order clustering (operators/zorder.py): when set, batches are
+        # laid out within their partitions by a bit-interleaved z-value
+        # over these columns instead of the lexicographic clustering sort,
+        # so row-group stats prune on every listed column.  Ranges come
+        # from the batch itself — per-file ordering is all row-group
+        # skipping needs.
+        self.zorder_cols = list(zorder_cols)
 
     # -- metadata ----------------------------------------------------------
     @property
@@ -129,6 +137,7 @@ class ParquetTable:
                     "partition_type": self.partition_type,
                     "partition_field": self.partition_field,
                     "clustering": self.clustering_cols(),
+                    "zorder": self.zorder_cols,
                     "schema": json.loads(schema_json),
                 },
                 fh,
@@ -249,6 +258,19 @@ class ParquetTable:
         return out
 
     def _cluster_sort(self, df: DataFrame) -> DataFrame:
+        zcols = [c for c in self.zorder_cols if c in df.columns]
+        if len(zcols) >= 2:
+            from debezium_server_bigquery_spark.operators.zorder import (
+                column_ranges,
+                zvalue,
+            )
+
+            ranges = column_ranges(df, zcols)
+            return (
+                df.withColumn("__zv", zvalue(ranges, zcols))
+                .sortWithinPartitions("__zv")
+                .drop("__zv")
+            )
         cols = [c for c in self.clustering_cols() if c in df.columns]
         return df.sortWithinPartitions(*cols) if cols else df
 
