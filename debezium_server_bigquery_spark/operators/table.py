@@ -31,6 +31,7 @@ epochs, the parquet-native version of Delta's ``txnAppId`` guard
 from __future__ import annotations
 
 import json
+import logging
 import os
 from collections.abc import Sequence
 
@@ -42,6 +43,8 @@ from debezium_server_bigquery_spark.operators.retry import (
     RetryPolicy,
     with_retry,
 )
+
+log = logging.getLogger(__name__)
 
 PART_MONTH = "__part_month"
 KEY_BUCKET = "__kb"
@@ -117,6 +120,14 @@ class ParquetTable:
         # from the batch itself — per-file ordering is all row-group
         # skipping needs.
         self.zorder_cols = list(zorder_cols)
+        if self.zorder_cols:
+            from debezium_server_bigquery_spark.operators.zorder import (
+                validate_zorder,
+            )
+
+            # fail at construction, not on the first write
+            validate_zorder(self.zorder_cols)
+        self._zcache: DataFrame | None = None
 
     # -- metadata ----------------------------------------------------------
     @property
@@ -259,20 +270,47 @@ class ParquetTable:
 
     def _cluster_sort(self, df: DataFrame) -> DataFrame:
         zcols = [c for c in self.zorder_cols if c in df.columns]
+        if self.zorder_cols and len(zcols) < len(self.zorder_cols):
+            # layout silently degrading is hard to diagnose — say so
+            missing = sorted(set(self.zorder_cols) - set(zcols))
+            log.warning(
+                "z-order columns %s missing from batch for %s; "
+                "falling back to lexicographic clustering",
+                missing,
+                self.path,
+            )
         if len(zcols) >= 2:
             from debezium_server_bigquery_spark.operators.zorder import (
                 column_ranges,
                 zvalue,
             )
 
-            ranges = column_ranges(df, zcols)
+            # The ranges aggregate is an ACTION on the not-yet-written
+            # batch plan; persist so the write that follows reuses the
+            # computed rows instead of re-running the whole upstream plan
+            # (for a MERGE that plan is the full join).  Released by the
+            # caller via _release_zcache after the write action.
+            df = df.persist()
+            self._zcache = df
+            ranges = with_retry(
+                lambda: column_ranges(df, zcols),
+                policy=self.retry_policy,
+                describe=f"zorder-ranges {self.path}",
+            )
             return (
-                df.withColumn("__zv", zvalue(ranges, zcols))
+                df.withColumn("__zv", zvalue(df, zcols, ranges))
                 .sortWithinPartitions("__zv")
                 .drop("__zv")
             )
         cols = [c for c in self.clustering_cols() if c in df.columns]
         return df.sortWithinPartitions(*cols) if cols else df
+
+    def _release_zcache(self) -> None:
+        if self._zcache is not None:
+            try:
+                self._zcache.unpersist()
+            finally:
+                self._zcache = None
 
     def _write_append(self, out: DataFrame) -> None:
         """The raw append write action (separable for fault injection)."""
@@ -350,9 +388,12 @@ class ParquetTable:
             self._write_append(out.observe(o, F.count(F.lit(1)).alias("rows")))
             return o
 
-        obs = with_retry(
-            attempt, policy=self.retry_policy, describe=f"append {self.path}"
-        )
+        try:
+            obs = with_retry(
+                attempt, policy=self.retry_policy, describe=f"append {self.path}"
+            )
+        finally:
+            self._release_zcache()
         # Record what was actually written (restriction may have dropped
         # batch columns; evolution may have added live ones).
         self._write_meta(out.drop(self.partition_col()).schema.json())
@@ -458,11 +499,14 @@ class ParquetTable:
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
         out = self._cluster_sort(df)
         # mode("overwrite") makes a retried staging write idempotent.
-        with_retry(
-            lambda: out.write.mode("overwrite").partitionBy(part_col).parquet(staging),
-            policy=self.retry_policy,
-            describe=f"stage-overwrite {self.path}",
-        )
+        try:
+            with_retry(
+                lambda: out.write.mode("overwrite").partitionBy(part_col).parquet(staging),
+                policy=self.retry_policy,
+                describe=f"stage-overwrite {self.path}",
+            )
+        finally:
+            self._release_zcache()
         try:
             staged = {
                 d

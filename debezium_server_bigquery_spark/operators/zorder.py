@@ -43,11 +43,61 @@ from pyspark.sql import functions as F
 ZORDER_BITS = 12
 
 
+def validate_zorder(cols: Sequence[str], bits: int = ZORDER_BITS) -> None:
+    """Eager configuration check (shape only — column types are checked
+    against the actual schema at layout time).  Call at table construction
+    so a bad layout fails fast, not on the first write."""
+    if len(cols) * bits > 62:
+        raise ValueError(
+            f"{len(cols)} z-order cols x {bits} bits overflows a signed z-value"
+        )
+
+
+def _proxy(col: Column, dtype) -> Column:
+    """Order-preserving DOUBLE rank for any clusterable column type.
+
+    - numerics/booleans: plain cast
+    - DATE: days since epoch
+    - TIMESTAMP / TIMESTAMP_NTZ: epoch micros (tz-free, timeutil)
+    - STRING: first 7.5 UTF-8 bytes as a 60-bit big-endian integer —
+      lexicographic byte order is preserved (shorter strings right-pad
+      with zero hex digits, ranking before any extension, like a sort)
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.NumericType):
+        return col.cast("double")
+    if isinstance(dtype, T.BooleanType):
+        return col.cast("int").cast("double")
+    if isinstance(dtype, T.DateType):
+        return F.unix_date(col).cast("double")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        from debezium_server_bigquery_spark.timeutil import epoch_micros
+
+        return epoch_micros(col, dtype).cast("double")
+    if isinstance(dtype, T.StringType):
+        return F.conv(
+            F.rpad(F.substring(F.hex(F.encode(col, "UTF-8")), 1, 15), 15, "0"),
+            16,
+            10,
+        ).cast("double")
+    raise ValueError(
+        f"z-order does not support column type {dtype.simpleString()} "
+        "(numeric, boolean, date, timestamp, string are supported)"
+    )
+
+
+def _proxies(df: DataFrame, cols: Sequence[str]) -> dict[str, Column]:
+    return {c: _proxy(F.col(c), df.schema[c].dataType) for c in cols}
+
+
 def column_ranges(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, float]]:
-    """One aggregate pass -> {col: (min, max)}.  O(metadata) driver data."""
+    """One aggregate pass -> {col: (min, max)} of the order-preserving
+    numeric proxies.  O(metadata) driver data."""
+    proxies = _proxies(df, cols)
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        aggs += [F.min(proxies[c]).alias(f"__mn_{c}"), F.max(proxies[c]).alias(f"__mx_{c}")]
     row = df.agg(*aggs).collect()[0]
     out = {}
     for c in cols:
@@ -77,19 +127,21 @@ def _bucket(col: Column, mn: float, mx: float, bits: int) -> Column:
 
 
 def zvalue(
-    ranges: Mapping[str, tuple[float, float]],
+    df: DataFrame,
     cols: Sequence[str],
+    ranges: Mapping[str, tuple[float, float]],
     bits: int = ZORDER_BITS,
 ) -> Column:
-    """Bit-interleaved z-value over ``cols`` (column j contributes bit i of
-    its bucket rank at position ``i*k + j``).  k*bits must fit a signed
-    long."""
+    """Bit-interleaved z-value over ``cols`` of ``df`` (column j
+    contributes bit i of its bucket rank at position ``i*k + j``).
+    ``ranges`` are proxy-space bounds from :func:`column_ranges`.  k*bits
+    must fit a signed long."""
     k = len(cols)
     if k == 0:
         raise ValueError("zvalue needs at least one column")
-    if k * bits > 62:
-        raise ValueError(f"{k} cols x {bits} bits overflows a signed z-value")
-    buckets = [_bucket(F.col(c), *ranges[c], bits) for c in cols]
+    validate_zorder(cols, bits)
+    proxies = _proxies(df, cols)
+    buckets = [_bucket(proxies[c], *ranges[c], bits) for c in cols]
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, b in enumerate(buckets):
@@ -110,7 +162,7 @@ def zorder_layout(
     z-order (range-partitioned + sorted on the z-value), ready to write.
     One shuffle — the price of any re-layout."""
     ranges = dict(ranges) if ranges is not None else column_ranges(df, cols)
-    z = zvalue(ranges, cols, bits).alias("__zv")
+    z = zvalue(df, cols, ranges, bits).alias("__zv")
     with_z = df.select("*", z)
     parted = (
         with_z.repartitionByRange(num_partitions, "__zv")

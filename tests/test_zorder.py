@@ -58,7 +58,7 @@ def test_zvalue_matches_python_reference(spark):
     ranges = {"a": (0.0, 100.0), "b": (0.0, 100.0)}
     got = [
         r["z"]
-        for r in df.select(zvalue(ranges, ["a", "b"], bits=6).alias("z")).collect()
+        for r in df.select(zvalue(df, ["a", "b"], ranges, bits=6).alias("z")).collect()
     ]
     want = [_py_z(r, ranges, ["a", "b"], 6) for r in rows]
     assert got == want
@@ -71,16 +71,70 @@ def test_zvalue_monotone_in_each_dimension(spark):
     ranges = {"a": (0.0, 100.0), "b": (0.0, 100.0)}
     zs = [
         r["z"]
-        for r in df.select(zvalue(ranges, ["a", "b"]).alias("z")).collect()
+        for r in df.select(zvalue(df, ["a", "b"], ranges).alias("z")).collect()
     ]
     assert zs == sorted(zs)
 
 
-def test_zvalue_rejects_overflow_and_empty():
+def test_zvalue_rejects_overflow_and_empty(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
     with pytest.raises(ValueError):
-        zvalue({}, [], bits=12)
+        zvalue(df, [], {}, bits=12)
+    from debezium_server_bigquery_spark.operators.zorder import validate_zorder
+
     with pytest.raises(ValueError):
-        zvalue({c: (0.0, 1.0) for c in "abcdef"}, list("abcdef"), bits=12)
+        validate_zorder(list("abcdef"), bits=12)
+
+
+def test_zvalue_string_and_timestamp_proxies(spark):
+    """Non-numeric clustered columns — the common CDC case (string PK +
+    source timestamp) — rank order-preservingly."""
+    import datetime as dt
+
+    rows = [
+        ("aa", dt.datetime(2024, 1, 1)),
+        ("ab", dt.datetime(2024, 3, 1)),
+        ("b", dt.datetime(2024, 6, 1)),
+        ("ba", dt.datetime(2024, 9, 1)),
+        ("z", dt.datetime(2024, 12, 1)),
+    ]
+    df = spark.createDataFrame(rows, "pk string, ts timestamp")
+    ranges = column_ranges(df, ["pk", "ts"])
+    zs = [
+        r["z"] for r in df.select(zvalue(df, ["pk", "ts"], ranges).alias("z")).collect()
+    ]
+    # both dims increase together here, so z must be strictly increasing
+    assert zs == sorted(zs) and len(set(zs)) == len(zs)
+    # unsupported type says so clearly
+    arr = spark.createDataFrame([([1, 2],)], "a array<int>")
+    with pytest.raises(ValueError, match="does not support"):
+        column_ranges(arr, ["a"])
+
+
+def test_parquet_table_zorder_validates_at_construction(spark, tmp_path):
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    with pytest.raises(ValueError, match="overflows"):
+        ParquetTable(
+            spark, str(tmp_path / "bad"), zorder_cols=list("abcdef")
+        )
+
+
+def test_parquet_table_zorder_missing_col_warns_and_falls_back(
+    spark, tmp_path, caplog
+):
+    import logging
+
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("a"), F.lit(1700000000000).alias("__ts_ms")
+    )
+    t = ParquetTable(spark, str(tmp_path / "zt2"), mode="append", zorder_cols=["a", "b"])
+    with caplog.at_level(logging.WARNING):
+        t.append(df, epoch_id=1)
+    assert any("z-order columns" in r.message for r in caplog.records)
+    assert t.read().count() == 100
 
 
 def _groups_hit_1d(path: str, col: str, lo, hi) -> tuple[int, int]:
