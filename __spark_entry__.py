@@ -124,8 +124,8 @@ _TIER1 = [
     "dedup_clusters",
     "pipeline_rejects_e2e",
     "ann_cosine_topk",
-    "ann_lsh_bucketed",
     "ann_ivf",
+    "ann_pq_rerank",
     "embedding_centroid_by_label",
     "sketch_distinct_users",
     "text_quality_score",
@@ -136,7 +136,7 @@ _TIER1 = [
     "chunk_documents",
     "text_pii_scrub",
     "multimodal_manifest",
-    "multimodal_frame_sample",
+    "zorder_events_roundtrip",
     "pack_token_budget",
     "pack_token_budget_scalable",
     "profile_documents",
@@ -154,6 +154,8 @@ _TIER1 = [
     "text_token_stats",
     "embedding_neardup_pairs",
     "dedup_ngram_jaccard",
+    "ann_lsh_bucketed",
+    "multimodal_frame_sample",
 ]
 
 
