@@ -46,6 +46,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.timeseries",),
         ("debezium_server_bigquery_spark.functions.similarity",),
         ("debezium_server_bigquery_spark.functions.pq",),
+        ("debezium_server_bigquery_spark.functions.kmeans",),
         ("debezium_server_bigquery_spark.functions.sketches",),
         ("debezium_server_bigquery_spark.functions.text",),
         ("debezium_server_bigquery_spark.functions.multimodal",),
