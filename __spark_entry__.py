@@ -38,6 +38,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.plans.cdc_queries",),
         ("debezium_server_bigquery_spark.plans.pipeline_queries",),
         ("debezium_server_bigquery_spark.streaming.sessions",),
+        ("debezium_server_bigquery_spark.streaming.stream_join",),
         ("debezium_server_bigquery_spark.operators.asof",),
         ("debezium_server_bigquery_spark.operators.rangejoin",),
         ("debezium_server_bigquery_spark.operators.skewjoin",),
