@@ -97,6 +97,15 @@ def _collect(attr: str) -> dict:
 # second text-stats and embedding-pairs representatives, one of four
 # plain-agg analytics, one of five fuzzy-dedup variants) — the displaced
 # queries stay registered right after the graded prefix.
+#
+# Late-round-4 additions rotated in the same way: kmeans_clusters (the
+# new iterative-algorithm family; its centroid update subsumes the
+# embedding_centroid_by_label dataflow, which rotates out),
+# semantic_dedup_pairs (cluster-confined near-dup — displaces the window
+# form of packing, whose scalable twin stays graded), and
+# stream_view_purchase_pairs (stream-stream interval join twin —
+# displaces pipeline_append_e2e, whose append path stays graded via
+# cdc_append_stats and the fan-in e2e).
 _TIER1 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -109,7 +118,6 @@ _TIER1 = [
     "cdc_coerce_scalars",
     "cdc_nested_envelope",
     "pipeline_schema_evolution_e2e",
-    "pipeline_append_e2e",
     "pipeline_keep_deletes_e2e",
     "pipeline_fanin_rewrite_e2e",
     "ivm_incremental_agg_e2e",
@@ -128,7 +136,8 @@ _TIER1 = [
     "ann_cosine_topk",
     "ann_ivf",
     "ann_pq_rerank",
-    "embedding_centroid_by_label",
+    "kmeans_clusters",
+    "semantic_dedup_pairs",
     "sketch_distinct_users",
     "text_quality_score",
     "text_lang_id",
@@ -139,7 +148,7 @@ _TIER1 = [
     "text_pii_scrub",
     "multimodal_manifest",
     "zorder_events_roundtrip",
-    "pack_token_budget",
+    "stream_view_purchase_pairs",
     "pack_token_budget_scalable",
     "profile_documents",
     "sample_stratified",
@@ -151,6 +160,9 @@ _TIER1 = [
     # -- end of the 50-query graded prefix; rotated-out members follow so
     # they keep local-oracle coverage and re-enter in a future rotation.
     "q6_forecast_revenue",
+    "pipeline_append_e2e",
+    "embedding_centroid_by_label",
+    "pack_token_budget",
     "cdc_upsert_keep_deletes",
     "pipeline_upsert_e2e",
     "text_token_stats",
