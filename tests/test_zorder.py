@@ -205,8 +205,13 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # z-order: BOTH columns prune (each touches well under all groups)...
     assert z_ord < z_total * 3 // 4
     assert z_part < z_total * 3 // 4
-    # ...and the worst-dimension scan under z beats linear's worst.
-    assert max(z_ord, z_part) < max(l_ord, l_part), (
+    # ...and the worst-dimension scan under z beats linear's worst, as a
+    # FRACTION of each layout's own row groups — raw counts are not
+    # comparable (the two layouts can produce different group counts, and
+    # a near-tie on counts made this assert flaky under full-suite runs).
+    z_worst = max(z_ord, z_part) / z_total
+    l_worst = max(l_ord, l_part) / l_total
+    assert z_worst < l_worst, (
         (z_ord, z_part, z_total),
         (l_ord, l_part, l_total),
     )
