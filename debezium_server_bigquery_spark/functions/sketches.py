@@ -25,7 +25,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import hash60, words
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 HLL_RSD = 0.05
@@ -102,9 +104,111 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", "n_rows", *ok).orderBy("event_type")
 
 
+# Count-min sketch geometry: D independent 60-bit hash rows x W counters.
+# Error contract (Cormode & Muthukrishnan 2005): the estimate NEVER
+# underestimates, and overestimates by <= e/W * N with prob 1 - e^-D; the
+# validation band below uses a loose CM_SLACK_MULT/W * N so the boolean
+# cannot flap on unlucky-but-legal collisions.
+CM_W = 4096
+CM_D = 3
+CM_SLACK_MULT = 8
+HH_PHI = 0.002  # heavy hitter: term frequency >= phi * total terms
+
+
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over document terms, self-validated.
+
+    The sketch is a (CM_D x CM_W)-cell aggregate — fixed size regardless
+    of corpus scale, built map-side-combinably, then **broadcast** into
+    the candidate probe (at 100 TB the sketch is still ~12k rows; the
+    probe never shuffles the corpus).  Following this module's pattern,
+    the emitted row is the exact heavy-hitter count plus two booleans
+    derived from the executed sketch: ``cm_no_underestimate`` (the hard
+    CM guarantee, min over D counters >= exact) and ``cm_within_bound``
+    (overestimate inside the loosened e/W band) — both deterministic, so
+    the row hash-compares against the exact DuckDB twin.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    terms = docs.select(F.explode(words(F.lower(F.col("text")))).alias("term"))
+
+    buckets = terms.select(
+        "term",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        hash60(F.concat(F.lit(f"cm{i}|"), F.col("term"))),
+                        F.lit(CM_W),
+                    )
+                    for i in range(CM_D)
+                ]
+            )
+        ).alias("hash_idx", "bucket"),
+    )
+    sketch = buckets.groupBy("hash_idx", "bucket").agg(
+        F.count("*").alias("counter")
+    )
+
+    exact = terms.groupBy("term").agg(F.count("*").alias("n"))
+    total = exact.agg(F.sum("n").alias("total_terms"))
+    heavy = exact.crossJoin(broadcast(total)).filter(
+        F.col("n") >= F.lit(HH_PHI) * F.col("total_terms")
+    )
+
+    est = (
+        heavy.select(
+            "term",
+            "n",
+            "total_terms",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.pmod(
+                            hash60(F.concat(F.lit(f"cm{i}|"), F.col("term"))),
+                            F.lit(CM_W),
+                        )
+                        for i in range(CM_D)
+                    ]
+                )
+            ).alias("hash_idx", "bucket"),
+        )
+        .join(broadcast(sketch), ["hash_idx", "bucket"])
+        .groupBy("term")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("total_terms").alias("total_terms"),
+            F.min("counter").alias("_est"),
+        )
+    )
+    return est.select(
+        "term",
+        "n",
+        (F.col("_est") >= F.col("n")).alias("cm_no_underestimate"),
+        (
+            F.col("_est")
+            <= F.col("n") + F.lit(CM_SLACK_MULT / CM_W) * F.col("total_terms")
+        ).alias("cm_within_bound"),
+    ).orderBy(F.desc("n"), F.asc("term"))
+
+
+SKETCH_HH_SQL = rf"""
+WITH terms AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                t -> t <> '')) AS term
+  FROM documents
+),
+exact AS (SELECT term, COUNT(*) AS n FROM terms GROUP BY term)
+SELECT term, n, TRUE AS cm_no_underestimate, TRUE AS cm_within_bound
+FROM exact
+WHERE n >= {HH_PHI} * (SELECT SUM(n) FROM exact)
+ORDER BY n DESC, term ASC
+"""
+
+
 QUERIES = {
     "sketch_distinct_users": sketch_distinct_users,
     "sketch_value_quantiles": sketch_value_quantiles,
+    "sketch_heavy_hitters": sketch_heavy_hitters,
 }
 
 ORACLES = {
@@ -128,4 +232,5 @@ ORACLES = {
         GROUP BY 1
         ORDER BY 1
     """,
+    "sketch_heavy_hitters": SKETCH_HH_SQL,
 }

@@ -77,3 +77,26 @@ def test_raw_quantiles_within_rank_error(spark, sf_dir):
             lo = vals[max(0, target - max(2, n // 100))]
             hi = vals[min(n - 1, target + max(2, n // 100))]
             assert lo <= got <= hi, (etype, p, got, lo, hi)
+
+
+def test_heavy_hitters_validation_query_all_ok(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.sketches import (
+        HH_PHI,
+        sketch_heavy_hitters,
+    )
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import words
+
+    rows = sketch_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cm_no_underestimate"], tuple(r)
+        assert r["cm_within_bound"], tuple(r)
+
+    # the emitted set is exactly the exact heavy hitters
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(words(F.lower(F.col("text")))).alias("term"))
+    counts = {r["term"]: r["n"] for r in
+              terms.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    expected = {t: n for t, n in counts.items() if n >= HH_PHI * total}
+    assert {r["term"]: r["n"] for r in rows} == expected
