@@ -159,6 +159,13 @@ _TIER1 = [
     "mix_domain_weights",
     # -- end of the 50-query graded prefix; rotated-out members follow so
     # they keep local-oracle coverage and re-enter in a future rotation.
+    # Round-5 rotation shortlist (local-green, never driver-graded as of
+    # r3): pipeline_metrics_e2e, dedup_incremental_minhash,
+    # ts_similarity_topk, ann_ivf_recall, ann_pq_adc_topk,
+    # sketch_value_quantiles, sketch_heavy_hitters, docs_by_lang_summary,
+    # corpus_export_manifest, text_common_spans, sample_bernoulli_by_lang,
+    # curate_canonical_docs, export_shards, shard_manifest,
+    # validate_rowcounts_all_tables, gsets_returnflag_year_revenue.
     "q6_forecast_revenue",
     "pipeline_append_e2e",
     "embedding_centroid_by_label",
