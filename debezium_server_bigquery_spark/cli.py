@@ -171,6 +171,7 @@ def build_pipeline(spark, props: dict[str, str]):
         create_if_needed=_bool(
             props.get("debezium.sink.bigquerystream.create-if-needed"), True
         ),
+        cast_deleted_field=_bool(props.get(f"{sink}.cast-deleted-field"), True),
         concurrent_uploads=int(
             props.get("debezium.sink.batch.concurrent-uploads", "1")
         ),

@@ -76,6 +76,7 @@ def _coerce_node(
     *,
     decimal_mode: str,
     nested_as_json: bool = False,
+    cast_deleted_field: bool = True,
 ) -> Column:
     """Coercion expression for one schema node; recurses into containers."""
     phys = node.get("type")
@@ -86,8 +87,12 @@ def _coerce_node(
         # F7 — epoch-ms -> TIMESTAMP (:320-329).
         return F.timestamp_millis(col)
     if name in S.BOOLEAN_FIELDS and phys == "string":
-        # F8 — "true"/"false" -> BOOL (:362-364; cast-deleted-field).
-        return col.cast("boolean")
+        # F8 — "true"/"false" -> BOOL (:362-364).  The reference can turn
+        # this off (BatchConsumerConfig.java:69-71 castDeletedField);
+        # when disabled the __deleted column ships as its wire STRING.
+        if cast_deleted_field:
+            return col.cast("boolean")
+        return col
 
     if phys in ("int8", "int16", "int32", "int64"):
         if sem == S.SEM_DATE:
@@ -137,6 +142,7 @@ def _coerce_node(
                 f["field"],
                 decimal_mode=decimal_mode,
                 nested_as_json=nested_as_json,
+                cast_deleted_field=cast_deleted_field,
             ).alias(f["field"])
             for f in node.get("fields", [])
         ]
@@ -149,7 +155,12 @@ def _coerce_node(
         return F.transform(
             col,
             lambda x: _coerce_node(
-                x, items, None, decimal_mode=decimal_mode, nested_as_json=nested_as_json
+                x,
+                items,
+                None,
+                decimal_mode=decimal_mode,
+                nested_as_json=nested_as_json,
+                cast_deleted_field=cast_deleted_field,
             ),
         )
     if phys == "bytes" and sem == S.SEM_DECIMAL:
@@ -165,6 +176,7 @@ def coercion_columns(
     *,
     decimal_handling_mode: str = "double",
     nested_as_json: bool = False,
+    cast_deleted_field: bool = True,
 ) -> list[Column]:
     """Select-list turning wire-schema rows into destination rows.
 
@@ -174,6 +186,9 @@ def coercion_columns(
     ``debezium.sink.batch.nested-as-json`` (CommonConfig.java:24-26): the
     wire parse kept sub-structs as JSON text, so struct coercion is a
     pass-through (geometry stays typed either way, matching schema.py).
+    ``cast_deleted_field`` mirrors ``debezium.sink.<type>.cast-deleted-field``
+    (BatchConsumerConfig.java:69-71, default true): when False the F8
+    string->BOOL cast is skipped and ``__deleted`` ships as STRING.
     """
     cols = []
     for f in schema_node.get("fields", []):
@@ -185,6 +200,7 @@ def coercion_columns(
                 name,
                 decimal_mode=decimal_handling_mode,
                 nested_as_json=nested_as_json,
+                cast_deleted_field=cast_deleted_field,
             ).alias(name)
         )
     return cols

@@ -209,7 +209,7 @@ ZORDER_ROUNDTRIP_SQL = """
 SELECT event_type, COUNT(*) AS n_rows,
   COUNT(DISTINCT user_id) AS n_users,
   MIN(event_id) AS min_event, MAX(event_id) AS max_event,
-  SUM(event_id) AS sum_event
+  CAST(SUM(event_id) AS BIGINT) AS sum_event
 FROM events GROUP BY event_type ORDER BY event_type
 """
 

@@ -76,6 +76,11 @@ class CdcPipeline:
     # by the source parse (read_cdc_ndjson/read_cdc_kafka nested_as_json=) —
     # carried here so the CLI/table metadata reflect the configured mode.
     nested_as_json: bool = False
+    # debezium.sink.<type>.cast-deleted-field (BatchConsumerConfig.java:69-71,
+    # default true): when False the F8 "__deleted" string->BOOL cast is
+    # skipped and the column lands as its wire STRING — parity for users
+    # whose downstream expects the uncast column.
+    cast_deleted_field: bool = True
     # Dead-letter table name (beyond-reference; the reference stops the
     # whole pipeline with a DebeziumException on any conversion failure,
     # ConsumerUtil/BaseChangeConsumer).  When a source running
@@ -169,12 +174,12 @@ class CdcPipeline:
         for wrapper in self._lazy.values():
             wrapper.compact()
 
-    @staticmethod
-    def _coerce_meta(df: DataFrame) -> DataFrame:
+    def _coerce_meta(self, df: DataFrame) -> DataFrame:
         """Destination-table meta types (reference docs/configuration.md:56-59):
         ``__ts_ms``/``__source_ts_ms`` epoch-ms -> TIMESTAMP (F7),
-        ``__deleted`` string -> BOOL (F8).  Applied only when the batch still
-        carries wire types, so coerced and raw inputs land identically."""
+        ``__deleted`` string -> BOOL (F8, unless ``cast_deleted_field`` is
+        off — BatchConsumerConfig.java:69-71).  Applied only when the batch
+        still carries wire types, so coerced and raw inputs land identically."""
         from pyspark.sql import types as T
 
         for c in ("__ts_ms", "__source_ts_ms"):
@@ -182,8 +187,10 @@ class CdcPipeline:
                 df.schema[c].dataType, (T.LongType, T.IntegerType)
             ):
                 df = df.withColumn(c, F.timestamp_millis(F.col(c)))
-        if "__deleted" in df.columns and isinstance(
-            df.schema["__deleted"].dataType, T.StringType
+        if (
+            self.cast_deleted_field
+            and "__deleted" in df.columns
+            and isinstance(df.schema["__deleted"].dataType, T.StringType)
         ):
             df = df.withColumn("__deleted", F.col("__deleted").cast("boolean"))
         return df

@@ -44,6 +44,67 @@ def _norm(v):
     return v
 
 
+def _type_class_spark(dtype: str) -> str:
+    t = dtype.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t.startswith("array"):
+        return "list"
+    if t.startswith(("struct", "map")):
+        return "nested"
+    if t.startswith("timestamp"):
+        return "ts"
+    return {"string": "str", "boolean": "bool", "date": "date", "binary": "bytes"}.get(t, t)
+
+
+def _type_class_duck(dtype: str) -> str:
+    t = dtype.upper()
+    if t in ("HUGEINT", "UHUGEINT"):
+        # Arrow maps int128 to decimal128(38,0) — the driver's type-aware
+        # hash will NOT treat this as an integer (the zorder_events_roundtrip
+        # r4 failure).  Classify as its own tag so it always mismatches.
+        return "int128"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.endswith("[]") or t.startswith("LIST"):
+        return "list"
+    if t.startswith(("STRUCT", "MAP")):
+        return "nested"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    return {"VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date", "BLOB": "bytes"}.get(t, t)
+
+
+def type_lint(spark_dtypes, duck_types):
+    """Compare column type classes; returns (hard_failures, warnings).
+
+    int128 (DuckDB HUGEINT) in oracle output is a hard failure — the
+    driver's Arrow-based hash renders it as Decimal and the row hash can
+    never match an integral Spark column.  Other class mismatches are
+    warnings (the driver may normalize them, but each one is a risk).
+    """
+    sd = {c: _type_class_spark(t) for c, t in spark_dtypes}
+    hard, warn = [], []
+    for col, dt in duck_types.items():
+        dc = _type_class_duck(dt)
+        sc = sd.get(col)
+        if sc is None:
+            continue
+        if dc == "int128":
+            hard.append(f"{col}: duck {dt} (int128) vs spark class {sc} — cast the SQL aggregate")
+        elif sc != dc:
+            warn.append(f"{col}: spark class {sc} vs duck {dt} ({dc})")
+    return hard, warn
+
+
 def compare(spark_rows, spark_cols, duck_rows, duck_cols):
     if sorted(spark_cols) != sorted(duck_cols):
         return f"COLS spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
@@ -138,12 +199,21 @@ def main():
             cur = con.execute(oracles[name])
             duck_cols = [c[0] for c in cur.description]
             duck_rows = cur.fetchall()
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            duck_types = {r[0]: r[1] for r in desc}
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         diff = compare(spark_rows, spark_cols, duck_rows, duck_cols)
-        if diff:
+        hard, warn = type_lint(sdf.dtypes, duck_types)
+        for w in warn:
+            print(f"WARN {name}: type-class mismatch {w}")
+        if hard:
+            failures.append(name)
+            for h in hard:
+                print(f"FAIL {name}: ORACLE TYPE {h}")
+        elif diff:
             failures.append(name)
             print(f"FAIL {name}: {diff}")
         else:
