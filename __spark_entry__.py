@@ -89,26 +89,31 @@ def _collect(attr: str) -> dict:
 # a driver that grades a prefix of the dict still sees each component; the
 # remaining members and the TPC-H-shaped tail follow.
 #
-# Round-4 rotation: components that had never had a driver-graded row
-# (schema evolution S6/R4, §2.5 window functions and rollup/cube, the
-# distributed prefix-sum packing path, nested-as-json, and the new
-# dead-letter route e2e) replace multiply-covered family members (one of
-# the three graded upsert variants, the keep-deletes aggregate twin, the
-# second text-stats and embedding-pairs representatives, one of four
-# plain-agg analytics, one of five fuzzy-dedup variants) — the displaced
-# queries stay registered right after the graded prefix.
-#
-# Late-round-4 additions rotated in the same way: kmeans_clusters (the
-# new iterative-algorithm family; its centroid update subsumes the
-# embedding_centroid_by_label dataflow, which rotates out),
-# semantic_dedup_pairs (cluster-confined near-dup — displaces the window
-# form of packing, whose scalable twin stays graded), and
-# stream_view_purchase_pairs (stream-stream interval join twin —
-# displaces pipeline_append_e2e, whose append path stays graded via
-# cdc_append_stats and the fan-in e2e).
+# Round-5 rotation: the 16 local-green queries that had never had a driver
+# CORRECTNESS row (the shortlist recorded here last round), plus
+# set_returned_open_orders (§2.5 set-ops' first driver row) and the new
+# cdc_coerce_exotic (F1 base64->bytes, F2 geometry wkb->hex, F9
+# array-element coercion, F10 precise decimal — previously fixture-only),
+# replace multiply-covered family members: the lazy-upsert e2e variant
+# (S5 stays graded via cdc_upsert_final_state + keep-deletes), two of
+# four fuzzy-dedup variants (exact + clusters + incremental stay), two of
+# three text-stats members (docs_by_lang_summary / text_common_spans take
+# over lang-id and spans), two ANN members (ivf_recall / pq_adc take over
+# IVF and PQ), the distinct-count sketch (quantiles + heavy-hitters take
+# over sketches), stratified sampling (bernoulli-by-lang takes over),
+# the checksum validator (rowcounts-all-tables takes over), corpus_recipe
+# (export-manifest + canonical-docs take over curation), rollup (grouping
+# sets takes over §2.5 grouped analytics), one TPC-H member, the fan-in
+# e2e (metrics e2e keeps the multi-destination write path graded),
+# nested-envelope (F4 had its r4 row; exotic coercions take the slot),
+# the tumbling-window counts (running-spend + sessionize keep §2.5
+# windows graded), kmeans (semantic_dedup_pairs exercises its cells), and
+# the banded-range join twin (asof + skew + stream interval keep joins
+# graded).  Every rotated-out query stays registered right after the
+# prefix, so it keeps local-oracle coverage and can re-enter later; all
+# of them already have a passing driver row from r1-r4.
 _TIER1 = [
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q_events_daily",
     "cdc_flatten",
     "cdc_route",
@@ -116,56 +121,70 @@ _TIER1 = [
     "cdc_upsert_final_state",
     "cdc_append_stats",
     "cdc_coerce_scalars",
-    "cdc_nested_envelope",
+    "cdc_coerce_exotic",
     "pipeline_schema_evolution_e2e",
     "pipeline_keep_deletes_e2e",
-    "pipeline_fanin_rewrite_e2e",
+    "pipeline_metrics_e2e",
+    "pipeline_rejects_e2e",
     "ivm_incremental_agg_e2e",
     "sessionize_events",
-    "windowed_event_counts",
     "w_running_customer_spend",
-    "rollup_nation_year_revenue",
+    "gsets_returnflag_year_revenue",
+    "set_returned_open_orders",
     "asof_purchase_last_view",
-    "range_attr_views_before_purchase",
     "skew_join_above_user_avg",
+    "stream_view_purchase_pairs",
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
-    "pipeline_rejects_e2e",
-    "ann_cosine_topk",
-    "ann_ivf",
-    "ann_pq_rerank",
-    "kmeans_clusters",
+    "dedup_incremental_minhash",
     "semantic_dedup_pairs",
-    "sketch_distinct_users",
+    "ann_cosine_topk",
+    "ann_ivf_recall",
+    "ann_pq_adc_topk",
+    "ts_similarity_topk",
+    "sketch_value_quantiles",
+    "sketch_heavy_hitters",
     "text_quality_score",
-    "text_lang_id",
-    "text_span_dup_ratio",
-    "pipeline_lazy_upsert_e2e",
-    "corpus_recipe",
+    "docs_by_lang_summary",
+    "text_common_spans",
     "chunk_documents",
     "text_pii_scrub",
     "multimodal_manifest",
     "zorder_events_roundtrip",
-    "stream_view_purchase_pairs",
     "pack_token_budget_scalable",
     "profile_documents",
-    "sample_stratified",
+    "sample_bernoulli_by_lang",
+    "curate_canonical_docs",
+    "corpus_export_manifest",
+    "export_shards",
+    "shard_manifest",
     "vocab_top_terms",
     "embedding_quantize_int8",
     "funnel_view_click_purchase",
-    "validate_orders_checksum",
+    "validate_rowcounts_all_tables",
     "mix_domain_weights",
     # -- end of the 50-query graded prefix; rotated-out members follow so
     # they keep local-oracle coverage and re-enter in a future rotation.
-    # Round-5 rotation shortlist (local-green, never driver-graded as of
-    # r3): pipeline_metrics_e2e, dedup_incremental_minhash,
-    # ts_similarity_topk, ann_ivf_recall, ann_pq_adc_topk,
-    # sketch_value_quantiles, sketch_heavy_hitters, docs_by_lang_summary,
-    # corpus_export_manifest, text_common_spans, sample_bernoulli_by_lang,
-    # curate_canonical_docs, export_shards, shard_manifest,
-    # validate_rowcounts_all_tables, gsets_returnflag_year_revenue.
+    # All queries below have at least one passing driver row from a prior
+    # round (or are family twins of one).
+    "q3_shipping_priority",
+    "cdc_nested_envelope",
+    "pipeline_fanin_rewrite_e2e",
+    "pipeline_lazy_upsert_e2e",
+    "windowed_event_counts",
+    "rollup_nation_year_revenue",
+    "range_attr_views_before_purchase",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf",
+    "ann_pq_rerank",
+    "kmeans_clusters",
+    "sketch_distinct_users",
+    "text_lang_id",
+    "text_span_dup_ratio",
+    "corpus_recipe",
+    "sample_stratified",
+    "validate_orders_checksum",
     "q6_forecast_revenue",
     "pipeline_append_e2e",
     "embedding_centroid_by_label",

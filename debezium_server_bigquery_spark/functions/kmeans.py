@@ -106,16 +106,70 @@ def lloyd_kmeans(emb: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
     ``emb`` must carry (vec_id, embedding); seeds are the ``k`` lowest
     vec_ids.  Returns the FINAL assignment (against the last centroids).
     """
-    vecs = emb.select(
+    vecs = _vecs(emb)
+    assigned = _assign(vecs, _seed(vecs, k))
+    for _ in range(iters):
+        assigned = _assign(vecs, _update(assigned))
+    return assigned
+
+
+def _vecs(emb: DataFrame) -> DataFrame:
+    return emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cluster_id"), F.col("v").alias("centroid")
+
+
+def _seed(vecs: DataFrame, k: int) -> DataFrame:
+    """Seed centroids: the ``k`` lowest vec_ids — genuinely the k lowest
+    (orderBy + limit, a TakeOrdered of k rows), not ``vec_id < k``, so
+    sparse or non-zero-based id spaces still yield exactly k seeds."""
+    return (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("v").alias("centroid"))
     )
+
+
+def lloyd_kmeans_checkpointed(
+    emb: DataFrame,
+    k: int = K,
+    max_iters: int = ITERS,
+    tol: float = 0.0,
+) -> DataFrame:
+    """Production-loop form of :func:`lloyd_kmeans`: identical math, but
+    each round's centroid table (k rows) is ``localCheckpoint``-ed so the
+    logical plan stays O(1)-deep regardless of iteration count, and the
+    loop stops early once the max squared centroid shift is <= ``tol``.
+
+    With ``tol=0.0`` early stop happens only at an exact fixed point, where
+    further iterations are no-ops — so for any ``max_iters == iters`` the
+    result is bit-for-bit the composed form's (pinned by
+    tests/test_kmeans.py).  The O(k x dim) centroid collect per round is
+    metadata-scale; the vector table itself is never collected and is
+    re-scanned once per iteration (persist it upstream for many rounds).
+    """
+    vecs = _vecs(emb)
+    cents = _seed(vecs, k).localCheckpoint()
     assigned = _assign(vecs, cents)
-    for _ in range(iters):
-        cents = _update(assigned)
-        assigned = _assign(vecs, cents)
+    for _ in range(max_iters):
+        new_cents = _update(assigned).localCheckpoint()
+        assigned = _assign(vecs, new_cents)
+        # max squared shift over clusters; a cluster appearing/vanishing
+        # (seed id not a mean, or an emptied cell) counts as infinite shift.
+        joined = cents.alias("o").join(
+            new_cents.alias("n"), "cluster_id", "full_outer"
+        )
+        shift = joined.select(
+            F.max(
+                F.when(
+                    F.col("o.centroid").isNull() | F.col("n.centroid").isNull(),
+                    F.lit(float("inf")),
+                ).otherwise(_sq_dist(F.col("o.centroid"), F.col("n.centroid")))
+            ).alias("s")
+        ).collect()[0]["s"]
+        cents = new_cents
+        if shift is not None and shift <= tol:
+            break
     return assigned
 
 
@@ -204,7 +258,7 @@ def _kmeans_ctes(k: int = K, iters: int = ITERS) -> str:
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
         "FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cluster_id, v AS centroid "
-        f"FROM vecs WHERE vec_id < {k})",
+        f"FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {k}))",
         _assign_cte("c0", "a0"),
     ]
     for i in range(iters):

@@ -346,6 +346,118 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# F1/F2/F9/F10 — the "exotic" coercions: base64 wire bytes -> BINARY,
+# geometry struct -> {srid, hex(wkb)}, array-element coercion
+# (epoch-days[] -> DATE[]), and Kafka Connect Decimal wire bytes ->
+# DECIMAL(p,s) under decimal.handling.mode=precise
+# (BaseRecordConverter.java:262-291, 376-386; FIXTURES.md §B shapes
+# various-array-data-types.json / serde-with-schema_geom.json).  Events are
+# rebuilt as JSON wire lines with pure column algebra (the base64 payloads
+# computed Catalyst-side), parsed through the real schema.py ->
+# coercion_columns path, so the driver row covers the full wire pipeline.
+# --------------------------------------------------------------------------
+_EXOTIC_SCHEMA = {
+    "type": "struct",
+    "fields": [
+        {"type": "int64", "optional": False, "field": "event_id"},
+        {"type": "bytes", "field": "c_binary"},
+        {
+            "type": "struct",
+            "name": "io.debezium.data.geometry.Geometry",
+            "fields": [
+                {"type": "int32", "field": "srid"},
+                {"type": "bytes", "field": "wkb"},
+            ],
+            "field": "g",
+        },
+        {
+            "type": "array",
+            "items": {"type": "int32", "name": "io.debezium.time.Date"},
+            "field": "c_dates",
+        },
+        {
+            "type": "bytes",
+            "name": "org.apache.kafka.connect.data.Decimal",
+            "parameters": {"scale": "2", "connect.decimal.precision": "12"},
+            "field": "c_amount",
+        },
+    ],
+}
+
+
+def cdc_coerce_exotic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_bigquery_spark.coerce import coercion_columns
+    from debezium_server_bigquery_spark.schema import debezium_schema_to_struct
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    eid = F.col("event_id")
+    # F1 payload: base64("blob-<id>") — from_json decodes base64 to BINARY.
+    bin_b64 = F.base64(F.concat(F.lit("blob-"), eid.cast("string")).cast("binary"))
+    # F2 wkb payload: 4 deterministic bytes — big-endian hex of event_id.
+    wkb_hex = F.lpad(F.upper(F.conv(eid.cast("string"), 10, 16)), 8, "0")
+    wkb_b64 = F.base64(F.unhex(wkb_hex))
+    # F10 payload: BigInteger.toByteArray of the unscaled value (positive
+    # here, so: minimal big-endian bytes with a leading 0x00 pad when the
+    # top bit would read as a sign).  unscaled = event_id*100 + 7, scale 2.
+    unscaled = eid * 100 + 7
+    dec_hex = F.upper(F.conv(unscaled.cast("string"), 10, 16))
+    dec_hex = F.lpad(dec_hex, ((F.length(dec_hex) + 1) / 2).cast("int") * 2, "0")
+    dec_hex = F.when(
+        F.substring(dec_hex, 1, 1).isin("8", "9", "A", "B", "C", "D", "E", "F"),
+        F.concat(F.lit("00"), dec_hex),
+    ).otherwise(dec_hex)
+    dec_b64 = F.base64(F.unhex(dec_hex))
+    line = F.concat(
+        F.lit('{"event_id":'),
+        eid.cast("string"),
+        F.lit(',"c_binary":"'),
+        bin_b64,
+        F.lit('","g":{"srid":'),
+        (eid % 4326).cast("string"),
+        F.lit(',"wkb":"'),
+        wkb_b64,
+        F.lit('"},"c_dates":['),
+        (eid % 20000).cast("string"),
+        F.lit(","),
+        ((eid * 3) % 20000).cast("string"),
+        F.lit('],"c_amount":"'),
+        dec_b64,
+        F.lit('"}'),
+    )
+    wire_schema = debezium_schema_to_struct(_EXOTIC_SCHEMA)
+    wire = (
+        ev.select(line.alias("value"))
+        .select(F.from_json("value", wire_schema).alias("e"))
+        .select("e.*")
+    )
+    out = wire.select(
+        coercion_columns(_EXOTIC_SCHEMA, decimal_handling_mode="precise")
+    )
+    return out.select(
+        "event_id",
+        F.hex("c_binary").alias("bin_hex"),  # F1 round-trip, hex for the hash
+        F.col("g.srid").alias("g_srid"),  # F2/F3
+        F.col("g.wkb").alias("g_wkb"),
+        F.col("c_dates").alias("dates"),  # F9+F5: array<date>
+        F.col("c_amount").cast("string").alias("amount_str"),  # F10 precise
+        F.col("c_amount").cast("double").alias("amount_dbl"),
+    ).orderBy("event_id")
+
+
+CDC_COERCE_EXOTIC_SQL = """
+SELECT event_id,
+  hex('blob-' || CAST(event_id AS VARCHAR)) AS bin_hex,
+  CAST(event_id % 4326 AS BIGINT) AS g_srid,
+  upper(lpad(to_hex(event_id), 8, '0')) AS g_wkb,
+  [DATE '1970-01-01' + CAST(event_id % 20000 AS INTEGER),
+   DATE '1970-01-01' + CAST((event_id * 3) % 20000 AS INTEGER)] AS dates,
+  CAST(CAST((event_id * 100 + 7) / 100.0 AS DECIMAL(12,2)) AS VARCHAR) AS amount_str,
+  (event_id * 100 + 7) / 100.0 AS amount_dbl
+FROM events WHERE event_id <= 2000 ORDER BY event_id
+"""
+
+
 QUERIES = {
     "cdc_flatten": cdc_flatten,
     "cdc_route": cdc_route,
@@ -355,6 +467,7 @@ QUERIES = {
     "cdc_append_stats": cdc_append_stats,
     "cdc_coerce_scalars": cdc_coerce_scalars,
     "cdc_nested_envelope": cdc_nested_envelope,
+    "cdc_coerce_exotic": cdc_coerce_exotic,
 }
 
 ORACLES = {
@@ -366,4 +479,5 @@ ORACLES = {
     "cdc_append_stats": CDC_APPEND_SQL,
     "cdc_coerce_scalars": CDC_COERCE_SQL,
     "cdc_nested_envelope": CDC_NESTED_ENVELOPE_SQL,
+    "cdc_coerce_exotic": CDC_COERCE_EXOTIC_SQL,
 }
