@@ -88,8 +88,15 @@ def main() -> None:
     for _name, fn in headline:
         try:
             fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
-        except Exception:
-            pass
+        except Exception as exc:
+            # A query that fails outright must be visible BEFORE timing —
+            # silently skipping it here would make it pay cold-start costs
+            # (or fail late) in the timed section.
+            print(
+                f"bench: warm-up FAILED for {_name}: "
+                f"{type(exc).__name__}: {exc}"[:300],
+                file=sys.stderr,
+            )
 
     # Each query: warm, then best of SPARK_GRAFT_BENCH_REPS (default 3)
     # timed runs.  Identical back-to-back runs were observed to swing
@@ -130,8 +137,56 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # Regression guard: compare per-query timings against the last recorded
+    # round (BENCH_r*.json with the highest round number).  A query above
+    # 1.5x its recorded time is flagged loudly on stderr and in the JSON so
+    # feature work cannot silently re-regress a tuned plan (the r3 q8
+    # regression went unnoticed for a round).  Exit stays 0 — the driver
+    # must still record the one JSON line.
+    baseline = _last_recorded_round()
+    if baseline:
+        ref = baseline.get("queries", {})
+        regressions = {
+            name: {"now": t, "was": ref[name]}
+            for name, t in timings.items()
+            if name in ref and ref[name] > 0 and t > 1.5 * ref[name]
+        }
+        if regressions:
+            out["regressions"] = regressions
+            print(
+                "bench: REGRESSION GUARD TRIPPED (>1.5x last recorded round):",
+                file=sys.stderr,
+            )
+            for name, r in sorted(regressions.items()):
+                print(
+                    f"bench:   {name}: {r['now']:.3f}s vs {r['was']:.3f}s recorded",
+                    file=sys.stderr,
+                )
+
     print(json.dumps(out))
     spark.stop()
+
+
+def _last_recorded_round() -> dict | None:
+    """Load the highest-numbered BENCH_r*.json next to this script."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    best, best_n = json.load(fh), n
+            except Exception:
+                continue
+    return best
 
 
 if __name__ == "__main__":

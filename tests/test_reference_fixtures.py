@@ -72,6 +72,23 @@ def test_geometry_fixture_wkb_hex_and_null_struct(spark, tmp_path):
     assert row["__op"] == "r"
 
 
+def test_geometry_fixture_wkt_roundtrip(spark, tmp_path):
+    # Beyond-parity: the reference's own TODO (BaseRecordConverter.java:
+    # 263-265) stops at hex-WKB; the geometry_wkt_transform hook decodes
+    # the fixture's actual WKB bytes to WKT (the fixture geometry is the
+    # unit point, StreamRecordConverterTest.testGeographyValue).
+    from debezium_server_bigquery_spark.functions.geo import (
+        geometry_wkt_transform,
+    )
+
+    docs, out = _replay(spark, tmp_path, "serde-with-schema_geom.json")
+    enriched = geometry_wkt_transform(["g", "h"])(out)
+    row = enriched.collect()[0]
+    assert row["g"]["wkt"] == "POINT (1 1)"
+    assert row["g"]["srid"] == 123  # original fields survive the transform
+    assert row["h"] is None
+
+
 def test_ts_field_types_fixture_temporal_mapping(spark, tmp_path):
     # ts_field_types.json — §1.3 type table: io.debezium.time.Date int32 ->
     # DATE; Timestamp/MicroTimestamp int64 stay INT64

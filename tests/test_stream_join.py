@@ -42,7 +42,9 @@ def _run(spark, out, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # awaitTermination returns False on timeout — a partially-populated
+    # sink must fail HERE, not as a confusing downstream count mismatch.
+    assert q.awaitTermination(180), "stream query did not finish in 180s"
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 
@@ -81,7 +83,7 @@ def test_stream_join_restart_no_duplicates(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream query did not finish in 180s"
         return spark.read.parquet(sink).count()
 
     first = run_once()
