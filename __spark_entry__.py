@@ -60,6 +60,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.dedup_clusters",),
         ("debezium_server_bigquery_spark.functions.mixing",),
         ("debezium_server_bigquery_spark.functions.sharding",),
+        ("debezium_server_bigquery_spark.functions.geo",),
         ("debezium_server_bigquery_spark.operators.zorder",),
         ("debezium_server_bigquery_spark.plans.funnel",),
         ("debezium_server_bigquery_spark.plans.validation",),

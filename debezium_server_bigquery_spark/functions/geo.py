@@ -30,7 +30,7 @@ import struct
 from collections.abc import Sequence
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -69,7 +69,13 @@ class _Reader:
         return b
 
 
-def _read_geometry(r: _Reader) -> str:
+def _read_geometry(r: _Reader) -> tuple[int, list]:
+    """Parse one WKB geometry into (type, coordinate tree).
+
+    The tree nests like GeoJSON coordinates: a point is [x, y], a
+    linestring a list of points, a polygon a list of rings; multi-forms
+    and collections hold sub-trees (collections hold (type, tree) pairs).
+    """
     endian = "<" if r.take(1)[0] == 1 else ">"
     (gtype,) = struct.unpack(endian + "I", r.take(4))
     if gtype & _EWKB_SRID_FLAG:
@@ -79,35 +85,75 @@ def _read_geometry(r: _Reader) -> str:
     if gtype not in _TYPE_NAMES:
         raise ValueError(f"unsupported WKB geometry type {gtype}")
 
-    def point() -> str:
-        x, y = struct.unpack(endian + "dd", r.take(16))
-        return f"{_num(x)} {_num(y)}"
+    def point() -> list:
+        return list(struct.unpack(endian + "dd", r.take(16)))
 
-    def ring() -> str:
+    def seq(fn) -> list:
         (n,) = struct.unpack(endian + "I", r.take(4))
-        return "(" + ", ".join(point() for _ in range(n)) + ")"
+        return [fn() for _ in range(n)]
 
-    name = _TYPE_NAMES[gtype]
     if gtype == 1:
-        return f"{name} ({point()})"
+        return gtype, point()
     if gtype == 2:
-        return f"{name} {ring()}"
+        return gtype, seq(point)
     if gtype == 3:
-        (n,) = struct.unpack(endian + "I", r.take(4))
-        return f"{name} (" + ", ".join(ring() for _ in range(n)) + ")"
+        return gtype, seq(lambda: seq(point))
     # multi-geometries and collections hold full sub-geometries (each with
     # its own endianness byte and type header)
-    (n,) = struct.unpack(endian + "I", r.take(4))
-    subs = [_read_geometry(r) for _ in range(n)]
-    if gtype == 4:  # MULTIPOINT ((1 2), (3 4)) — strip the POINT keyword
-        subs = [s[len("POINT ") :] for s in subs]
-    elif gtype in (5, 6):  # strip LINESTRING/POLYGON keywords
-        subs = [s.split(" ", 1)[1] for s in subs]
-    return f"{name} (" + ", ".join(subs) + ")"
+    subs = seq(lambda: _read_geometry(r))
+    if gtype == 7:
+        return gtype, subs
+    return gtype, [tree for _t, tree in subs]
 
 
-def wkb_hex_to_wkt_py(hx: str | None) -> str | None:
-    """Pure-Python single-value form (tests / driver-side use)."""
+def _wkt(gtype: int, tree: list) -> str:
+    name = _TYPE_NAMES[gtype]
+
+    def pt(p: list) -> str:
+        return f"{_num(p[0])} {_num(p[1])}"
+
+    def ring(ps: list) -> str:
+        return "(" + ", ".join(pt(p) for p in ps) + ")"
+
+    if gtype == 1:
+        return f"{name} ({pt(tree)})"
+    if gtype == 2:
+        return f"{name} {ring(tree)}"
+    if gtype == 3:
+        return f"{name} (" + ", ".join(ring(rg) for rg in tree) + ")"
+    if gtype == 4:
+        return f"{name} (" + ", ".join(f"({pt(p)})" for p in tree) + ")"
+    if gtype == 5:
+        return f"{name} (" + ", ".join(ring(ls) for ls in tree) + ")"
+    if gtype == 6:
+        return (
+            f"{name} ("
+            + ", ".join("(" + ", ".join(ring(rg) for rg in pg) + ")" for pg in tree)
+            + ")"
+        )
+    return f"{name} (" + ", ".join(_wkt(t, tr) for t, tr in tree) + ")"
+
+
+_GEOJSON_NAMES = {
+    1: "Point",
+    2: "LineString",
+    3: "Polygon",
+    4: "MultiPoint",
+    5: "MultiLineString",
+    6: "MultiPolygon",
+}
+
+
+def _geojson(gtype: int, tree: list) -> dict:
+    if gtype == 7:
+        return {
+            "type": "GeometryCollection",
+            "geometries": [_geojson(t, tr) for t, tr in tree],
+        }
+    return {"type": _GEOJSON_NAMES[gtype], "coordinates": tree}
+
+
+def _parse(hx: str | None) -> tuple[int, list] | None:
     if hx is None or hx == "":
         return None
     try:
@@ -116,28 +162,55 @@ def wkb_hex_to_wkt_py(hx: str | None) -> str | None:
         return None
 
 
-_UDF = None
+def wkb_hex_to_wkt_py(hx: str | None) -> str | None:
+    """Pure-Python single-value form (tests / driver-side use)."""
+    parsed = _parse(hx)
+    return None if parsed is None else _wkt(*parsed)
 
 
-def wkb_hex_to_wkt(col: Column) -> Column:
-    """Arrow-batched hex-WKB -> WKT; NULL for unparseable input.
+def wkb_hex_to_geojson_py(hx: str | None) -> str | None:
+    """Hex-WKB -> canonical (sorted-key, compact) GeoJSON text."""
+    import json
 
-    The pandas_udf is built on first use (decorating at import time needs
-    an active SparkSession, which a library module must not assume)."""
-    global _UDF
-    if _UDF is None:
+    parsed = _parse(hx)
+    if parsed is None:
+        return None
+    return json.dumps(
+        _geojson(*parsed), sort_keys=True, separators=(",", ":")
+    )
+
+
+_UDFS: dict[str, object] = {}
+
+
+def _lazy_udf(name: str, py_fn):
+    """pandas_udf built on first use (decorating at import time needs an
+    active SparkSession, which a library module must not assume)."""
+    if name not in _UDFS:
 
         @pandas_udf("string")
         def _decode(hx: pd.Series) -> pd.Series:
-            return hx.map(wkb_hex_to_wkt_py)
+            return hx.map(py_fn)
 
-        _UDF = _decode
-    return _UDF(col)
+        _UDFS[name] = _decode
+    return _UDFS[name]
 
 
-def geometry_wkt_transform(cols: Sequence[str]):
+def wkb_hex_to_wkt(col: Column) -> Column:
+    """Arrow-batched hex-WKB -> WKT; NULL for unparseable input."""
+    return _lazy_udf("wkt", wkb_hex_to_wkt_py)(col)
+
+
+def wkb_hex_to_geojson(col: Column) -> Column:
+    """Arrow-batched hex-WKB -> canonical GeoJSON text; NULL on garbage."""
+    return _lazy_udf("geojson", wkb_hex_to_geojson_py)(col)
+
+
+def geometry_wkt_transform(cols: Sequence[str], geojson: bool = False):
     """Transform-chain hook: for each named geometry struct column
-    (``{srid, wkb}``, the F2 output shape) add a ``wkt`` sub-field.
+    (``{srid, wkb}``, the F2 output shape) add a ``wkt`` sub-field —
+    and a ``geojson`` one when requested (the reference TODO names both
+    representations).
 
     Use with :class:`CdcPipeline` (SURVEY §2.8)::
 
@@ -159,9 +232,86 @@ def geometry_wkt_transform(cols: Sequence[str]):
             sub: list[Column] = [
                 F.col(f"{c}.{f}").alias(f) for f in dt.names
             ] + [wkb_hex_to_wkt(F.col(f"{c}.wkb")).alias("wkt")]
+            if geojson:
+                sub.append(wkb_hex_to_geojson(F.col(f"{c}.wkb")).alias("geojson"))
             df = df.withColumn(
                 c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(F.struct(*sub))
             )
         return df
 
     return apply
+
+
+# --------------------------------------------------------------------------
+# Oracle-checkable registered query: decode a deterministic rotation of
+# fixture WKB payloads (one per supported family) over the events table.
+# The WKB hex strings are built at import from the same struct layout the
+# parser reads (pure arithmetic, no randomness); the DuckDB twin emits the
+# expected text via CASE on the same rotation, so the driver's hash gate
+# covers the WKT *and* GeoJSON decode paths end-to-end.
+# --------------------------------------------------------------------------
+def _fixture_wkb() -> list[tuple[str, str, str]]:
+    """[(wkb_hex, wkt, geojson)] for POINT/LINESTRING/POLYGON/MULTIPOINT."""
+
+    def pts(*coords: float) -> bytes:
+        return struct.pack("<" + "d" * len(coords), *coords)
+
+    def geom(gtype: int, body: bytes) -> str:
+        return (bytes([1]) + struct.pack("<I", gtype) + body).hex().upper()
+
+    point = geom(1, pts(1.0, 2.0))
+    line = geom(2, struct.pack("<I", 2) + pts(0.0, 0.0, 1.5, 2.0))
+    ring = struct.pack("<I", 4) + pts(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0)
+    poly = geom(3, struct.pack("<I", 1) + ring)
+    sub1 = bytes.fromhex(geom(1, pts(3.0, 4.0)))
+    sub2 = bytes.fromhex(geom(1, pts(5.0, 6.0)))
+    multi = geom(4, struct.pack("<I", 2) + sub1 + sub2)
+    out = []
+    for hx in (point, line, poly, multi):
+        out.append((hx, wkb_hex_to_wkt_py(hx), wkb_hex_to_geojson_py(hx)))
+    return out
+
+
+_FIXTURES = _fixture_wkb()
+
+
+def geometry_wkt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 1000)
+    idx = (F.col("event_id") % len(_FIXTURES)).cast("int")
+    wkb = F.element_at(
+        F.array(*[F.lit(h) for h, _w, _g in _FIXTURES]), idx + 1
+    )
+    df = ev.select(
+        "event_id",
+        F.struct(
+            (F.col("event_id") % 4326).alias("srid"), wkb.alias("wkb")
+        ).alias("g"),
+    )
+    out = geometry_wkt_transform(["g"], geojson=True)(df)
+    return out.select(
+        "event_id",
+        F.col("g.srid").alias("srid"),
+        F.col("g.wkt").alias("wkt"),
+        F.col("g.geojson").alias("geojson"),
+    ).orderBy("event_id")
+
+
+def _case(col_i: int) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{_FIXTURES[i][col_i]}'" for i in range(len(_FIXTURES))
+    )
+    return f"CASE event_id % {len(_FIXTURES)} {arms} END"
+
+
+GEOMETRY_WKT_SQL = f"""
+SELECT event_id,
+  CAST(event_id % 4326 AS BIGINT) AS srid,
+  {_case(1)} AS wkt,
+  {_case(2)} AS geojson
+FROM events WHERE event_id <= 1000 ORDER BY event_id
+"""
+
+QUERIES = {"geometry_wkt_decode": geometry_wkt_decode}
+ORACLES = {"geometry_wkt_decode": GEOMETRY_WKT_SQL}

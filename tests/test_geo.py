@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from debezium_server_bigquery_spark.functions.geo import (
     geometry_wkt_transform,
+    wkb_hex_to_geojson_py,
     wkb_hex_to_wkt,
     wkb_hex_to_wkt_py,
 )
@@ -63,6 +64,35 @@ def test_multi_and_collection():
     assert wkb_hex_to_wkt_py(mp) == "MULTIPOINT ((1 2), (3 4))"
     gc = _wkb(7, struct.pack("<I", 2) + p1 + p2)
     assert wkb_hex_to_wkt_py(gc) == "GEOMETRYCOLLECTION (POINT (1 2), POINT (3 4))"
+
+
+def test_geojson_forms():
+    import json
+
+    pt = _wkb(1, _pts("<", 1.0, 2.0))
+    assert json.loads(wkb_hex_to_geojson_py(pt)) == {
+        "type": "Point",
+        "coordinates": [1.0, 2.0],
+    }
+    ring = struct.pack("<I", 4) + _pts("<", 0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0)
+    poly = _wkb(3, struct.pack("<I", 1) + ring)
+    assert json.loads(wkb_hex_to_geojson_py(poly)) == {
+        "type": "Polygon",
+        "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+    }
+    p1 = bytes.fromhex(_wkb(1, _pts("<", 1.0, 2.0)))
+    p2 = bytes.fromhex(_wkb(1, _pts("<", 3.0, 4.0)))
+    gc = _wkb(7, struct.pack("<I", 2) + p1 + p2)
+    assert json.loads(wkb_hex_to_geojson_py(gc)) == {
+        "type": "GeometryCollection",
+        "geometries": [
+            {"type": "Point", "coordinates": [1.0, 2.0]},
+            {"type": "Point", "coordinates": [3.0, 4.0]},
+        ],
+    }
+    assert wkb_hex_to_geojson_py("zz") is None and wkb_hex_to_geojson_py(None) is None
+    # canonical text form: sorted keys, compact separators (deterministic)
+    assert wkb_hex_to_geojson_py(pt) == '{"coordinates":[1.0,2.0],"type":"Point"}'
 
 
 def test_garbage_and_null_yield_none():
