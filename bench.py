@@ -146,7 +146,8 @@ def main() -> None:
     # must still record the one JSON line.
     baseline = _last_recorded_round()
     if baseline:
-        ref = baseline.get("queries", {})
+        # recorded rounds wrap the bench JSON line under "parsed"
+        ref = (baseline.get("parsed") or baseline).get("queries", {})
         regressions = {
             name: {"now": t, "was": ref[name]}
             for name, t in timings.items()
