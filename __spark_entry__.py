@@ -42,6 +42,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.operators.asof",),
         ("debezium_server_bigquery_spark.operators.rangejoin",),
         ("debezium_server_bigquery_spark.operators.skewjoin",),
+        ("debezium_server_bigquery_spark.operators.scd",),
         ("debezium_server_bigquery_spark.functions.dedup_fuzzy",),
         ("debezium_server_bigquery_spark.functions.dedup_incremental",),
         ("debezium_server_bigquery_spark.functions.timeseries",),

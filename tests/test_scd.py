@@ -1,0 +1,107 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.operators.scd import (
+    scd2_from_changes,
+    scd2_user_history,
+)
+
+
+def _changes(spark):
+    # key 1: create, update, update           -> 3 versions, last current
+    # key 2: create, delete                   -> 1 closed version, none current
+    # key 3: create, delete, create (re-insert) -> v1 closed at delete, v2 current
+    # key 4: two changes at the SAME ts       -> op-priority then event_id orders
+    rows = [
+        (1, 100, "c", 10.0, 1),
+        (1, 200, "u", 11.0, 2),
+        (1, 300, "u", 12.0, 3),
+        (2, 100, "c", 20.0, 4),
+        (2, 250, "d", 0.0, 5),
+        (3, 100, "c", 30.0, 6),
+        (3, 200, "d", 0.0, 7),
+        (3, 400, "c", 31.0, 8),
+        (4, 500, "u", 41.0, 10),
+        (4, 500, "c", 40.0, 9),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts long, __op string, value double, event_id long"
+    )
+
+
+def _build(spark):
+    out = scd2_from_changes(
+        _changes(spark), keys=["user_id"], order_col="ts", tiebreak=("event_id",)
+    )
+    return {
+        (r.user_id, r.version_num): r
+        for r in out.select(
+            "user_id", "version_num", "valid_from", "valid_to", "is_current", "value"
+        ).collect()
+    }
+
+
+def test_scd2_versions_and_intervals(spark):
+    v = _build(spark)
+    # key 1: contiguous intervals, only the last open
+    assert v[(1, 1)].valid_from == 100 and v[(1, 1)].valid_to == 200
+    assert v[(1, 2)].valid_from == 200 and v[(1, 2)].valid_to == 300
+    assert v[(1, 3)].valid_to is None and v[(1, 3)].is_current
+    assert not v[(1, 1)].is_current and not v[(1, 2)].is_current
+
+
+def test_scd2_delete_closes_without_opening(spark):
+    v = _build(spark)
+    # key 2 ends deleted: single version closed at the delete ts, no current row
+    assert v[(2, 1)].valid_to == 250 and not v[(2, 1)].is_current
+    assert (2, 2) not in v
+
+
+def test_scd2_reinsert_after_delete(spark):
+    v = _build(spark)
+    assert v[(3, 1)].valid_to == 200 and not v[(3, 1)].is_current
+    assert v[(3, 2)].valid_from == 400 and v[(3, 2)].is_current
+
+
+def test_scd2_same_ts_op_priority_order(spark):
+    v = _build(spark)
+    # 'c' (priority 1) precedes 'u' (priority 3) at the identical ts
+    assert v[(4, 1)].value == 40.0 and v[(4, 1)].valid_to == 500
+    assert v[(4, 2)].value == 41.0 and v[(4, 2)].is_current
+
+
+def test_scd2_current_matches_destructive_upsert(spark, sf_dir):
+    """The SCD2 table's open versions == the MERGE consumer's final state:
+    both consume the same A2 ordering, so the projections must agree."""
+    from debezium_server_bigquery_spark.operators.dedup import dedup_last_writer
+    from debezium_server_bigquery_spark.operators.routing import filter_heartbeats
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    cdc = filter_heartbeats(synthesize_cdc_events(load_table(spark, sf_dir, "events")))
+    last = dedup_last_writer(
+        cdc, ["user_id"], order_col="__source_ts_ns", tiebreak=("event_id",)
+    )
+    upsert_final = {
+        r.user_id: r.event_id
+        for r in last.filter(F.col("__op") != "d").select("user_id", "event_id").collect()
+    }
+    current = {
+        r.user_id: r.event_id
+        for r in scd2_user_history(spark, sf_dir)
+        .filter("is_current")
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert current == upsert_final
+
+
+def test_scd2_exactly_one_current_per_live_key(spark, sf_dir):
+    hist = scd2_user_history(spark, sf_dir)
+    per_key = (
+        hist.groupBy("user_id")
+        .agg(F.sum(F.col("is_current").cast("int")).alias("n_current"))
+        .collect()
+    )
+    assert all(r.n_current <= 1 for r in per_key)
