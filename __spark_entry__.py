@@ -49,6 +49,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.similarity",),
         ("debezium_server_bigquery_spark.functions.pq",),
         ("debezium_server_bigquery_spark.functions.kmeans",),
+        ("debezium_server_bigquery_spark.functions.graph",),
         ("debezium_server_bigquery_spark.functions.sketches",),
         ("debezium_server_bigquery_spark.functions.text",),
         ("debezium_server_bigquery_spark.functions.bm25",),
