@@ -134,5 +134,153 @@ ORDER BY user_id, version_num
 """
 
 
-QUERIES = {"scd2_user_history": scd2_user_history}
-ORACLES = {"scd2_user_history": SCD2_SQL}
+def state_as_of(
+    changes: DataFrame,
+    as_of: Column,
+    keys: list[str],
+    order_col: str,
+    op_col: str = "__op",
+    delete_op: str = "d",
+    tiebreak: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Point-in-time table state: the SCD2 version whose validity interval
+    covers ``as_of`` (``valid_from <= as_of < valid_to``).  This is the
+    time-travel read the destructive MERGE sink cannot answer — the SCD2
+    history makes every past state a cheap interval filter."""
+    hist = scd2_from_changes(changes, keys, order_col, op_col, delete_op, tiebreak)
+    return hist.filter(
+        (F.col("valid_from") <= as_of)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
+    )
+
+
+# --------------------------------------------------------------------------
+# queries() entries: point-in-time state + snapshot diff between two times.
+# The probe times are derived IN-PLAN from the stream's own ts range
+# (min + 1/3 and min + 2/3 of the span) so the same definition holds at
+# every SF; the one-row range aggregate is broadcast, never collected.
+# --------------------------------------------------------------------------
+def _cdc_with_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = filter_heartbeats(synthesize_cdc_events(load_table(spark, sf_dir, "events")))
+    rng = cdc.agg(
+        F.min("__source_ts_ns").alias("ts_lo"), F.max("__source_ts_ns").alias("ts_hi")
+    )
+    return cdc.crossJoin(F.broadcast(rng)).withColumns(
+        {
+            "t1": F.expr("ts_lo + (ts_hi - ts_lo) div 3"),
+            "t2": F.expr("ts_lo + 2 * ((ts_hi - ts_lo) div 3)"),
+        }
+    )
+
+
+def scd2_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = _cdc_with_probes(spark, sf_dir)
+    state = state_as_of(
+        cdc, F.col("t1"), keys=["user_id"], order_col="__source_ts_ns"
+    )
+    return state.select(
+        "user_id", "event_id", "event_type", "value", "__op", "version_num"
+    ).orderBy("user_id")
+
+
+def snapshot_diff_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Added / removed / changed keys between the t1 and t2 states — the
+    audit query a replication user runs to reconcile two points in time.
+    Both states come from the SAME SCD2 window (one key shuffle); the diff
+    is a key equi-join of two interval filters over it."""
+    cdc = _cdc_with_probes(spark, sf_dir)
+    hist = scd2_from_changes(cdc, ["user_id"], "__source_ts_ns")
+    s1 = hist.filter(
+        (F.col("valid_from") <= F.col("t1"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("t1")))
+    ).select(F.col("user_id"), F.col("event_id").alias("event_id_t1"))
+    s2 = hist.filter(
+        (F.col("valid_from") <= F.col("t2"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("t2")))
+    ).select(F.col("user_id").alias("user_id_2"), F.col("event_id").alias("event_id_t2"))
+    joined = s1.join(s2, s1["user_id"] == s2["user_id_2"], "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("user_id"), F.col("user_id_2")).alias("user_id"),
+            F.coalesce("event_id_t1", F.lit(-1)).alias("event_id_t1"),
+            F.coalesce("event_id_t2", F.lit(-1)).alias("event_id_t2"),
+            F.when(F.col("event_id_t1").isNull(), F.lit("added"))
+            .when(F.col("event_id_t2").isNull(), F.lit("removed"))
+            .when(F.col("event_id_t1") != F.col("event_id_t2"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+        .orderBy("user_id")
+    )
+
+
+_PROBES_CTE = f"""
+WITH cdc0 AS ({cdc_synth_oracle_sql('events')}),
+live0 AS (
+  SELECT * FROM cdc0
+  WHERE destination NOT LIKE '\\_\\_debezium-heartbeat%' ESCAPE '\\'
+),
+rng AS (SELECT MIN(__source_ts_ns) AS ts_lo, MAX(__source_ts_ns) AS ts_hi FROM live0),
+live AS (
+  SELECT live0.*, ts_lo + (ts_hi - ts_lo) // 3 AS t1,
+         ts_lo + 2 * ((ts_hi - ts_lo) // 3) AS t2
+  FROM live0 CROSS JOIN rng
+),
+versioned AS (
+  SELECT *, LEAD(__source_ts_ns) OVER (
+      PARTITION BY user_id
+      ORDER BY __source_ts_ns, {_OP_PRI_SQL}, event_id) AS valid_to_raw
+  FROM live
+),
+hist AS (
+  SELECT *, __source_ts_ns AS valid_from,
+    CAST(ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY __source_ts_ns, {_OP_PRI_SQL}, event_id) AS BIGINT) AS version_num
+  FROM versioned
+  WHERE __op <> 'd'
+)"""
+
+SCD2_AS_OF_SQL = f"""{_PROBES_CTE}
+SELECT user_id, event_id, event_type, value, __op, version_num
+FROM hist
+WHERE valid_from <= t1 AND (valid_to_raw IS NULL OR valid_to_raw > t1)
+ORDER BY user_id
+"""
+
+SNAPSHOT_DIFF_SQL = f"""{_PROBES_CTE},
+s1 AS (
+  SELECT user_id, event_id AS event_id_t1 FROM hist
+  WHERE valid_from <= t1 AND (valid_to_raw IS NULL OR valid_to_raw > t1)
+),
+s2 AS (
+  SELECT user_id, event_id AS event_id_t2 FROM hist
+  WHERE valid_from <= t2 AND (valid_to_raw IS NULL OR valid_to_raw > t2)
+)
+SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+  COALESCE(event_id_t1, -1) AS event_id_t1,
+  COALESCE(event_id_t2, -1) AS event_id_t2,
+  CASE WHEN event_id_t1 IS NULL THEN 'added'
+       WHEN event_id_t2 IS NULL THEN 'removed'
+       WHEN event_id_t1 <> event_id_t2 THEN 'changed'
+       ELSE 'unchanged' END AS change_type
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+WHERE CASE WHEN event_id_t1 IS NULL THEN 'added'
+       WHEN event_id_t2 IS NULL THEN 'removed'
+       WHEN event_id_t1 <> event_id_t2 THEN 'changed'
+       ELSE 'unchanged' END <> 'unchanged'
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "scd2_user_history": scd2_user_history,
+    "scd2_state_as_of": scd2_state_as_of,
+    "snapshot_diff_epochs": snapshot_diff_epochs,
+}
+ORACLES = {
+    "scd2_user_history": SCD2_SQL,
+    "scd2_state_as_of": SCD2_AS_OF_SQL,
+    "snapshot_diff_epochs": SNAPSHOT_DIFF_SQL,
+}

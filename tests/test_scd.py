@@ -105,3 +105,33 @@ def test_scd2_exactly_one_current_per_live_key(spark, sf_dir):
         .collect()
     )
     assert all(r.n_current <= 1 for r in per_key)
+
+
+def test_state_as_of_is_interval_filter(spark):
+    from debezium_server_bigquery_spark.operators.scd import state_as_of
+
+    df = _changes(spark)
+    state = state_as_of(
+        df, F.lit(260), keys=["user_id"], order_col="ts", tiebreak=("event_id",)
+    )
+    got = {(r.user_id, r.value) for r in state.select("user_id", "value").collect()}
+    # at ts=260: key1 on v2 (200..300), key2 deleted at 250, key3 deleted at
+    # 200 (re-insert at 400 not yet), key4 not yet created (500)
+    assert got == {(1, 11.0)}
+
+
+def test_snapshot_diff_partitions_changes(spark, sf_dir):
+    from debezium_server_bigquery_spark.operators.scd import snapshot_diff_epochs
+
+    rows = snapshot_diff_epochs(spark, sf_dir).collect()
+    assert rows, "probe window must produce some churn"
+    kinds = {r.change_type for r in rows}
+    assert kinds <= {"added", "removed", "changed"}
+    # sentinel -1 only ever appears on the side the key is missing from
+    for r in rows:
+        if r.change_type == "added":
+            assert r.event_id_t1 == -1 and r.event_id_t2 != -1
+        elif r.change_type == "removed":
+            assert r.event_id_t2 == -1 and r.event_id_t1 != -1
+        else:
+            assert r.event_id_t1 not in (-1, r.event_id_t2)
