@@ -116,12 +116,78 @@ VALIDATE_ROWCOUNTS_SQL = (
 )
 
 
+# (child_table, fk_col, parent_table, pk_col, broadcast_parent)
+# broadcast_parent marks true dimension tables (nation/region/supplier are
+# bounded); orders/part keysets grow with the fact data, so those joins are
+# left to Catalyst/AQE rather than forced resident in every executor.
+_FK_RELATIONS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem", "l_partkey", "part", "p_partkey", False),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders", "o_custkey", "customer", "c_custkey", False),
+    ("customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation", "n_regionkey", "region", "r_regionkey", True),
+]
+
+
+def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit across every star-schema FK edge in one result: rows
+    whose foreign key has no parent — the corruption a partial replication
+    or out-of-order delete leaves behind.
+
+    Each relation is one left join on the key + a null-count aggregate
+    (map-side combinable); parents marked as dimensions are broadcast, the
+    fact-sized ones shuffle on the key like any equi-join.  The union is
+    7 one-row aggregates — O(relations) output regardless of data size.
+    """
+    from functools import reduce
+
+    frames = []
+    for child, fk, parent, pk, bcast in _FK_RELATIONS:
+        c = load_table(spark, sf_dir, child).select(F.col(fk))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk))
+        if bcast:
+            p = F.broadcast(p)
+        joined = c.join(p, c[fk] == p[pk], "left_outer")
+        frames.append(
+            joined.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias("n_orphans"),
+            ).select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("relation"),
+                "n_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("fk_ok"),
+            )
+        )
+    return reduce(lambda a, b: a.union(b), frames).orderBy("relation")
+
+
+# CAST(SUM(..) AS BIGINT): DuckDB sums integers into HUGEINT, which the
+# driver's type-aware hash distinguishes from Spark's bigint.
+VALIDATE_FK_SQL = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"""SELECT '{child}.{fk} -> {parent}.{pk}' AS relation,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0 AS fk_ok
+FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"""
+        for child, fk, parent, pk, _ in _FK_RELATIONS
+    )
+    + ") ORDER BY relation"
+)
+
+
 QUERIES = {
     "validate_orders_checksum": validate_orders_checksum,
     "validate_rowcounts_all_tables": validate_rowcounts_all_tables,
+    "validate_referential_integrity": validate_referential_integrity,
 }
 
 ORACLES = {
     "validate_orders_checksum": VALIDATE_ORDERS_SQL,
     "validate_rowcounts_all_tables": VALIDATE_ROWCOUNTS_SQL,
+    "validate_referential_integrity": VALIDATE_FK_SQL,
 }
