@@ -66,6 +66,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.geo",),
         ("debezium_server_bigquery_spark.operators.zorder",),
         ("debezium_server_bigquery_spark.plans.funnel",),
+        ("debezium_server_bigquery_spark.plans.behavior",),
         ("debezium_server_bigquery_spark.plans.validation",),
         ("debezium_server_bigquery_spark.plans.analytics_windows",),
         ("debezium_server_bigquery_spark.plans.analytics_ext",),

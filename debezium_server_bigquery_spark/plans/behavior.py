@@ -1,0 +1,170 @@
+"""User-behavior analytics beyond the funnel: retention cohorts and
+volume-anomaly detection over the events stream.
+
+- **retention_cohorts** — classic cohort retention: users grouped by
+  first-activity week, then the share still active k weeks later.  Two
+  aggregations: per-user first week (one shuffle on user_id), then
+  distinct (cohort, k, user) activity rolled up per (cohort, k).  Both are
+  map-side combinable; no window, no self-join.  At 100 TB the user-keyed
+  aggregate is the natural partitioning the events table would already be
+  bucketed on.
+- **events_volume_anomaly** — daily event-type volume z-scored against a
+  trailing 7-day baseline.  The baseline moments are windowed sums of
+  INTEGER counts (count, Σn, Σn²) — integer arithmetic is exact and
+  associative, so the moments are bit-identical across engines no matter
+  how either parallelizes the window frame, and the z-score is one
+  deterministic double expression over them (the same determinism trick
+  as PageRank's decimal contributions, here free because volumes are
+  already integers).  One shuffle on event_type for the window; daily
+  pre-aggregation shrinks the stream to O(types × days) rows first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+BASELINE_DAYS = 7
+Z_THRESHOLD = 3.0
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    joined = active.join(cohort, "user_id").select(
+        "user_id",
+        "cohort_week",
+        # both dates are Monday-truncated, so the diff is an exact multiple
+        # of 7 — integer division keeps it integer in both engines
+        F.expr("datediff(week, cohort_week) div 7").cast("long").alias("k"),
+    )
+    per_cell = joined.groupBy("cohort_week", "k").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        per_cell.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "k",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "k")
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM ev),
+joined AS (
+  SELECT a.user_id, c.cohort_week,
+    CAST(datediff('day', c.cohort_week, a.week) // 7 AS BIGINT) AS k
+  FROM active a JOIN cohort c ON a.user_id = c.user_id
+),
+per_cell AS (
+  SELECT cohort_week, k, COUNT(DISTINCT user_id) AS n_active
+  FROM joined GROUP BY cohort_week, k
+),
+sizes AS (
+  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+  FROM cohort GROUP BY cohort_week
+)
+SELECT p.cohort_week, p.k, p.n_active, s.cohort_size,
+  round(p.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM per_cell p JOIN sizes s ON p.cohort_week = s.cohort_week
+ORDER BY p.cohort_week, p.k
+"""
+
+
+def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-BASELINE_DAYS, -1)
+    )
+    based = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.count("n_events").over(w).alias("base_n"),
+        F.sum("n_events").over(w).alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("base_n")
+    var = (
+        F.col("s2").cast("double") - (F.col("s1") * F.col("s1")) / F.col("base_n")
+    ) / (F.col("base_n") - 1)
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    usable = (F.col("base_n") >= 3) & (var > 0)
+    return based.select(
+        "event_type",
+        "day",
+        "n_events",
+        "base_n",
+        F.when(usable, F.round(z, 6)).alias("z"),
+        F.when(usable, F.abs(z) > Z_THRESHOLD).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("event_type", "day")
+
+
+ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+based AS (
+  SELECT event_type, day, n_events,
+    COUNT(n_events) OVER w AS base_n,
+    CAST(SUM(n_events) OVER w AS BIGINT) AS s1,
+    CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {BASELINE_DAYS} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events, base_n,
+  CASE WHEN base_n >= 3
+        AND (CAST(s2 AS DOUBLE) - (s1 * s1) / CAST(base_n AS DOUBLE)) / (base_n - 1) > 0
+       THEN round(
+         (n_events - s1 / CAST(base_n AS DOUBLE))
+         / sqrt((CAST(s2 AS DOUBLE) - (s1 * s1) / CAST(base_n AS DOUBLE)) / (base_n - 1)),
+         6)
+       END AS z,
+  CASE WHEN base_n >= 3
+        AND (CAST(s2 AS DOUBLE) - (s1 * s1) / CAST(base_n AS DOUBLE)) / (base_n - 1) > 0
+       THEN abs(
+         (n_events - s1 / CAST(base_n AS DOUBLE))
+         / sqrt((CAST(s2 AS DOUBLE) - (s1 * s1) / CAST(base_n AS DOUBLE)) / (base_n - 1))
+       ) > {Z_THRESHOLD}
+       ELSE FALSE END AS is_anomaly
+FROM based
+ORDER BY event_type, day
+"""
+
+
+QUERIES = {
+    "retention_cohorts": retention_cohorts,
+    "events_volume_anomaly": events_volume_anomaly,
+}
+ORACLES = {
+    "retention_cohorts": RETENTION_SQL,
+    "events_volume_anomaly": ANOMALY_SQL,
+}
