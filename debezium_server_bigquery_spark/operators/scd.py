@@ -49,6 +49,7 @@ def scd2_from_changes(
     op_col: str = "__op",
     delete_op: str = "d",
     tiebreak: tuple[str, ...] = ("event_id",),
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Turn an ordered change stream into SCD Type 2 version rows.
 
@@ -73,11 +74,24 @@ def scd2_from_changes(
     # Second window runs over the already-shuffled key partitioning: Catalyst
     # reuses the exchange (same partition keys), so this costs a sort only.
     w_alive = Window.partitionBy(*keys).orderBy(*order_cols)
-    return (
+    out = (
         alive.withColumn("valid_from", F.col(order_col))
         .withColumn("is_current", F.col("valid_to").isNull())
         .withColumn("version_num", F.row_number().over(w_alive).cast("long"))
     )
+    if keep_tombstones:
+        # Delete markers carried as non-version rows (version_num NULL,
+        # never current): a stored SCD2 table that keeps them can be
+        # re-windowed from its own change columns without losing the
+        # closure a delete caused — what the incremental sink needs.
+        tombs = (
+            versioned.filter(F.col(op_col) == delete_op)
+            .withColumn("valid_from", F.col(order_col))
+            .withColumn("is_current", F.lit(False))
+            .withColumn("version_num", F.lit(None).cast("long"))
+        )
+        out = out.unionByName(tombs)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -132,6 +146,80 @@ FROM versioned
 WHERE __op <> 'd'
 ORDER BY user_id, version_num
 """
+
+
+def scd2_merge_batch(
+    table,
+    batch: DataFrame,
+    order_col: str = "__source_ts_ns",
+    op_col: str = "__op",
+    delete_op: str = "d",
+    tiebreak: tuple[str, ...] = ("event_id",),
+    epoch_id: int | str | None = None,
+) -> None:
+    """Incremental SCD2 sink: apply one CDC micro-batch to a key-bucketed
+    dimension table (``ParquetTable(mode='upsert')``), keeping full version
+    history — the streaming form of :func:`scd2_from_changes` and the
+    history-preserving sibling of ``merge_upsert``.
+
+    Affected-key copy-on-write: the batch's key set prunes the target scan
+    to the touched buckets (the same O(n_buckets) driver list as
+    merge_upsert); rows of untouched keys in those buckets are carried
+    over verbatim, while the FULL change history of touched keys is
+    re-windowed together with the batch.  Re-windowing whole keys (not
+    just open versions) makes the merge correct under ANY arrival order —
+    a late event splices into its key's history and downstream versions
+    renumber; streams with strict per-key ordering could carry only the
+    open version per key through the window as a further optimization.
+    Cost is bounded by churn × history depth per batch, never table size.
+
+    Idempotency: the same epoch marker scheme as merge_upsert guards
+    replayed micro-batches, and exact re-deliveries inside the window are
+    collapsed by a deterministic dropDuplicates on the ordering key.
+    """
+    from debezium_server_bigquery_spark.operators.table import KEY_BUCKET
+
+    if table.epoch_committed(epoch_id):
+        return
+    keys = list(table.key_cols)
+    if not keys:
+        raise ValueError("scd2_merge_batch requires key columns")
+    change_cols = list(batch.columns)
+    live = table.read_raw() if table.exists() else None
+    table.guard_create(live is not None)
+    if live is None:
+        hist = scd2_from_changes(
+            batch.dropDuplicates(keys + [order_col, op_col, *tiebreak]),
+            keys,
+            order_col,
+            op_col,
+            delete_op,
+            tiebreak,
+            keep_tombstones=True,
+        )
+        table.overwrite_partitions(table.with_partition_col(hist))
+        table._commit_epoch(epoch_id, -1)
+        return
+
+    src = table.with_partition_col(batch)
+    buckets = [r[0] for r in src.select(KEY_BUCKET).distinct().collect()]
+    live = live.filter(F.col(KEY_BUCKET).isin(buckets))
+    bkeys = batch.select(*keys).distinct()
+    touched = live.join(bkeys, keys, "left_semi")
+    untouched = live.join(bkeys, keys, "left_anti").drop(KEY_BUCKET)
+    redo_src = (
+        touched.select(*change_cols)  # original change rows of touched keys
+        .unionByName(batch)
+        .dropDuplicates(keys + [order_col, op_col, *tiebreak])
+    )
+    recomputed = scd2_from_changes(
+        redo_src, keys, order_col, op_col, delete_op, tiebreak, keep_tombstones=True
+    )
+    result = untouched.unionByName(recomputed)
+    table.overwrite_partitions(
+        table.with_partition_col(result), expected_partitions=buckets
+    )
+    table._commit_epoch(epoch_id, -1)
 
 
 def state_as_of(
@@ -274,13 +362,67 @@ ORDER BY user_id
 """
 
 
+def scd2_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental sink through the gate: the CDC stream split into
+    three time-tercile micro-batches, each merged by scd2_merge_batch into
+    a key-bucketed dimension table on disk; the read-back history must be
+    row-identical to the one-shot batch SCD2 (same oracle as
+    scd2_user_history), proving the copy-on-write merge end-to-end."""
+    import tempfile
+
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    cdc = _cdc_with_probes(spark, sf_dir)
+    table = ParquetTable(
+        spark,
+        tempfile.mkdtemp(prefix="dsbq_scd2_"),
+        key_cols=("user_id",),
+        mode="upsert",
+        n_buckets=8,
+    )
+    change_cols = [
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "__op",
+        "__source_ts_ns",
+        "__source_ts_ms",
+    ]
+    epochs = [
+        cdc.filter(F.col("__source_ts_ns") <= F.col("t1")),
+        cdc.filter(
+            (F.col("__source_ts_ns") > F.col("t1"))
+            & (F.col("__source_ts_ns") <= F.col("t2"))
+        ),
+        cdc.filter(F.col("__source_ts_ns") > F.col("t2")),
+    ]
+    for i, e in enumerate(epochs):
+        scd2_merge_batch(table, e.select(*change_cols), epoch_id=i)
+    # tombstone markers are storage detail; the version view filters them
+    hist = table.read().filter(F.col("__op") != "d")
+    return hist.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "__op",
+        F.col("valid_from").alias("valid_from_ns"),
+        F.coalesce(F.col("valid_to"), F.lit(-1)).alias("valid_to_ns"),
+        "is_current",
+        "version_num",
+    ).orderBy("user_id", "version_num")
+
+
 QUERIES = {
     "scd2_user_history": scd2_user_history,
     "scd2_state_as_of": scd2_state_as_of,
     "snapshot_diff_epochs": snapshot_diff_epochs,
+    "scd2_sink_e2e": scd2_sink_e2e,
 }
 ORACLES = {
     "scd2_user_history": SCD2_SQL,
     "scd2_state_as_of": SCD2_AS_OF_SQL,
     "snapshot_diff_epochs": SNAPSHOT_DIFF_SQL,
+    "scd2_sink_e2e": SCD2_SQL,
 }

@@ -135,3 +135,78 @@ def test_snapshot_diff_partitions_changes(spark, sf_dir):
             assert r.event_id_t2 == -1 and r.event_id_t1 != -1
         else:
             assert r.event_id_t1 not in (-1, r.event_id_t2)
+
+
+def _sink_table(spark, tmp_path):
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    return ParquetTable(
+        spark,
+        str(tmp_path / "dim"),
+        key_cols=("user_id",),
+        mode="upsert",
+        n_buckets=4,
+    )
+
+
+def _apply(spark, table, rows, epoch):
+    from debezium_server_bigquery_spark.operators.scd import scd2_merge_batch
+
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, __op string, value double, event_id long"
+    )
+    scd2_merge_batch(table, df, order_col="ts", epoch_id=epoch)
+
+
+def _versions(table):
+    from pyspark.sql import functions as F
+
+    rows = (
+        table.read()
+        .filter(F.col("__op") != "d")
+        .select("user_id", "version_num", "valid_from", "valid_to", "value")
+        .collect()
+    )
+    return {(r.user_id, r.version_num): (r.valid_from, r.valid_to, r.value) for r in rows}
+
+
+def test_scd2_sink_delete_closure_survives_rewindow(spark, tmp_path):
+    """A delete applied in an earlier epoch must still close its interval
+    after a later epoch re-windows the key (the stored-tombstone case)."""
+    t = _sink_table(spark, tmp_path)
+    _apply(spark, t, [(1, 100, "c", 1.0, 1), (1, 200, "d", 0.0, 2)], 0)
+    _apply(spark, t, [(1, 300, "c", 2.0, 3)], 1)
+    v = _versions(t)
+    assert v[(1, 1)] == (100, 200, 1.0)  # closed by the epoch-0 delete
+    assert v[(1, 2)] == (300, None, 2.0)
+
+
+def test_scd2_sink_out_of_order_splice(spark, tmp_path):
+    """A late event older than stored versions splices into the history and
+    renumbers downstream versions (full-key re-window)."""
+    t = _sink_table(spark, tmp_path)
+    _apply(spark, t, [(1, 100, "c", 1.0, 1), (1, 300, "u", 3.0, 3)], 0)
+    _apply(spark, t, [(1, 200, "u", 2.0, 2)], 1)  # late arrival
+    v = _versions(t)
+    assert v[(1, 1)] == (100, 200, 1.0)
+    assert v[(1, 2)] == (200, 300, 2.0)
+    assert v[(1, 3)] == (300, None, 3.0)
+
+
+def test_scd2_sink_epoch_replay_idempotent(spark, tmp_path):
+    t = _sink_table(spark, tmp_path)
+    batch = [(1, 100, "c", 1.0, 1), (2, 150, "c", 2.0, 2)]
+    _apply(spark, t, batch, 0)
+    before = _versions(t)
+    _apply(spark, t, batch, 0)  # replayed epoch — marker must skip it
+    assert _versions(t) == before
+
+
+def test_scd2_sink_untouched_keys_survive_bucket_rewrite(spark, tmp_path):
+    t = _sink_table(spark, tmp_path)
+    _apply(spark, t, [(k, 100, "c", float(k), k) for k in range(1, 9)], 0)
+    _apply(spark, t, [(1, 200, "u", 10.0, 100)], 1)  # touches one key
+    v = _versions(t)
+    assert v[(1, 2)] == (200, None, 10.0)
+    for k in range(2, 9):
+        assert v[(k, 1)] == (100, None, float(k))
