@@ -43,6 +43,9 @@ Engine namespace:
                                the BigQuery table ``max_staleness`` analog,
                                operators/staged_upsert.py)
 - ``engine.key-columns``       comma-separated PK for upsert tables
+- ``engine.scd2``              true -> history-preserving SCD Type 2 sink
+                               instead of destructive upsert (requires
+                               key-columns; operators/scd.py)
 - ``engine.n-buckets``         key-hash buckets for upsert tables (default 32)
 - ``engine.dedup-tiebreak``    comma-separated extra deterministic order cols
 - ``engine.run-once``          default true: drain available data then stop;
@@ -144,6 +147,17 @@ def build_pipeline(spark, props: dict[str, str]):
     mode = "append"
     if upsert:
         mode = "upsert_lazy" if staleness > 0 else "upsert"
+    # engine.scd2 (beyond-reference): keep every version with validity
+    # intervals instead of destructive upsert (operators/scd.py).
+    if _bool(props.get("engine.scd2")):
+        if not key_cols:
+            raise ValueError("engine.scd2=true requires engine.key-columns")
+        if staleness > 0:
+            raise ValueError(
+                "engine.scd2 is incompatible with engine.max-staleness-batches"
+                " (history is applied eagerly per micro-batch)"
+            )
+        mode = "scd2"
     return CdcPipeline(
         spark,
         target_root,

@@ -138,7 +138,9 @@ class CdcPipeline:
         # runs append (doUpsert/doTableHasPrimaryKey,
         # StreamBigqueryChangeConsumer.java:163-174) — the table must then
         # be TIME-partitioned, not key-bucketed, or the append raises.
-        upserting = self.mode in ("upsert", "upsert_lazy") and bool(self.key_cols)
+        upserting = self.mode in ("upsert", "upsert_lazy", "scd2") and bool(
+            self.key_cols
+        )
         if destination not in self.tables:
             self.tables[destination] = ParquetTable(
                 self.spark,
@@ -321,6 +323,20 @@ class CdcPipeline:
                         )
                     elif self.mode == "upsert_lazy" and self.key_cols:
                         self.lazy_for(dest).apply(group, epoch_id=sub_epoch)
+                    elif self.mode == "scd2" and self.key_cols:
+                        # history-preserving sink (operators/scd.py): every
+                        # version survives with its validity interval
+                        from debezium_server_bigquery_spark.operators.scd import (
+                            scd2_merge_batch,
+                        )
+
+                        scd2_merge_batch(
+                            table,
+                            group,
+                            order_col=self.dedup_order_col,
+                            tiebreak=self.dedup_tiebreak,
+                            epoch_id=sub_epoch,
+                        )
                     else:
                         table.append(group, epoch_id=sub_epoch)
 

@@ -179,3 +179,53 @@ def test_build_pipeline_rejects_non_json_format(spark, tmp_path):
     with pytest.raises(ValueError, match="debezium.format.key=protobuf"):
         build_pipeline(spark, base | {"debezium.format.key": "protobuf"})
     build_pipeline(spark, base | {"debezium.format.value": "JSON"})  # case-insensitive
+
+
+def test_build_pipeline_maps_scd2_mode(spark, tmp_path):
+    props = {
+        "debezium.sink.type": "bigquerystream",
+        "engine.target-root": str(tmp_path / "tgt"),
+        "engine.key-columns": "user_id",
+        "engine.scd2": "true",
+    }
+    assert build_pipeline(spark, props).mode == "scd2"
+    # requires key columns
+    props2 = dict(props)
+    del props2["engine.key-columns"]
+    with pytest.raises(ValueError, match="key-columns"):
+        build_pipeline(spark, props2)
+    # incompatible with lazy staging
+    props3 = dict(props, **{"engine.max-staleness-batches": "2"})
+    with pytest.raises(ValueError, match="max-staleness"):
+        build_pipeline(spark, props3)
+
+
+def test_run_scd2_from_properties(spark, sf_dir, tmp_path):
+    conf = tmp_path / "application.properties"
+    conf.write_text(
+        "debezium.sink.type=bigquerystream\n"
+        f"engine.target-root={tmp_path / 'tgt'}\n"
+        "engine.key-columns=user_id\n"
+        "engine.scd2=true\n"
+        "engine.n-buckets=8\n"
+        "engine.source=synthetic\n"
+        f"engine.source.sf-dir={sf_dir}\n"
+    )
+    summary = run(str(conf), spark=spark)
+    assert summary["mode"] == "scd2"
+    assert summary["tables"]
+    # the dimension tables keep history: version intervals present
+    from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline  # noqa: F401
+
+    p = build_pipeline(
+        spark,
+        {
+            "debezium.sink.type": "bigquerystream",
+            "engine.target-root": str(tmp_path / "tgt"),
+            "engine.key-columns": "user_id",
+            "engine.scd2": "true",
+        },
+    )
+    t = p.table_for(summary["tables"][0])
+    cols = set(t.read().columns)
+    assert {"valid_from", "valid_to", "is_current", "version_num"} <= cols
