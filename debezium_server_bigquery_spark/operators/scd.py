@@ -203,6 +203,9 @@ def scd2_merge_batch(
 
     src = table.with_partition_col(batch)
     buckets = [r[0] for r in src.select(KEY_BUCKET).distinct().collect()]
+    if not buckets:  # empty micro-batch: nothing to rewrite
+        table._commit_epoch(epoch_id, -1)
+        return
     live = live.filter(F.col(KEY_BUCKET).isin(buckets))
     bkeys = batch.select(*keys).distinct()
     touched = live.join(bkeys, keys, "left_semi")
