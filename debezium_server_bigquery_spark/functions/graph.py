@@ -192,5 +192,97 @@ LIMIT {TOP}
 """
 
 
-QUERIES = {"pagerank_trade_graph": pagerank_trade_graph}
-ORACLES = {"pagerank_trade_graph": PAGERANK_SQL}
+# --------------------------------------------------------------------------
+# Co-occurrence link prediction: suppliers ranked by Jaccard overlap of
+# their customer sets — the item-item collaborative-filtering shape.
+# --------------------------------------------------------------------------
+COOC_MAX_DEG = 100  # drop hub customers: pair fan-out is Σ deg(c)², so a
+# promiscuous key would dominate the join (same guard as the n-gram dedup
+# document-frequency cap); at TPC-H shapes no customer comes close.
+COOC_TOP = 30
+
+
+def supplier_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier pairs by Jaccard similarity of customer sets.
+
+    Pair generation is confined WITHIN each customer (self-join on the
+    customer key with ``s1 < s2``) — candidate count is Σ deg(c)² with the
+    degree capped, never |suppliers|²; the aggregate and both degree
+    counts are map-side-combinable integers, so every float is a final
+    ratio of exact longs (deterministic cross-engine)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg_c = pairs.groupBy("c").agg(F.count("*").alias("c_deg"))
+    kept = pairs.join(
+        F.broadcast(deg_c.filter(F.col("c_deg") <= COOC_MAX_DEG).select("c")), "c"
+    )
+    deg_s = kept.groupBy("s").agg(F.count("*").alias("deg"))
+    a = kept.select(F.col("c"), F.col("s").alias("s1"))
+    b = kept.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    common = (
+        a.join(b, (a["c"] == b["c2"]) & (a["s1"] < b["s2"]))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("common"))
+    )
+    d1 = deg_s.select(F.col("s").alias("s1"), F.col("deg").alias("deg1"))
+    d2 = deg_s.select(F.col("s").alias("s2"), F.col("deg").alias("deg2"))
+    scored = (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            "deg1",
+            "deg2",
+            F.round(
+                F.col("common")
+                / (F.col("deg1") + F.col("deg2") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("s1"), F.asc("s2")
+    ).limit(COOC_TOP)
+
+
+COOC_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+deg_c AS (SELECT c, COUNT(*) AS c_deg FROM pairs GROUP BY c),
+kept AS (
+  SELECT p.c, p.s FROM pairs p
+  JOIN deg_c d ON p.c = d.c WHERE d.c_deg <= {COOC_MAX_DEG}
+),
+deg_s AS (SELECT s, COUNT(*) AS deg FROM kept GROUP BY s),
+common AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common
+  FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT c.s1, c.s2, c.common, d1.deg AS deg1, d2.deg AS deg2,
+  round(c.common / CAST(d1.deg + d2.deg - c.common AS DOUBLE), 6) AS jaccard
+FROM common c
+JOIN deg_s d1 ON c.s1 = d1.s
+JOIN deg_s d2 ON c.s2 = d2.s
+ORDER BY jaccard DESC, c.s1 ASC, c.s2 ASC
+LIMIT {COOC_TOP}
+"""
+
+
+QUERIES = {
+    "pagerank_trade_graph": pagerank_trade_graph,
+    "supplier_cooccurrence_topk": supplier_cooccurrence_topk,
+}
+ORACLES = {
+    "pagerank_trade_graph": PAGERANK_SQL,
+    "supplier_cooccurrence_topk": COOC_SQL,
+}
