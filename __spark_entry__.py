@@ -171,7 +171,14 @@ _TIER1 = [
     # -- end of the 50-query graded prefix; rotated-out members follow so
     # they keep local-oracle coverage and re-enter in a future rotation.
     # All queries below have at least one passing driver row from a prior
-    # round (or are family twins of one).
+    # round (or are family twins of one), EXCEPT the queries new in round
+    # 5 — the round-6 rotation shortlist: scd2_user_history,
+    # scd2_state_as_of, snapshot_diff_epochs, scd2_sink_e2e,
+    # bm25_search_topk, pagerank_trade_graph, supplier_cooccurrence_topk,
+    # retention_cohorts, events_volume_anomaly,
+    # validate_referential_integrity.  All ten pass the local oracle
+    # replica at sf0.01 and should displace multiply-covered family
+    # members next round.
     "q3_shipping_priority",
     "cdc_nested_envelope",
     "pipeline_fanin_rewrite_e2e",
