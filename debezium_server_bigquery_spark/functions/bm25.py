@@ -48,6 +48,14 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-``k`` documents by Okapi BM25 for ``query_terms``.
 
+    Single-pass pivoted form: ONE tokenize feeds ONE per-doc aggregate
+    producing the doc length and a tf column per query term (the query is
+    a fixed, small term set — a natural pivot).  Corpus stats (N, avgdl,
+    per-term df) are a one-row aggregate OVER that result, broadcast back;
+    the per-doc score is then a fixed left-to-right sum of per-term
+    expressions — no second scan, no corpus-sized join, and a
+    deterministic float fold order by construction.
+
     Returns (id_col, matched_terms, bm25) ordered by rounded score desc
     then id — deterministic under score ties.
     """
@@ -57,32 +65,47 @@ def bm25_topk(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
         ).alias("term"),
     )
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    tf_q = (
-        toks.filter(F.col("term").isin(*query_terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+    agg = toks.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
     )
-    df_ = tf_q.groupBy("term").agg(F.count("*").alias("df"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    stats = agg.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tfn = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    )
-    scored = (
-        tf_q.join(F.broadcast(df_), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("matched_terms"),
-            F.round(F.sum(idf * tfn), 6).alias("bm25"),
+
+    def _term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
         )
+        tfn = (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(tf > 0, idf * tfn).otherwise(F.lit(0.0))
+
+    score = _term_score(0)
+    matched = (F.col("tf_0") > 0).cast("long")
+    for i in range(1, len(query_terms)):
+        score = score + _term_score(i)  # fixed fold order
+        matched = matched + (F.col(f"tf_{i}") > 0).cast("long")
+    scored = (
+        agg.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            matched.alias("matched_terms"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .filter(F.col("matched_terms") > 0)
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
 
@@ -95,36 +118,57 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, QUERY_TERMS, TOP_K)
 
 
-_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
-
-BM25_SQL = rf"""
+def _bm25_sql(query_terms: tuple[str, ...], k1: float, b: float, top_k: int) -> str:
+    """DuckDB twin of the pivoted single-pass plan — identical expression
+    structure and fold order so every double matches bit-for-bit before
+    the final round."""
+    tf_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(query_terms)
+    )
+    df_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(query_terms))
+    )
+    term_scores = " + ".join(
+        f"""(CASE WHEN tf_{i} > 0 THEN
+      ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))
+      * (tf_{i} * ({k1} + 1.0))
+        / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+    ELSE 0.0 END)"""
+        for i in range(len(query_terms))
+    )
+    matched = " + ".join(
+        f"CAST(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END AS BIGINT)"
+        for i in range(len(query_terms))
+    )
+    return rf"""
 WITH toks AS (
   SELECT doc_id,
     unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
   FROM documents
 ),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-tf_q AS (
-  SELECT doc_id, term, COUNT(*) AS tf FROM toks
-  WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+agg AS (
+  SELECT doc_id, COUNT(*) AS dl,
+    {tf_cols}
+  FROM toks GROUP BY doc_id
 ),
-df AS (SELECT term, COUNT(*) AS df FROM tf_q GROUP BY term),
-stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl)
-SELECT tf_q.doc_id,
-  COUNT(*) AS matched_terms,
-  round(SUM(
-    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-    * (tf_q.tf * ({K1} + 1.0))
-      / (tf_q.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
-  ), 6) AS bm25
-FROM tf_q
-JOIN df ON tf_q.term = df.term
-JOIN dl ON tf_q.doc_id = dl.doc_id
-CROSS JOIN stats
-GROUP BY tf_q.doc_id
-ORDER BY bm25 DESC, tf_q.doc_id ASC
-LIMIT {TOP_K}
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+    {df_cols}
+  FROM agg
+)
+SELECT doc_id,
+  {matched} AS matched_terms,
+  round({term_scores}, 6) AS bm25
+FROM agg CROSS JOIN stats
+WHERE {matched} > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {top_k}
 """
+
+
+BM25_SQL = _bm25_sql(QUERY_TERMS, K1, B, TOP_K)
 
 
 QUERIES = {"bm25_search_topk": bm25_search_topk}
