@@ -210,3 +210,73 @@ def test_scd2_sink_untouched_keys_survive_bucket_rewrite(spark, tmp_path):
     assert v[(1, 2)] == (200, None, 10.0)
     for k in range(2, 9):
         assert v[(k, 1)] == (100, None, float(k))
+
+
+def test_streaming_scd2_with_checkpoint_restart(spark, sf_dir, tmp_path):
+    """SCD2 sink under Structured Streaming: two source files -> two
+    micro-batches; final history equals the one-shot batch build, and a
+    checkpoint restart with no new data changes nothing (S7 parity)."""
+    import os
+
+    from debezium_server_bigquery_spark.operators.routing import filter_heartbeats
+    from debezium_server_bigquery_spark.operators.scd import scd2_from_changes
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+    from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline
+
+    cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    src_dir = str(tmp_path / "src")
+    # two files -> availableNow processes them as separate micro-batches
+    cdc.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src_dir)
+    cdc.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        src_dir
+    )
+    ckpt, tgt = str(tmp_path / "ckpt"), str(tmp_path / "tgt")
+
+    def run_once():
+        p = CdcPipeline(
+            spark, tgt, mode="scd2", key_cols=("user_id",), n_buckets=8
+        )
+        stream = spark.readStream.schema(cdc.schema).parquet(src_dir)
+        q = p.run_stream(stream, ckpt, available_now=True)
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+        return p
+
+    p = run_once()
+
+    def history(p):
+        out = set()
+        for d in os.listdir(tgt):
+            if d.startswith("."):
+                continue
+            df = p.read_table(d).filter(F.col("__op") != "d")
+            for r in df.select(
+                "user_id", "version_num", "valid_from", "valid_to", "event_id"
+            ).collect():
+                out.add((d, r.user_id, r.version_num, r.valid_from, r.valid_to, r.event_id))
+        return out
+
+    got = history(p)
+    assert got, "streaming run produced no history rows"
+
+    # expected: one-shot batch SCD2 per destination over the same stream
+    live = filter_heartbeats(cdc)
+    expected = set()
+    for dest in [r[0] for r in live.select("destination").distinct().collect()]:
+        hist = scd2_from_changes(
+            live.filter(F.col("destination") == dest),
+            ["user_id"],
+            "__source_ts_ns",
+            tiebreak=("event_id",),
+        )
+        for r in hist.select(
+            "user_id", "version_num", "valid_from", "valid_to", "event_id"
+        ).collect():
+            expected.add(
+                (dest.replace(".", "_"), r.user_id, r.version_num, r.valid_from, r.valid_to, r.event_id)
+            )
+    assert got == expected
+
+    # restart with the same checkpoint: no new data -> unchanged
+    p2 = run_once()
+    assert history(p2) == got
