@@ -68,6 +68,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.plans.funnel",),
         ("debezium_server_bigquery_spark.plans.behavior",),
         ("debezium_server_bigquery_spark.plans.validation",),
+        ("debezium_server_bigquery_spark.plans.constraints",),
         ("debezium_server_bigquery_spark.plans.analytics_windows",),
         ("debezium_server_bigquery_spark.plans.analytics_ext",),
         ("debezium_server_bigquery_spark.plans.analytics_tpch2",),
