@@ -305,16 +305,73 @@ def run(conf_path: str, spark=None) -> dict:
     }
 
 
+def optimize(
+    table_path: str,
+    max_files: int = 8,
+    files_per_partition: int = 1,
+    zorder: str | None = None,
+    expire_before: str | None = None,
+    spark=None,
+) -> dict:
+    """On-demand table maintenance (the Delta ``OPTIMIZE`` analog):
+    compact fragmented partitions — optionally re-laying rows out by a
+    z-order override — and expire old time partitions.  ``max_files=0``
+    forces a rewrite of every non-empty partition (the full OPTIMIZE
+    ZORDER pass); the default only touches partitions fragmented past the
+    threshold, the incremental maintenance mode."""
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    if spark is None:
+        from debezium_server_bigquery_spark.session import get_spark
+
+        spark = get_spark("engine-optimize")
+    table = ParquetTable.open(spark, table_path)
+    if zorder is not None:
+        cols = [c.strip() for c in zorder.split(",") if c.strip()]
+        from debezium_server_bigquery_spark.operators.zorder import validate_zorder
+
+        validate_zorder(cols)
+        table.zorder_cols = cols
+    expired = table.expire_partitions(expire_before) if expire_before else []
+    compacted = table.compact(
+        max_files_per_partition=max_files, files_per_partition=files_per_partition
+    )
+    return {"compacted_partitions": compacted, "expired_partitions": expired}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="engine")
     sub = ap.add_subparsers(dest="cmd", required=True)
     runp = sub.add_parser("run", help="run a pipeline from application.properties")
     runp.add_argument("--conf", required=True, help="path to application.properties")
+    optp = sub.add_parser(
+        "optimize", help="compact/re-layout a destination table (OPTIMIZE analog)"
+    )
+    optp.add_argument("--table", required=True, help="table directory")
+    optp.add_argument("--max-files", type=int, default=8)
+    optp.add_argument("--files-per-partition", type=int, default=1)
+    optp.add_argument("--zorder", default=None, help="comma-separated layout override")
+    optp.add_argument(
+        "--expire-before", default=None, help="drop time partitions older than this"
+    )
     args = ap.parse_args(argv)
     if args.cmd == "run":
         summary = run(args.conf)
         for t in summary["tables"]:
             print(f"{t}\t{summary['rows'][t]}")
+        return 0
+    if args.cmd == "optimize":
+        summary = optimize(
+            args.table,
+            max_files=args.max_files,
+            files_per_partition=args.files_per_partition,
+            zorder=args.zorder,
+            expire_before=args.expire_before,
+        )
+        print(
+            f"compacted {summary['compacted_partitions']} partitions; "
+            f"expired {len(summary['expired_partitions'])}"
+        )
         return 0
     return 2
 

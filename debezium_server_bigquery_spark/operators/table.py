@@ -129,6 +129,24 @@ class ParquetTable:
             validate_zorder(self.zorder_cols)
         self._zcache: DataFrame | None = None
 
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "ParquetTable":
+        """Reconstruct a table handle from its stored ``_engine_meta.json``
+        — what an out-of-band maintenance command (CLI ``optimize``) uses
+        to operate on a table the pipeline created."""
+        with open(os.path.join(path, "_engine_meta.json"), encoding="utf-8") as fh:
+            meta = json.load(fh)
+        return cls(
+            spark,
+            path,
+            key_cols=tuple(meta.get("key_cols", ())),
+            mode=meta.get("mode", "append"),
+            n_buckets=meta.get("n_buckets", 32),
+            partition_type=meta.get("partition_type", "MONTH"),
+            partition_field=meta.get("partition_field", "__ts_ms"),
+            zorder_cols=tuple(meta.get("zorder", ())),
+        )
+
     # -- metadata ----------------------------------------------------------
     @property
     def meta_path(self) -> str:

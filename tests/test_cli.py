@@ -229,3 +229,47 @@ def test_run_scd2_from_properties(spark, sf_dir, tmp_path):
     t = p.table_for(summary["tables"][0])
     cols = set(t.read().columns)
     assert {"valid_from", "valid_to", "is_current", "version_num"} <= cols
+
+
+def test_optimize_compacts_and_zorders(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.cli import optimize
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    path = str(tmp_path / "t")
+    t = ParquetTable(spark, path, mode="append", partition_type="MONTH")
+    cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    # several small appends fragment the partitions
+    for e in range(3):
+        t.append(cdc.filter(F.col("event_id") % 3 == e), epoch_id=e)
+    before = t.read().count()
+    frag = max(t.partition_file_counts().values())
+    assert frag >= 3
+
+    summary = optimize(
+        path, max_files=0, zorder="user_id,event_id", spark=spark
+    )
+    assert summary["compacted_partitions"] >= 1
+    t2 = ParquetTable.open(spark, path)
+    assert t2.read().count() == before  # lossless rewrite
+    assert max(t2.partition_file_counts().values()) == 1
+    assert t2.zorder_cols == ["user_id", "event_id"]  # layout persisted to meta
+
+
+def test_optimize_noop_below_threshold(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.cli import optimize
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    path = str(tmp_path / "t")
+    t = ParquetTable(spark, path, mode="append")
+    cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    t.append(cdc.filter(F.col("event_id") < 100), epoch_id=0)
+    summary = optimize(path, max_files=64, spark=spark)
+    assert summary["compacted_partitions"] == 0
