@@ -170,12 +170,131 @@ FROM frames ORDER BY doc_id, frame_idx
 """
 
 
+# --------------------------------------------------------------------------
+# REAL byte-level media decode: PNG and WAV headers are plain struct
+# layouts, so probing width/height/sample-rate needs no imaging library —
+# this is the first rung of the decode ladder that decode_image_stub marks
+# for full decoders.  Payload synthesis is a deterministic function of
+# doc_id, so the DuckDB twin recomputes the expected metadata from the
+# same arithmetic while the Spark side genuinely round-trips the bytes.
+# --------------------------------------------------------------------------
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+    ]
+)
+
+
+def _png_header(width: int, height: int) -> bytes:
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    )
+
+
+def _wav_header(sample_rate: int) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+    )
+
+
+def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Even doc_ids become PNG payloads, odd become WAV — dimensions and
+    rate derive from doc_id, mirrored by the oracle's arithmetic."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [
+                    _png_header(int(i) % 512 + 1, (int(i) * 7) % 512 + 1)
+                    if int(i) % 2 == 0
+                    else _wav_header(8000 + (int(i) % 8) * 1000)
+                    for i in ids
+                ],
+            }
+        )
+
+
+def _parse_media_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Dispatch on magic bytes, then struct-unpack the real header fields."""
+    import struct
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "kind": [],
+            "width": [],
+            "height": [],
+            "sample_rate": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            kind, width, height, rate = "unknown", None, None, None
+            if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+                kind = "png"
+                width, height = struct.unpack(">II", data[16:24])
+            elif data[:4] == b"RIFF" and data[8:16] == b"WAVEfmt ":
+                kind = "wav"
+                (rate,) = struct.unpack("<I", data[24:28])
+            out["doc_id"].append(doc_id)
+            out["kind"].append(kind)
+            out["width"].append(width)
+            out["height"].append(height)
+            out["sample_rate"].append(rate)
+        yield pd.DataFrame(out)
+
+
+def media_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize real PNG/WAV header bytes per document, then decode them
+    back by parsing the actual byte layout (magic dispatch + struct
+    unpack) — both steps Arrow-batched mapInPandas, zero shuffle until
+    the final order."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    payloads = docs.select("doc_id").mapInPandas(
+        _synth_media,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(_parse_media_header, MEDIA_SCHEMA).orderBy("doc_id")
+
+
+MEDIA_PROBE_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+  CASE WHEN doc_id % 2 = 0 THEN doc_id % 512 + 1 END AS width,
+  CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 512 + 1 END AS height,
+  CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS sample_rate
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_manifest": multimodal_manifest,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "media_header_probe": media_header_probe,
 }
 
 ORACLES = {
     "multimodal_manifest": MULTIMODAL_MANIFEST_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
+    "media_header_probe": MEDIA_PROBE_SQL,
 }
