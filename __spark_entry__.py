@@ -48,6 +48,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.timeseries",),
         ("debezium_server_bigquery_spark.functions.similarity",),
         ("debezium_server_bigquery_spark.functions.pq",),
+        ("debezium_server_bigquery_spark.functions.contrastive",),
         ("debezium_server_bigquery_spark.functions.kmeans",),
         ("debezium_server_bigquery_spark.functions.graph",),
         ("debezium_server_bigquery_spark.functions.sketches",),
