@@ -179,8 +179,9 @@ _TIER1 = [
     # bm25_search_topk, pagerank_trade_graph, supplier_cooccurrence_topk,
     # retention_cohorts, events_volume_anomaly,
     # validate_referential_integrity, validate_constraints,
-    # media_header_probe.  All pass the local oracle replica at sf0.01 and
-    # should displace multiply-covered family members next round.
+    # media_header_probe, contrastive_triplets.  All pass the local oracle
+    # replica at sf0.01 (incl. --plain --tz) and should displace
+    # multiply-covered family members next round.
     "q3_shipping_priority",
     "cdc_nested_envelope",
     "pipeline_fanin_rewrite_e2e",
