@@ -417,15 +417,87 @@ def scd2_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version_num")
 
 
+def scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich facts with the dimension version IN EFFECT at fact time —
+    the canonical SCD2 consumer (Kimball's type-2 surrogate lookup).
+
+    The join is a key equi-join (user_id) with the interval condition as a
+    residual predicate; versions per key are bounded, so the probe cost
+    per fact row is O(versions of its key), never a range explosion.  Here
+    the fact stream is the CDC event stream itself, so every event learns
+    which version of its entity was current at its own timestamp (deletes
+    and pre-creation events match nothing -> -1 sentinels)."""
+    cdc = filter_heartbeats(synthesize_cdc_events(load_table(spark, sf_dir, "events")))
+    hist = scd2_from_changes(
+        cdc, ["user_id"], "__source_ts_ns", tiebreak=("event_id",)
+    ).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_id").alias("eff_event_id"),
+        F.col("version_num").alias("eff_version"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = cdc.select("event_id", "user_id", "__op", "__source_ts_ns")
+    joined = facts.join(
+        hist,
+        (facts["user_id"] == hist["h_user"])
+        & (hist["valid_from"] <= facts["__source_ts_ns"])
+        & (hist["valid_to"].isNull() | (facts["__source_ts_ns"] < hist["valid_to"])),
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "__op",
+        F.coalesce("eff_version", F.lit(-1)).alias("eff_version"),
+        F.coalesce("eff_event_id", F.lit(-1)).alias("eff_event_id"),
+    ).orderBy("event_id")
+
+
+SCD2_ENRICH_SQL = f"""
+WITH cdc AS ({cdc_synth_oracle_sql('events')}),
+live AS (
+  SELECT * FROM cdc
+  WHERE destination NOT LIKE '\\_\\_debezium-heartbeat%' ESCAPE '\\'
+),
+versioned AS (
+  SELECT *, LEAD(__source_ts_ns) OVER (
+      PARTITION BY user_id
+      ORDER BY __source_ts_ns, {_OP_PRI_SQL}, event_id) AS valid_to_raw
+  FROM live
+),
+hist AS (
+  SELECT user_id AS h_user, event_id AS eff_event_id,
+    __source_ts_ns AS valid_from, valid_to_raw,
+    CAST(ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY __source_ts_ns, {_OP_PRI_SQL}, event_id) AS BIGINT) AS eff_version
+  FROM versioned
+  WHERE __op <> 'd'
+)
+SELECT f.event_id, f.user_id, f.__op,
+  COALESCE(h.eff_version, -1) AS eff_version,
+  COALESCE(h.eff_event_id, -1) AS eff_event_id
+FROM live f
+LEFT JOIN hist h
+  ON f.user_id = h.h_user
+  AND h.valid_from <= f.__source_ts_ns
+  AND (h.valid_to_raw IS NULL OR f.__source_ts_ns < h.valid_to_raw)
+ORDER BY f.event_id
+"""
+
+
 QUERIES = {
     "scd2_user_history": scd2_user_history,
     "scd2_state_as_of": scd2_state_as_of,
     "snapshot_diff_epochs": snapshot_diff_epochs,
     "scd2_sink_e2e": scd2_sink_e2e,
+    "scd2_temporal_enrich": scd2_temporal_enrich,
 }
 ORACLES = {
     "scd2_user_history": SCD2_SQL,
     "scd2_state_as_of": SCD2_AS_OF_SQL,
     "snapshot_diff_epochs": SNAPSHOT_DIFF_SQL,
     "scd2_sink_e2e": SCD2_SQL,
+    "scd2_temporal_enrich": SCD2_ENRICH_SQL,
 }
