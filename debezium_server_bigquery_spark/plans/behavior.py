@@ -35,8 +35,11 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
     )
-    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    # cohort derives FROM the distinct activity set (min over distinct
+    # weeks == min over all weeks), so the stream is scanned once and the
+    # follow-up aggregate reuses the distinct's user partitioning
     active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     joined = active.join(cohort, "user_id").select(
         "user_id",
         "cohort_week",
@@ -68,8 +71,8 @@ WITH ev AS (
   SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
   FROM events
 ),
-cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
 active AS (SELECT DISTINCT user_id, week FROM ev),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id),
 joined AS (
   SELECT a.user_id, c.cohort_week,
     CAST(datediff('day', c.cohort_week, a.week) // 7 AS BIGINT) AS k
