@@ -380,7 +380,38 @@ ORDER BY returnflag, year
 """
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 PIVOT: one row per day, one count column per event type.
+
+    The explicit value list keeps the output schema static (no extra
+    distinct pass to discover columns — which at 100 TB would be a full
+    shuffle before planning even finishes); absent combinations coalesce
+    to 0.  Physically this is a single conditional-aggregation scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    pivoted = ev.groupBy("day").pivot("event_type", list(PIVOT_TYPES)).count()
+    return pivoted.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in PIVOT_TYPES],
+    ).orderBy("day")
+
+
+PIVOT_SQL = (
+    "SELECT CAST(ts AS DATE) AS day, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    + " FROM events GROUP BY 1 ORDER BY day"
+)
+
+
 QUERIES = {
+    "pivot_event_type_daily": pivot_event_type_daily,
     "w_running_customer_spend": w_running_customer_spend,
     "w_moving_avg_events": w_moving_avg_events,
     "w_order_gap_days": w_order_gap_days,
@@ -393,6 +424,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pivot_event_type_daily": PIVOT_SQL,
     "w_running_customer_spend": W_RUNNING_SQL,
     "w_moving_avg_events": W_MOVING_AVG_SQL,
     "w_order_gap_days": W_ORDER_GAP_SQL,

@@ -296,12 +296,57 @@ def windowed_event_counts_stream(events: DataFrame, watermark: str = "2 hours") 
     )
 
 
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour: each event lands in exactly two
+    overlapping windows.  Spark's ``window(ts, size, slide)`` expands rows
+    by size/slide copies BEFORE the aggregate — a narrow explode, then the
+    same map-side-combinable shape as the tumbling form; state in the
+    streaming twin is bounded by watermark exactly like tumbling."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# slide=1h, size=2h: the member windows of an event are the hour bucket of
+# its ts and the preceding hour — unnested explicitly (epoch-aligned, like
+# Spark's window()).
+SLIDING_COUNTS_SQL = """
+WITH expanded AS (
+  SELECT event_type, value,
+    unnest([time_bucket(INTERVAL 1 HOUR, ts),
+            time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS window_start
+  FROM events
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM expanded
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize,
     "windowed_event_counts": windowed_event_counts,
+    "sliding_event_counts": sliding_event_counts,
 }
 
 ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
     "windowed_event_counts": WINDOWED_COUNTS_SQL,
+    "sliding_event_counts": SLIDING_COUNTS_SQL,
 }
