@@ -121,7 +121,11 @@ def _collect(attr: str) -> dict:
 # of them already have a passing driver row from r1-r4.
 _TIER1 = [
     "q1_pricing_summary",
-    "q_events_daily",
+    # r5 swap: scd2_sink_e2e takes q_events_daily's slot (plain daily agg,
+    # graded green r1-r4; q1 keeps the scan/agg/sort family graded) so the
+    # round's headline operator — the history-preserving SCD2 sink — gets a
+    # driver row immediately; q_events_daily re-registers after the prefix.
+    "scd2_sink_e2e",
     "cdc_flatten",
     "cdc_route",
     "cdc_dedup_last_writer",
@@ -151,7 +155,10 @@ _TIER1 = [
     "ts_similarity_topk",
     "sketch_value_quantiles",
     "sketch_heavy_hitters",
-    "text_quality_score",
+    # r5 swap: scd2_user_history takes text_quality_score's slot (quality
+    # scoring graded green r1-r4; the text family keeps docs_by_lang_summary,
+    # text_common_spans, chunk_documents, text_pii_scrub in the prefix).
+    "scd2_user_history",
     "docs_by_lang_summary",
     "text_common_spans",
     "chunk_documents",
