@@ -115,6 +115,68 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the learned top-K head
+    — the tokenizer-coverage metric that decides whether a vocabulary (or
+    BPE merge table) fits a corpus slice.
+
+    The vocabulary is a K-row broadcast; the per-doc rate is one explode +
+    broadcast left-join + count aggregate, all map-side combinable.  The
+    rate is a ratio of exact longs, deterministic cross-engine."""
+    vocab = vocab_top_terms(spark, sf_dir).select("term", F.lit(1).alias("in_vocab"))
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    joined = toks.join(F.broadcast(vocab), "term", "left")
+    return (
+        joined.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_OOV_SQL = rf"""
+WITH terms AS (
+  SELECT unnest(list_distinct(
+           list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS doc_freq FROM terms GROUP BY term
+    ORDER BY doc_freq DESC, term ASC LIMIT {VOCAB_TOP_K}
+  )
+),
+toks AS (
+  SELECT doc_id, lang,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+  FROM documents
+)
+SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  round(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.doc_id, t.lang
+ORDER BY t.doc_id
+"""
+
+
 # Per-stratum Bernoulli rates for the proportional sampler: up-sample rare
 # languages, down-sample the head — the standard training-mix reweighting.
 SAMPLE_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.75, "zh": 1.0}
@@ -241,6 +303,7 @@ QUERIES = {
     "sample_bernoulli_by_lang": sample_bernoulli_by_lang,
     "vocab_top_terms": vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "vocab_oov_rate": vocab_oov_rate,
 }
 
 ORACLES = {
@@ -248,4 +311,5 @@ ORACLES = {
     "sample_bernoulli_by_lang": SAMPLE_BERNOULLI_SQL,
     "vocab_top_terms": VOCAB_TOP_TERMS_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
+    "vocab_oov_rate": VOCAB_OOV_SQL,
 }
