@@ -1,0 +1,85 @@
+"""Pin the distributed BPE trainer against a pure-Python reference —
+the oracle for the registry's one rows-only entry (see functions/bpe.py)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from debezium_server_bigquery_spark.functions.bpe import (
+    train_bpe_merges,
+    word_frequencies,
+)
+
+
+def _py_bpe(word_freq: dict[str, int], k: int):
+    syms = {w: list(w) for w in word_freq}
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            f = word_freq[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        # max count; ties to the lexicographically smallest (a, b)
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def _spark_bpe(spark, word_freq: dict[str, int], k: int):
+    words = spark.createDataFrame(
+        list(word_freq.items()), "word string, freq long"
+    )
+    return train_bpe_merges(spark, words, k)
+
+
+def test_bpe_fixed_corpus(spark):
+    wf = {"lower": 3, "low": 5, "newest": 6, "widest": 3, "newer": 2}
+    assert _spark_bpe(spark, wf, 6) == _py_bpe(wf, 6)
+
+
+def test_bpe_repeated_symbol_runs_merge_greedily(spark):
+    # 'aaaa' with pair (a,a): greedy left-to-right gives [aa, aa]
+    wf = {"aaaa": 4, "aab": 1}
+    got = _spark_bpe(spark, wf, 2)
+    assert got == _py_bpe(wf, 2)
+    assert got[0][1:4] == ("a", "a", "aa")
+
+
+def test_bpe_on_documents_table(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.bpe import bpe_train_merges
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    rows = bpe_train_merges(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 8
+    # the distributed result equals python BPE on the same frequencies
+    docs = load_table(spark, sf_dir, "documents")
+    wf = {r.word: r.freq for r in word_frequencies(docs).collect()}
+    expected = _py_bpe(wf, 8)
+    assert [(r.rank, r.left, r.right, r.merged, r.support) for r in rows] == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_property_matches_python(spark, wf):
+    assert _spark_bpe(spark, wf, 4) == _py_bpe(wf, 4)
