@@ -339,6 +339,33 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def sliding_event_counts_stream(
+    events: DataFrame, watermark: str = "3 hours"
+) -> DataFrame:
+    """Streaming twin of :func:`sliding_event_counts`: identical
+    size/slide; the watermark must cover the window SIZE (2h) plus the
+    lateness bound so a window only finalizes after every slide member
+    that can still contain data has passed."""
+    ts_type = events.schema["ts"].dataType
+    events = events.withColumn("ts", as_instant(F.col("ts"), ts_type))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 QUERIES = {
     "sessionize_events": sessionize,
     "windowed_event_counts": windowed_event_counts,
