@@ -35,7 +35,8 @@ K_MERGES = 8
 
 
 def _sq(s: str) -> str:
-    return s.replace("'", "''")
+    # Spark SQL string literals treat backslash as an escape character
+    return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
 def _merge_expr(a: str, b: str) -> str:

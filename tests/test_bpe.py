@@ -83,3 +83,9 @@ def test_bpe_on_documents_table(spark, sf_dir):
 )
 def test_bpe_property_matches_python(spark, wf):
     assert _spark_bpe(spark, wf, 4) == _py_bpe(wf, 4)
+
+
+def test_bpe_symbols_with_quotes_and_backslashes(spark):
+    # symbols are spliced into SQL expressions — escaping must hold
+    wf = {"a'b": 3, "a\\b": 2, "ab": 5}
+    assert _spark_bpe(spark, wf, 3) == _py_bpe(wf, 3)
