@@ -182,14 +182,17 @@ _TIER1 = [
     # they keep local-oracle coverage and re-enter in a future rotation.
     # All queries below have at least one passing driver row from a prior
     # round (or are family twins of one), EXCEPT the queries new in round
-    # 5 — the round-6 rotation shortlist: scd2_user_history,
-    # scd2_state_as_of, snapshot_diff_epochs, scd2_sink_e2e,
-    # bm25_search_topk, pagerank_trade_graph, supplier_cooccurrence_topk,
-    # retention_cohorts, events_volume_anomaly,
-    # validate_referential_integrity, validate_constraints,
-    # media_header_probe, contrastive_triplets.  All pass the local oracle
-    # replica at sf0.01 (incl. --plain --tz) and should displace
-    # multiply-covered family members next round.
+    # 5 — the round-6 rotation shortlist: scd2_state_as_of,
+    # snapshot_diff_epochs, scd2_temporal_enrich, bm25_search_topk,
+    # pagerank_trade_graph, supplier_cooccurrence_topk, retention_cohorts,
+    # events_volume_anomaly, validate_referential_integrity,
+    # validate_constraints, media_header_probe, contrastive_triplets,
+    # sliding_event_counts, pivot_event_type_daily, vocab_oov_rate,
+    # bpe_train_merges (rows-only — no SQL twin by design, see
+    # functions/bpe.py).  All pass the local oracle replica at sf0.01
+    # (incl. --plain --tz) and should displace multiply-covered family
+    # members next round; scd2_user_history and scd2_sink_e2e are already
+    # in this round's graded prefix.
     "q3_shipping_priority",
     "cdc_nested_envelope",
     "pipeline_fanin_rewrite_e2e",
