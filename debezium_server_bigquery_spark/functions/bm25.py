@@ -6,15 +6,14 @@ profiling already exists (curation.py) — this adds the query side: score
 documents against a term set with Okapi BM25 (the Lucene/Robertson
 variant) and return the top-k, all as distributed column algebra.
 
-Plan shape (scales to 100 TB):
-- ONE tokenize pass feeds two aggregates: per-doc length (map-side
-  combinable count) and the postings for the QUERY TERMS ONLY — the
-  ``isin`` filter prunes before the wide (doc, term) shuffle, so the
-  expensive aggregate is proportional to query-term frequency, not corpus
-  vocabulary.
-- Document frequency and the (N, avgdl) scalars are tiny aggregates
-  broadcast back; the only corpus-sized join is postings ⋈ doc-lengths on
-  doc_id — an equi-join between two doc-keyed aggregates.
+Plan shape (scales to 100 TB) — pivoted single pass:
+- ONE tokenize pass feeds ONE per-doc aggregate producing the document
+  length plus a tf column per query term (the fixed small query set is a
+  natural pivot) — map-side combinable, shuffle keyed on doc_id only.
+- Corpus stats (N, avgdl, per-term df) are a one-row aggregate OVER that
+  result, broadcast back; there is NO corpus-sized join anywhere.
+- The per-doc score is a fixed left-to-right fold of per-term
+  expressions, so float determinism holds by construction.
 - Top-k is a global ``orderBy().limit(k)`` → TakeOrderedAndProject (per
   partition heap + driver merge of k rows), never a full sort.
 
@@ -130,11 +129,14 @@ def _bm25_sql(query_terms: tuple[str, ...], k1: float, b: float, top_k: int) -> 
         f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
         for i in range(len(query_terms))
     )
+    # parenthesized as idf * (num / den) — the exact association the Spark
+    # side uses (tfn built first); FP multiply/divide is not associative,
+    # so (idf * num) / den could differ in the last ulp and flip round(,6)
     term_scores = " + ".join(
         f"""(CASE WHEN tf_{i} > 0 THEN
       ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))
-      * (tf_{i} * ({k1} + 1.0))
-        / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+      * ((tf_{i} * ({k1} + 1.0))
+         / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl)))
     ELSE 0.0 END)"""
         for i in range(len(query_terms))
     )

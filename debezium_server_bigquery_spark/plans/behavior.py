@@ -97,7 +97,30 @@ def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.col("ts").cast("date").alias("day")
     )
-    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("n_events"))
+    return volume_anomaly_frame(ev)
+
+
+def volume_anomaly_frame(ev: DataFrame) -> DataFrame:
+    """Core of the anomaly query over an (event_type, day) frame —
+    factored out so outage scenarios are unit-testable on synthetic data."""
+    sparse = ev.groupBy("event_type", "day").agg(F.count("*").alias("n_events"))
+    # Densify to the full (event_type × calendar-day) grid with 0-fills:
+    # a type that goes SILENT is the canonical volume anomaly, and without
+    # explicit zero days the window would skip the outage entirely and
+    # treat pre-gap days as adjacent.  The grid is types × days — O(metadata)
+    # rows at any corpus size; bounds are a broadcast one-row aggregate.
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type", F.explode(F.expr("sequence(lo, hi)")).alias("day")
+        )
+    )
+    daily = grid.join(sparse, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -111,28 +134,54 @@ def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").over(w).alias("s1"),
         F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("s2"),
     )
-    mean = F.col("s1") / F.col("base_n")
-    var = (
-        F.col("s2").cast("double") - (F.col("s1") * F.col("s1")) / F.col("base_n")
-    ) / (F.col("base_n") - 1)
-    z = (F.col("n_events") - mean) / F.sqrt(var)
-    usable = (F.col("base_n") >= 3) & (var > 0)
+    # try_divide, not `/`: ANSI mode raises DIVIDE_BY_ZERO, and codegen's
+    # common-subexpression elimination hoists `var` OUT of the CASE
+    # branches, so the 0- and 1-row baseline frames evaluate the division
+    # even though every guard excludes them.  try_divide yields NULL
+    # there, which the base_n >= 3 guards already treat as false; for
+    # base_n >= 3 the denominators are provably nonzero, so the guarded
+    # outputs are identical to plain division (and to the DuckDB twin).
+    mean = F.try_divide(F.col("s1").cast("double"), F.col("base_n"))
+    var = F.try_divide(
+        F.col("s2").cast("double")
+        - F.try_divide((F.col("s1") * F.col("s1")).cast("double"), F.col("base_n")),
+        F.col("base_n") - 1,
+    )
+    z = F.try_divide(F.col("n_events") - mean, F.sqrt(var))
+    enough = F.col("base_n") >= 3
+    usable = enough & (var > 0)
     return based.select(
         "event_type",
         "day",
         "n_events",
         "base_n",
         F.when(usable, F.round(z, 6)).alias("z"),
-        F.when(usable, F.abs(z) > Z_THRESHOLD).otherwise(F.lit(False)).alias(
-            "is_anomaly"
-        ),
+        # var == 0 (perfectly constant baseline) leaves z undefined, but
+        # ANY deviation from a constant history is an anomaly — the total
+        # outage against a steady feed must not slip through the z guard
+        F.when(usable, F.abs(z) > Z_THRESHOLD)
+        .when(enough & (var <= 0), F.col("n_events") != mean)
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
     ).orderBy("event_type", "day")
 
 
 ANOMALY_SQL = f"""
-WITH daily AS (
+WITH sparse AS (
   SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
   FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+),
+grid AS (
+  SELECT t.event_type, CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+),
+daily AS (
+  SELECT g.event_type, g.day, COALESCE(s.n_events, 0) AS n_events
+  FROM grid g LEFT JOIN sparse s
+    ON g.event_type = s.event_type AND g.day = s.day
 ),
 based AS (
   SELECT event_type, day, n_events,
@@ -157,6 +206,9 @@ SELECT event_type, day, n_events, base_n,
          (n_events - s1 / CAST(base_n AS DOUBLE))
          / sqrt((CAST(s2 AS DOUBLE) - (s1 * s1) / CAST(base_n AS DOUBLE)) / (base_n - 1))
        ) > {Z_THRESHOLD}
+       WHEN base_n >= 3
+        AND (CAST(s2 AS DOUBLE) - (s1 * s1) / CAST(base_n AS DOUBLE)) / (base_n - 1) <= 0
+       THEN n_events <> s1 / CAST(base_n AS DOUBLE)
        ELSE FALSE END AS is_anomaly
 FROM based
 ORDER BY event_type, day

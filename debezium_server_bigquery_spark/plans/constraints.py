@@ -62,6 +62,29 @@ def _metric_col(col: str, kind: str, param):
     raise ValueError(f"unknown constraint kind: {kind}")
 
 
+def _violations_col(col: str, kind: str, param):
+    """EXACT violating-row count — pass/fail must not run through the
+    rounded display metric: on a multi-million-row table a single bad row
+    rounds to metric 1.000000 and would report as passed."""
+    total = F.count(F.lit(1))
+    if kind == "not_null":
+        return total - F.count(col)
+    if kind == "unique":
+        return F.count(col) - F.countDistinct(col)
+    # total - ok (the same ok expression the metric uses), so a NULL row
+    # counts as violating exactly when the metric counts it as not-ok
+    if kind == "min_value":
+        return total - F.sum((F.col(col) >= param).cast("long"))
+    if kind == "range":
+        lo, hi = param
+        return total - F.sum(
+            ((F.col(col) >= lo) & (F.col(col) <= hi)).cast("long")
+        )
+    if kind == "accepted_values":
+        return total - F.sum(F.col(col).isin(*param).cast("long"))
+    raise ValueError(f"unknown constraint kind: {kind}")
+
+
 def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
@@ -73,8 +96,12 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, tbl)
         agg = df.agg(
             *[
-                F.round(_metric_col(col, kind, param), 6).alias(f"m_{i}")
+                expr
                 for i, (col, kind, param) in enumerate(specs)
+                for expr in (
+                    F.round(_metric_col(col, kind, param), 6).alias(f"m_{i}"),
+                    _violations_col(col, kind, param).alias(f"v_{i}"),
+                )
             ]
         )
         # unpivot the one-row aggregate into report rows
@@ -84,11 +111,11 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stack({}, {})".format(
                     len(specs),
                     ", ".join(
-                        f"'{col}', '{kind}', m_{i}"
+                        f"'{col}', '{kind}', m_{i}, v_{i}"
                         for i, (col, kind, _p) in enumerate(specs)
                     ),
                 )
-            ).alias("column_name", "constraint", "metric"),
+            ).alias("column_name", "constraint", "metric", "n_violations"),
         )
         reports.append(rows)
     out = reduce(lambda a, b: a.unionByName(b), reports)
@@ -97,42 +124,48 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name",
         "constraint",
         "metric",
-        (F.col("metric") >= 1.0).alias("passed"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("table_name", "column_name", "constraint")
 
 
 def _metric_sql(tbl: str, col: str, kind: str, param) -> str:
     if kind == "not_null":
         expr = f"COUNT({col}) / CAST(COUNT(*) AS DOUBLE)"
+        viol = f"COUNT(*) - COUNT({col})"
     elif kind == "unique":
         expr = f"COUNT(DISTINCT {col}) / CAST(COUNT({col}) AS DOUBLE)"
+        viol = f"COUNT({col}) - COUNT(DISTINCT {col})"
     elif kind == "min_value":
-        expr = (
-            f"CAST(SUM(CASE WHEN {col} >= {param} THEN 1 ELSE 0 END) AS BIGINT)"
-            f" / CAST(COUNT(*) AS DOUBLE)"
-        )
+        ok = f"CAST(SUM(CASE WHEN {col} >= {param} THEN 1 ELSE 0 END) AS BIGINT)"
+        expr = f"{ok} / CAST(COUNT(*) AS DOUBLE)"
+        viol = f"COUNT(*) - {ok}"
     elif kind == "range":
         lo, hi = param
-        expr = (
+        ok = (
             f"CAST(SUM(CASE WHEN {col} >= {lo} AND {col} <= {hi} THEN 1 ELSE 0 END)"
-            f" AS BIGINT) / CAST(COUNT(*) AS DOUBLE)"
+            f" AS BIGINT)"
         )
+        expr = f"{ok} / CAST(COUNT(*) AS DOUBLE)"
+        viol = f"COUNT(*) - {ok}"
     elif kind == "accepted_values":
         vals = ", ".join(f"'{v}'" for v in param)
-        expr = (
-            f"CAST(SUM(CASE WHEN {col} IN ({vals}) THEN 1 ELSE 0 END) AS BIGINT)"
-            f" / CAST(COUNT(*) AS DOUBLE)"
-        )
+        ok = f"CAST(SUM(CASE WHEN {col} IN ({vals}) THEN 1 ELSE 0 END) AS BIGINT)"
+        expr = f"{ok} / CAST(COUNT(*) AS DOUBLE)"
+        viol = f"COUNT(*) - {ok}"
     else:
         raise ValueError(kind)
     return (
         f"SELECT '{tbl}' AS table_name, '{col}' AS column_name, "
-        f"'{kind}' AS \"constraint\", round({expr}, 6) AS metric FROM {tbl}"
+        f"'{kind}' AS \"constraint\", round({expr}, 6) AS metric, "
+        f"CAST({viol} AS BIGINT) AS n_violations FROM {tbl}"
     )
 
 
+# passed derives from the EXACT violation count, never the rounded metric
 VALIDATE_CONSTRAINTS_SQL = (
-    "SELECT table_name, column_name, \"constraint\", metric, metric >= 1.0 AS passed FROM ("
+    "SELECT table_name, column_name, \"constraint\", metric, n_violations, "
+    "n_violations = 0 AS passed FROM ("
     + " UNION ALL ".join(
         _metric_sql(tbl, col, kind, param) for tbl, col, kind, param in CONSTRAINTS
     )

@@ -65,4 +65,27 @@ def test_constraint_report_flags_failures(spark, sf_dir):
     rows = validate_constraints(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r.passed == (r.metric >= 1.0)
+        # pass/fail comes from the EXACT violation count — a rounded
+        # metric of 1.0 with one bad row in millions must still fail
+        assert r.passed == (r.n_violations == 0)
+        if r.metric < 1.0:
+            assert r.n_violations > 0
+
+
+def test_constraints_single_violation_in_large_table_fails(spark):
+    # one bad row among enough rows that the ROUNDED ratio is 1.000000
+    n = 3_000_000
+    df = spark.range(n).selectExpr(
+        "id", "CASE WHEN id = 12345 THEN NULL ELSE id END AS v"
+    )
+    from debezium_server_bigquery_spark.plans.constraints import (
+        _metric_col,
+        _violations_col,
+    )
+
+    row = df.agg(
+        F.round(_metric_col("v", "not_null", None), 6).alias("m"),
+        _violations_col("v", "not_null", None).alias("viol"),
+    ).collect()[0]
+    assert row.m == 1.0  # display metric rounds up — would mask the bad row
+    assert row.viol == 1  # the exact count still fails the gate
