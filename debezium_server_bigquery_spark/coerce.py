@@ -217,3 +217,11 @@ def op_priority(col: Column) -> Column:
         .when(col == "d", F.lit(4))
         .otherwise(F.lit(0))
     )
+
+
+# DuckDB twin of op_priority — the ONE place the A2 priority map lives in
+# SQL form; oracle builders interpolate this instead of restating the map.
+OP_PRIORITY_SQL = (
+    "CASE __op WHEN 'c' THEN 1 WHEN 'r' THEN 2 WHEN 'u' THEN 3 "
+    "WHEN 'd' THEN 4 ELSE 0 END"
+)

@@ -29,10 +29,9 @@ from pyspark.sql import functions as F
 
 from debezium_server_bigquery_spark.functions.dedup_fuzzy import _hash60_sql, hash60
 from debezium_server_bigquery_spark.functions.similarity import (
-    N_PLANES,
-    NEARDUP_BANDS,
     _dot_sql,
-    _plane_bits,
+    banded_cte_sql,
+    banded_embeddings,
     cosine,
     with_norm,
 )
@@ -43,20 +42,7 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings", spread=True)
     dim = len(raw.select("embedding").head()["embedding"])
     emb = with_norm(raw)
-    bits = _plane_bits(dim)
-    per = N_PLANES // NEARDUP_BANDS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("band_id"),
-                F.concat(*bits[k * per : (k + 1) * per]).alias("bucket"),
-            )
-            for k in range(NEARDUP_BANDS)
-        ]
-    )
-    banded = emb.select(
-        "vec_id", "embedding", "norm", F.explode(bands).alias("bd")
-    ).select("vec_id", "embedding", "norm", "bd.band_id", "bd.bucket")
+    banded = banded_embeddings(emb, dim)  # shared LSH banding (similarity.py)
     a, b = banded.alias("a"), banded.alias("b")
     cos = cosine(
         F.col("a.embedding"), F.col("b.embedding"), F.col("a.norm"), F.col("b.norm")
@@ -128,35 +114,9 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_triplets_sql() -> str:
-    per = N_PLANES // NEARDUP_BANDS
-    bit_exprs = []
-    for j in range(N_PLANES):
-        seed = "'" + str(j) + ":' || i"
-        sign = f"(CASE WHEN ({_hash60_sql(seed)} & 1) = 1 THEN 1.0 ELSE -1.0 END)"
-        proj = (
-            "list_reduce(list_prepend(0.0::DOUBLE, "
-            "list_transform(range(1, len(embedding) + 1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * {sign})), (x, y) -> x + y)"
-        )
-        bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
-    band_cols = ", ".join(
-        " || ".join(bit_exprs[k * per : (k + 1) * per]) + f" AS bucket{k}"
-        for k in range(NEARDUP_BANDS)
-    )
-    band_structs = ", ".join(
-        f"{{'band_id': {k}, 'bucket': bucket{k}}}" for k in range(NEARDUP_BANDS)
-    )
     neg_hash = _hash60_sql("'neg:' || CAST(anchor_id AS VARCHAR)")
     return f"""
-WITH normed AS (
-  SELECT vec_id, embedding, sqrt({_dot_sql("embedding", "embedding")}) AS norm,
-    {band_cols}
-  FROM embeddings
-),
-banded AS (
-  SELECT vec_id, embedding, norm, u.band_id AS band_id, u.bucket AS bucket
-  FROM (SELECT *, unnest([{band_structs}]) AS u FROM normed)
-),
+WITH {banded_cte_sql()},
 cand AS (
   SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS cand_id,
     round({_dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cos

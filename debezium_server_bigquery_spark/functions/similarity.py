@@ -551,6 +551,64 @@ ORDER BY i.query_id
 """
 
 
+def banded_embeddings(emb: DataFrame, dim: int, n_bands: int = None) -> DataFrame:
+    """One row per (vector, band): (vec_id, embedding, norm, band_id,
+    bucket) — the OR-of-ANDs hyperplane banding every bucketed-candidate
+    consumer (near-dup pairs, contrastive mining) shares.  A change to
+    the banding scheme lives HERE, in one place."""
+    n_bands = NEARDUP_BANDS if n_bands is None else n_bands
+    bits = _plane_bits(dim)
+    per = N_PLANES // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_id"),
+                F.concat(*bits[k * per : (k + 1) * per]).alias("bucket"),
+            )
+            for k in range(n_bands)
+        ]
+    )
+    return emb.select(
+        "vec_id", "embedding", "norm", F.explode(bands).alias("bd")
+    ).select("vec_id", "embedding", "norm", "bd.band_id", "bd.bucket")
+
+
+def banded_cte_sql(n_bands: int = None) -> str:
+    """DuckDB twin of :func:`banded_embeddings`: the `normed` + `banded`
+    CTE text (callers prepend WITH and append their own CTEs)."""
+    n_bands = NEARDUP_BANDS if n_bands is None else n_bands
+    per = N_PLANES // n_bands
+    bit_exprs = []
+    for j in range(N_PLANES):
+        seed = "'" + str(j) + ":' || i"
+        sign = (
+            f"(CASE WHEN ({_hash60_sql(seed)} & 1) = 1 "
+            "THEN 1.0 ELSE -1.0 END)"
+        )
+        proj = (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            "list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * {sign})), (x, y) -> x + y)"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
+    band_cols = ", ".join(
+        " || ".join(bit_exprs[k * per : (k + 1) * per]) + f" AS bucket{k}"
+        for k in range(n_bands)
+    )
+    band_structs = ", ".join(
+        f"{{'band_id': {k}, 'bucket': bucket{k}}}" for k in range(n_bands)
+    )
+    return f"""normed AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql("embedding", "embedding")}) AS norm,
+    {band_cols}
+  FROM embeddings
+),
+banded AS (
+  SELECT vec_id, embedding, norm, u.band_id AS band_id, u.bucket AS bucket
+  FROM (SELECT *, unnest([{band_structs}]) AS u FROM normed)
+)"""
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate embedding pairs via OR-of-ANDs hyperplane LSH.
 
@@ -564,21 +622,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     raw = load_table(spark, sf_dir, "embeddings", spread=True)
     dim = len(raw.select("embedding").head()["embedding"])
-    emb = with_norm(raw)
-    bits = _plane_bits(dim)
-    per = N_PLANES // NEARDUP_BANDS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("band_id"),
-                F.concat(*bits[k * per : (k + 1) * per]).alias("bucket"),
-            )
-            for k in range(NEARDUP_BANDS)
-        ]
-    )
-    banded = emb.select(
-        "vec_id", "embedding", "norm", F.explode(bands).alias("bd")
-    ).select("vec_id", "embedding", "norm", "bd.band_id", "bd.bucket")
+    banded = banded_embeddings(with_norm(raw), dim)
     a, b = banded.alias("a"), banded.alias("b")
     sim = cosine(
         F.col("a.embedding"), F.col("b.embedding"), F.col("a.norm"), F.col("b.norm")
@@ -603,37 +647,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_neardup_sql() -> str:
-    per = N_PLANES // NEARDUP_BANDS
-    bit_exprs = []
-    for j in range(N_PLANES):
-        seed = "'" + str(j) + ":' || i"
-        sign = (
-            f"(CASE WHEN ({_hash60_sql(seed)} & 1) = 1 "
-            "THEN 1.0 ELSE -1.0 END)"
-        )
-        proj = (
-            "list_reduce(list_prepend(0.0::DOUBLE, "
-            "list_transform(range(1, len(embedding) + 1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * {sign})), (x, y) -> x + y)"
-        )
-        bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
-    band_cols = ", ".join(
-        " || ".join(bit_exprs[k * per : (k + 1) * per]) + f" AS bucket{k}"
-        for k in range(NEARDUP_BANDS)
-    )
-    band_structs = ", ".join(
-        f"{{'band_id': {k}, 'bucket': bucket{k}}}" for k in range(NEARDUP_BANDS)
-    )
     return f"""
-WITH normed AS (
-  SELECT vec_id, embedding, sqrt({_dot_sql("embedding", "embedding")}) AS norm,
-    {band_cols}
-  FROM embeddings
-),
-banded AS (
-  SELECT vec_id, embedding, norm, u.band_id AS band_id, u.bucket AS bucket
-  FROM (SELECT *, unnest([{band_structs}]) AS u FROM normed)
-)
+WITH {banded_cte_sql()}
 SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
   round({_dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cosine_sim
 FROM banded a JOIN banded b

@@ -23,23 +23,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from debezium_server_bigquery_spark.coerce import OP_PRIORITY_SQL, op_priority
 from debezium_server_bigquery_spark.operators.routing import filter_heartbeats
 from debezium_server_bigquery_spark.sources.cdc import (
     cdc_synth_oracle_sql,
     synthesize_cdc_events,
 )
-from debezium_server_bigquery_spark.sources.tables import load_table
+from debezium_server_bigquery_spark.sources.tables import load_table, scratch_dir
 
-# A2 ordering priority (coerce.py op_priority): create < read < update < delete.
-# Built lazily — Column construction needs an active SparkContext.
-def _op_pri_col() -> Column:
-    return (
-        F.when(F.col("__op") == "c", 1)
-        .when(F.col("__op") == "r", 2)
-        .when(F.col("__op") == "u", 3)
-        .when(F.col("__op") == "d", 4)
-        .otherwise(0)
-    )
 
 
 def scd2_from_changes(
@@ -66,7 +57,7 @@ def scd2_from_changes(
     to the MERGE consumer's A2 comparator, so the SCD2 table's final open
     version agrees row-for-row with the destructive upsert's final state.
     """
-    order_cols: list[Column] = [F.col(order_col), _op_pri_col()]
+    order_cols: list[Column] = [F.col(order_col), op_priority(F.col(op_col))]
     order_cols += [F.col(c) for c in tiebreak]
     w_all = Window.partitionBy(*keys).orderBy(*order_cols)
     versioned = changes.withColumn("valid_to", F.lead(order_col).over(w_all))
@@ -119,9 +110,7 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version_num")
 
 
-_OP_PRI_SQL = (
-    "CASE __op WHEN 'c' THEN 1 WHEN 'r' THEN 2 WHEN 'u' THEN 3 WHEN 'd' THEN 4 ELSE 0 END"
-)
+_OP_PRI_SQL = OP_PRIORITY_SQL  # A2 priority map — single source in coerce.py
 
 SCD2_SQL = f"""
 WITH cdc AS ({cdc_synth_oracle_sql('events')}),
@@ -371,14 +360,13 @@ def scd2_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     a key-bucketed dimension table on disk; the read-back history must be
     row-identical to the one-shot batch SCD2 (same oracle as
     scd2_user_history), proving the copy-on-write merge end-to-end."""
-    import tempfile
 
     from debezium_server_bigquery_spark.operators.table import ParquetTable
 
     cdc = _cdc_with_probes(spark, sf_dir)
     table = ParquetTable(
         spark,
-        tempfile.mkdtemp(prefix="dsbq_scd2_"),
+        scratch_dir("dsbq_scd2_"),
         key_cols=("user_id",),
         mode="upsert",
         n_buckets=8,

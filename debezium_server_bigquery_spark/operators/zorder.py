@@ -180,14 +180,13 @@ def zorder_events_roundtrip(spark, sf_dir: str) -> DataFrame:
     aggregate — proves the layout path loses/duplicates nothing.  The
     aggregate is layout-independent, so the DuckDB twin reads the source
     directly."""
-    import tempfile
 
-    from debezium_server_bigquery_spark.sources.tables import load_table
+    from debezium_server_bigquery_spark.sources.tables import load_table, scratch_dir
 
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type"
     )
-    target = tempfile.mkdtemp(prefix="dsbq_zorder_") + "/events_z"
+    target = scratch_dir("dsbq_zorder_") + "/events_z"
     zorder_layout(events, ["user_id", "event_id"], num_partitions=8).write.mode(
         "overwrite"
     ).parquet(target)

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from debezium_server_bigquery_spark.coerce import OP_PRIORITY_SQL
+
 from debezium_server_bigquery_spark.operators.dedup import dedup_last_writer
 from debezium_server_bigquery_spark.operators.routing import (
     filter_heartbeats,
@@ -28,7 +30,7 @@ _CDC_CTE = f"WITH cdc AS ({cdc_synth_oracle_sql('events')})"
 
 # Oracle twin of the A2 ordering: dedup column desc, then op priority desc,
 # then event_id desc as a final deterministic tiebreak.
-_OP_PRI = "CASE __op WHEN 'c' THEN 1 WHEN 'r' THEN 2 WHEN 'u' THEN 3 WHEN 'd' THEN 4 ELSE 0 END"
+_OP_PRI = OP_PRIORITY_SQL  # A2 priority map — single source in coerce.py
 
 
 def _cdc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,26 +14,27 @@ tests assert on live BigQuery tables (SURVEY §5).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.coerce import OP_PRIORITY_SQL
 
 from debezium_server_bigquery_spark.sources.cdc import (
     cdc_synth_oracle_sql,
     synthesize_cdc_events,
 )
-from debezium_server_bigquery_spark.sources.tables import load_table
+from debezium_server_bigquery_spark.sources.tables import load_table, scratch_dir
 from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline
 
 _CDC_CTE = f"WITH cdc AS ({cdc_synth_oracle_sql('events')})"
-_OP_PRI = "CASE __op WHEN 'c' THEN 1 WHEN 'r' THEN 2 WHEN 'u' THEN 3 WHEN 'd' THEN 4 ELSE 0 END"
+_OP_PRI = OP_PRIORITY_SQL  # A2 priority map — single source in coerce.py
 _TABLE_NAME_SQL = "regexp_replace(destination, '\\.', '_', 'g')"
 _NOT_HEARTBEAT = "destination NOT LIKE '\\_\\_debezium-heartbeat%' ESCAPE '\\'"
 
 
 def _run_pipeline(spark: SparkSession, sf_dir: str, **kw) -> CdcPipeline:
-    target = tempfile.mkdtemp(prefix="dsbq_e2e_")
+    target = scratch_dir("dsbq_e2e_")
     p = CdcPipeline(spark, target, **kw)
     p.run_batch(synthesize_cdc_events(load_table(spark, sf_dir, "events")))
     return p
@@ -160,13 +161,13 @@ def pipeline_rejects_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id") % 97 == 0,
         F.concat(F.lit("CORRUPT "), F.col("event_id").cast("string")),
     ).otherwise(envelope)
-    src_dir = tempfile.mkdtemp(prefix="dsbq_rejects_src_")
+    src_dir = scratch_dir("dsbq_rejects_src_")
     synth.select(line.alias("value")).write.mode("overwrite").text(src_dir)
 
     batch = read_cdc_ndjson(spark, src_dir, schema_hint=schema_hint, on_error="route")
     p = CdcPipeline(
         spark,
-        tempfile.mkdtemp(prefix="dsbq_rejects_tgt_"),
+        scratch_dir("dsbq_rejects_tgt_"),
         mode="append",
         rejects_destination="_rejects",
     )
@@ -275,7 +276,7 @@ def ivm_incremental_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
     b2 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
 
-    root = tempfile.mkdtemp(prefix="dsbq_ivm_")
+    root = scratch_dir("dsbq_ivm_")
     dest = ParquetTable(
         spark,
         os.path.join(root, "dest"),
@@ -338,7 +339,7 @@ def pipeline_schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
         "value_eur", F.round(F.col("value") * 0.9, 4)
     )
     t = ParquetTable(
-        spark, tempfile.mkdtemp(prefix="dsbq_evo_") + "/t", mode="append"
+        spark, scratch_dir("dsbq_evo_") + "/t", mode="append"
     )
     t.append(b1, epoch_id="e1")
     t.append(b2, epoch_id="e2")
@@ -373,9 +374,8 @@ def pipeline_lazy_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     time; read_current must equal the eager path's final state.  Batches
     are event-id-ordered so the stage-sequence tie break agrees with the
     oracle's global event_id DESC ordering on exact (ts, op) ties."""
-    import tempfile
 
-    target = tempfile.mkdtemp(prefix="dsbq_e2e_")
+    target = scratch_dir("dsbq_e2e_")
     p = CdcPipeline(
         spark,
         target,
@@ -408,7 +408,7 @@ def pipeline_metrics_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed (table, epoch) marker must report the exact row count the
     write observed (the Debezium MBean processed-counts analog)."""
     p = CdcPipeline(
-        spark, tempfile.mkdtemp(prefix="dsbq_metrics_"), mode="append"
+        spark, scratch_dir("dsbq_metrics_"), mode="append"
     )
     cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
     for epoch, parity in ((0, 0), (1, 1)):

@@ -11,6 +11,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def scratch_dir(prefix: str) -> str:
+    """Temp directory for e2e gate queries' physical writes, removed at
+    interpreter exit — repeated gate/bench invocations must not accrete
+    abandoned table copies under /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 TABLE_NAMES = (
     "region",
     "nation",
