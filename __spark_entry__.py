@@ -61,6 +61,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.recipe",),
         ("debezium_server_bigquery_spark.functions.spans",),
         ("debezium_server_bigquery_spark.functions.curation",),
+        ("debezium_server_bigquery_spark.functions.datacard",),
         ("debezium_server_bigquery_spark.functions.quantize",),
         ("debezium_server_bigquery_spark.functions.dedup_clusters",),
         ("debezium_server_bigquery_spark.functions.mixing",),
