@@ -215,11 +215,94 @@ ORDER BY event_type, day
 """
 
 
+CONV_WINDOW_NS = 24 * 3600 * 1_000_000_000  # purchase within 24h of first view
+
+
+def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound conversion: did the user purchase within 24h of their
+    FIRST view?  Complements the unbounded staged funnel (plans/funnel.py)
+    with the windowed form growth analytics actually reports.
+
+    Same one-exchange shape as the funnel: both anchors are unordered
+    full-partition window aggregates over the user key (first-view time,
+    then the in-window purchase flag over it), stacked on one shuffle;
+    the per-user reduction is a distinct on three columns.  The cohort
+    day derives from integer ns-epoch division — tz-free, so the result
+    is identical under any session time zone (the --tz gate)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+    w = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).over(w)
+    flagged = ev.withColumn("fv", fv).withColumn(
+        "conv",
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_ns") > F.col("fv"))
+                & (F.col("ts_ns") <= F.col("fv") + CONV_WINDOW_NS),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    per_user = (
+        flagged.filter(F.col("fv").isNotNull())
+        .select("user_id", "fv", "conv")
+        .distinct()
+    )
+    out = per_user.groupBy(
+        F.expr(
+            "date_add(DATE'1970-01-01', CAST(fv div 86400000000000 AS INT))"
+        ).alias("cohort_day")
+    ).agg(F.count("*").alias("n_first_views"), F.sum("conv").alias("n_converted"))
+    return out.select(
+        "cohort_day",
+        "n_first_views",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_first_views"), 6).alias(
+            "conversion_rate"
+        ),
+    ).orderBy("cohort_day")
+
+
+CONV_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+    epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS ts_ns
+  FROM events
+),
+fl AS (
+  SELECT user_id, event_type, ts_ns,
+    MIN(CASE WHEN event_type = 'view' THEN ts_ns END)
+      OVER (PARTITION BY user_id) AS fv
+  FROM ev
+),
+fl2 AS (
+  SELECT *, MAX(CASE WHEN event_type = 'purchase'
+                      AND ts_ns > fv AND ts_ns <= fv + {CONV_WINDOW_NS}
+                     THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id) AS conv
+  FROM fl
+),
+per_user AS (
+  SELECT DISTINCT user_id, fv, conv FROM fl2 WHERE fv IS NOT NULL
+)
+SELECT DATE '1970-01-01' + CAST(fv // 86400000000000 AS INT) AS cohort_day,
+  COUNT(*) AS n_first_views,
+  CAST(SUM(conv) AS BIGINT) AS n_converted,
+  round(CAST(SUM(conv) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate
+FROM per_user
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "events_volume_anomaly": events_volume_anomaly,
+    "funnel_conversion_window": funnel_conversion_window,
 }
 ORACLES = {
     "retention_cohorts": RETENTION_SQL,
     "events_volume_anomaly": ANOMALY_SQL,
+    "funnel_conversion_window": CONV_FUNNEL_SQL,
 }
