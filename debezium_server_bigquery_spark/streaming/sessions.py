@@ -366,14 +366,71 @@ def sliding_event_counts_stream(
     )
 
 
+def session_stats_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics rollup of the sessionizer: per session-start day,
+    session count, bounce rate (single-event sessions), mean duration and
+    mean events — composed ON the sessionize plan, so the gap logic lives
+    in exactly one place.  Means are computed as exact integer sums over
+    counts (never F.avg over longs, whose double partial-sums are
+    order-dependent), so every float is deterministic cross-engine."""
+    sess = sessionize(spark, sf_dir)
+    ts_type = sess.schema["session_start"].dataType
+    dur_us = epoch_micros(F.col("session_end"), ts_type) - epoch_micros(
+        F.col("session_start"), ts_type
+    )
+    per_day = (
+        sess.select(
+            F.col("session_start").cast("date").alias("day"),
+            dur_us.alias("dur_us"),
+            "n_events",
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounce"),
+            F.sum("dur_us").alias("sum_dur_us"),
+            F.sum("n_events").alias("sum_events"),
+        )
+    )
+    return per_day.select(
+        "day",
+        "n_sessions",
+        "n_bounce",
+        F.round(F.col("n_bounce") / F.col("n_sessions"), 6).alias("bounce_rate"),
+        F.round(
+            F.col("sum_dur_us").cast("double") / F.col("n_sessions"), 6
+        ).alias("avg_duration_us"),
+        F.round(
+            F.col("sum_events").cast("double") / F.col("n_sessions"), 6
+        ).alias("avg_events"),
+    ).orderBy("day")
+
+
+SESSION_STATS_SQL = f"""
+WITH sess AS ({SESSIONIZE_SQL})
+SELECT CAST(session_start AS DATE) AS day,
+  COUNT(*) AS n_sessions,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+  round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+  round(CAST(SUM(epoch_us(session_end) - epoch_us(session_start)) AS DOUBLE)
+        / COUNT(*), 6) AS avg_duration_us,
+  round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events
+FROM sess
+GROUP BY 1 ORDER BY day
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize,
     "windowed_event_counts": windowed_event_counts,
     "sliding_event_counts": sliding_event_counts,
+    "session_stats_daily": session_stats_daily,
 }
 
 ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
     "windowed_event_counts": WINDOWED_COUNTS_SQL,
     "sliding_event_counts": SLIDING_COUNTS_SQL,
+    "session_stats_daily": SESSION_STATS_SQL,
 }
