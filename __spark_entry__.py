@@ -70,6 +70,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.operators.zorder",),
         ("debezium_server_bigquery_spark.plans.funnel",),
         ("debezium_server_bigquery_spark.plans.behavior",),
+        ("debezium_server_bigquery_spark.plans.segmentation",),
         ("debezium_server_bigquery_spark.plans.validation",),
         ("debezium_server_bigquery_spark.plans.constraints",),
         ("debezium_server_bigquery_spark.plans.analytics_windows",),

@@ -1,0 +1,188 @@
+"""Customer segmentation and user-journey analytics over replicated tables.
+
+- **rfm_customer_segments** — classic RFM: per-customer Recency (days
+  since last order), Frequency (order count), Monetary (total spend),
+  each quartiled, concatenated into the segment label ("444" = best).
+  A naive ``NTILE() OVER (ORDER BY ...)`` is an unpartitioned window —
+  the textbook single-task bottleneck — so each dimension is ranked with
+  ``operators/rank.global_row_number`` (range partition + local rank +
+  O(partitions) offsets) and the tile derives from the exact rank:
+  rank r of n gets bucket ``((r-1)*4) div n + 1`` — even quantile
+  buckets from exact rank arithmetic (sizes differ from SQL NTILE's
+  front-loaded remainder by at most one row; both engines compute the
+  identical formula), rank by value then customer key for determinism.
+- **event_transition_matrix** — next-event transition counts/probability
+  per event_type pair from each user's time-ordered stream: one lag
+  window on the user key, one pair aggregate.  The classic user-journey
+  Markov summary; O(types²) output.
+
+Every float is a rounded ratio of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+N_TILES = 4
+
+
+def _tile(rank_name: str):
+    # quantile bucket of rank r of n: ((r - 1) * 4) div n + 1 (exact ints;
+    # remainder rows land in later buckets, unlike NTILE's front-loading)
+    return F.expr(f"(({rank_name} - 1) * {N_TILES}) div n + 1")
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("ref_date"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    from debezium_server_bigquery_spark.operators.rank import global_row_number
+
+    n = per_cust.agg(F.count("*").alias("n"))
+    # rank each dimension distributed: LOWER recency is better -> rank desc
+    # on days so tile 4 = most recent; frequency/monetary rank asc so
+    # tile 4 = highest
+    ranked = global_row_number(
+        per_cust, [F.desc("recency_days"), F.asc("o_custkey")], out="rr"
+    )
+    ranked = global_row_number(
+        ranked, [F.asc("frequency"), F.asc("o_custkey")], out="rf"
+    )
+    ranked = global_row_number(
+        ranked, [F.asc("monetary"), F.asc("o_custkey")], out="rm"
+    ).crossJoin(F.broadcast(n))
+    out = ranked.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _tile("rr").alias("r_tile"),
+        _tile("rf").alias("f_tile"),
+        _tile("rm").alias("m_tile"),
+    )
+    return out.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_tile",
+        "f_tile",
+        "m_tile",
+        F.concat(
+            F.col("r_tile").cast("string"),
+            F.col("f_tile").cast("string"),
+            F.col("m_tile").cast("string"),
+        ).alias("segment"),
+    ).orderBy("o_custkey")
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    datediff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+    COUNT(*) AS frequency,
+    round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (ORDER BY recency_days DESC, o_custkey ASC) AS BIGINT) AS rr,
+    CAST(ROW_NUMBER() OVER (ORDER BY frequency ASC, o_custkey ASC) AS BIGINT) AS rf,
+    CAST(ROW_NUMBER() OVER (ORDER BY monetary ASC, o_custkey ASC) AS BIGINT) AS rm,
+    (SELECT COUNT(*) FROM per_cust) AS n
+  FROM per_cust
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+  ((rr - 1) * {N_TILES}) // n + 1 AS r_tile,
+  ((rf - 1) * {N_TILES}) // n + 1 AS f_tile,
+  ((rm - 1) * {N_TILES}) // n + 1 AS m_tile,
+  CAST(((rr - 1) * {N_TILES}) // n + 1 AS VARCHAR)
+    || CAST(((rf - 1) * {N_TILES}) // n + 1 AS VARCHAR)
+    || CAST(((rm - 1) * {N_TILES}) // n + 1 AS VARCHAR) AS segment
+FROM ranked
+ORDER BY o_custkey
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event type | current) from per-user time-ordered streams."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("n_from"), 6).alias("p_next"),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+TRANSITION_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id
+      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) * 1000, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type, next_type, COUNT(*) AS n_transitions
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+totals AS (
+  SELECT event_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, c.next_type, c.n_transitions,
+  round(c.n_transitions / CAST(t.n_from AS DOUBLE), 6) AS p_next
+FROM counts c JOIN totals t ON c.event_type = t.event_type
+ORDER BY c.event_type, c.next_type
+"""
+
+
+QUERIES = {
+    "rfm_customer_segments": rfm_customer_segments,
+    "event_transition_matrix": event_transition_matrix,
+}
+ORACLES = {
+    "rfm_customer_segments": RFM_SQL,
+    "event_transition_matrix": TRANSITION_SQL,
+}

@@ -1,0 +1,40 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.operators.rank import global_row_number
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("v"),
+    )
+    got = {
+        r.id: r.rank
+        for r in global_row_number(df, [F.asc("v"), F.asc("id")]).collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: (r.v, r.id))
+    expected = {r.id: i + 1 for i, r in enumerate(rows)}
+    assert got == expected
+
+
+def test_global_rank_descending_and_custom_name(spark):
+    df = spark.range(1, 51).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    out = global_row_number(df, [F.desc("v"), F.asc("id")], out="r")
+    got = sorted((r.r, r.v, r.id) for r in out.collect())
+    assert [g[0] for g in got] == list(range(1, 51))  # dense 1..n
+    ordered = sorted(df.collect(), key=lambda r: (-r.v, r.id))
+    expected = {r.id: i + 1 for i, r in enumerate(ordered)}
+    assert all(expected[i] == r for r, _v, i in got)
+
+
+def test_global_rank_is_dense_and_unique(spark):
+    df = spark.range(0, 500).select(F.col("id"), F.lit(1).alias("v"))
+    # all-equal values: the unique tiebreak column still yields a dense
+    # permutation 1..n
+    ranks = [
+        r.rank
+        for r in global_row_number(df, [F.asc("v"), F.asc("id")]).collect()
+    ]
+    assert sorted(ranks) == list(range(1, 501))
