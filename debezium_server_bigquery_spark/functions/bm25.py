@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import words
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 K1 = 1.2
@@ -59,10 +60,7 @@ def bm25_topk(
     then id — deterministic under score ties.
     """
     toks = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("term"),
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("term")
     )
     agg = toks.groupBy(id_col).agg(
         F.count("*").alias("dl"),
@@ -73,7 +71,9 @@ def bm25_topk(
     )
     stats = agg.agg(
         F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        # exact long sum / count, never F.avg over longs (double partial
+        # sums are order-dependent past 2^53 total tokens)
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
             for i in range(len(query_terms))
@@ -156,7 +156,8 @@ agg AS (
   FROM toks GROUP BY doc_id
 ),
 stats AS (
-  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+  SELECT COUNT(*) AS n_docs,
+    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
     {df_cols}
   FROM agg
 )

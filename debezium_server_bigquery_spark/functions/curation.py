@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from debezium_server_bigquery_spark.functions.dedup_fuzzy import _hash60_sql, hash60
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import _hash60_sql, hash60, words
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 SAMPLE_PER_STRATUM = 50
@@ -88,11 +88,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     terms = docs.select(
-        F.explode(
-            F.array_distinct(
-                F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-            )
-        ).alias("term")
+        F.explode(F.array_distinct(words(F.lower(F.col("text"))))).alias("term")
     )
     return (
         terms.groupBy("term")
@@ -126,11 +122,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = vocab_top_terms(spark, sf_dir).select("term", F.lit(1).alias("in_vocab"))
     docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-        ).alias("term"),
+        "doc_id", "lang", F.explode(words(F.lower(F.col("text")))).alias("term")
     )
     joined = toks.join(F.broadcast(vocab), "term", "left")
     return (
@@ -241,10 +233,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-        ).alias("term"),
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -21,14 +21,20 @@ from debezium_server_bigquery_spark.sources.tables import load_table
 
 
 def dataset_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the md5 over full text is the CPU-heavy narrow stage the
+    # flag exists for on single-split test layouts
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     base = docs.select(
         "source", "lang", "n_chars", F.md5("text").alias("th")
     )
     per_source = base.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        # exact long sum / count — F.avg's double partial sums are
+        # order-dependent past 2^53 total chars
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias(
+            "avg_chars"
+        ),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("th").alias("n_unique_texts"),
     )
@@ -70,7 +76,7 @@ WITH base AS (
 per_source AS (
   SELECT source, COUNT(*) AS n_docs,
     CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-    round(AVG(n_chars), 6) AS avg_chars,
+    round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
     COUNT(DISTINCT lang) AS n_langs,
     COUNT(DISTINCT th) AS n_unique_texts
   FROM base GROUP BY source

@@ -109,9 +109,12 @@ def volume_anomaly_frame(ev: DataFrame) -> DataFrame:
     # explicit zero days the window would skip the outage entirely and
     # treat pre-gap days as adjacent.  The grid is types × days — O(metadata)
     # rows at any corpus size; bounds are a broadcast one-row aggregate.
-    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    # bounds and the type set derive from the SPARSE aggregate (every
+    # (type, day) in the stream appears there), not the raw events — the
+    # O(types × days) table replaces two more full scans of the stream
+    bounds = sparse.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     grid = (
-        ev.select("event_type")
+        sparse.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -229,8 +232,10 @@ def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-user reduction is a distinct on three columns.  The cohort
     day derives from integer ns-epoch division — tz-free, so the result
     is identical under any session time zone (the --tz gate)."""
+    # micros truncation mirrors the oracle's epoch_us * 1000 derivation
+    # (sub-micro digits are unobservable cross-engine — cdc.py convention)
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts_ns"
+        "user_id", "event_type", F.expr("(ts_ns div 1000) * 1000").alias("ts_ns")
     )
     w = Window.partitionBy("user_id")
     fv = F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).over(w)

@@ -129,8 +129,15 @@ ORDER BY o_custkey
 
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P(next event type | current) from per-user time-ordered streams."""
+    # truncate to micros like the CDC synthesizer: the oracle's
+    # epoch_us * 1000 cannot see sub-micro digits, so under a
+    # TIMESTAMP(NANOS) source layout exact-ns ordering could pair events
+    # differently than the twin
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts_ns", "event_id"
+        "user_id",
+        "event_type",
+        F.expr("(ts_ns div 1000) * 1000").alias("ts_ns"),
+        "event_id",
     )
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(

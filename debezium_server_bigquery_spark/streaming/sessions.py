@@ -119,7 +119,7 @@ SESSION_STATE_SCHEMA = StructType(
         StructField("session_start", LongType()),  # epoch us
         StructField("last_ts", LongType()),
         StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
+        StructField("sum_cents", LongType()),  # exact: matches DECIMAL(18,2)
         StructField("session_seq", LongType()),
     ]
 )
@@ -139,6 +139,17 @@ SESSION_OUT_SCHEMA = StructType(
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
 
+def _cents(v: float) -> int:
+    """Quantize one value to integer cents with the same rule as Spark's
+    double -> DECIMAL(18,2) cast (HALF_UP over the shortest decimal repr),
+    so stream totals are bit-equal to the batch decimal sums."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        (Decimal(repr(v)) * 100).to_integral_value(rounding=ROUND_HALF_UP)
+    )
+
+
 def _session_fn(
     key: Tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],
@@ -146,29 +157,38 @@ def _session_fn(
 ) -> Iterator[pd.DataFrame]:
     """Per-user session accumulator.
 
-    Events inside a micro-batch are sorted by event time; sessions that end
-    >gap before the group's max event time are emitted as ``closed='true'``
-    and removed from state; the trailing open session stays in state (and is
-    flushed by the timeout path when the key goes quiet).
+    Events inside a micro-batch are sorted by event time; every session a
+    later in-batch event closes (gap exceeded) is emitted ``closed='true'``
+    inside the per-event loop; the trailing open session stays in state and
+    is flushed by the timeout path when the key goes quiet.  After a
+    timeout flush the state keeps the per-key session COUNTER (open fields
+    cleared, no further timeout registered) so a returning user continues
+    the strictly monotonic session_seq the batch twin produces — a
+    counter-only state row per ever-seen key, the price of stable keys.
+    Values accumulate as integer cents quantized per event with the same
+    HALF_UP-on-decimal-repr rule as the batch's DECIMAL(18,2) cast, so
+    totals match the batch twin exactly, not just to float tolerance.
     """
     (user_id,) = key
     rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
 
     if state.hasTimedOut:
         if state.exists:
-            s_start, s_last, n, sv, seq = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_seq": [seq],
-                    "session_start": [pd.Timestamp(s_start, unit="us")],
-                    "session_end": [pd.Timestamp(s_last, unit="us")],
-                    "n_events": [n],
-                    "total_value": [round(sv, 2)],
-                    "closed": ["timeout"],
-                }
-            )
+            s_start, s_last, n, cents, seq = state.get
+            if s_last >= 0 and n > 0:
+                # keep the counter; clear the open-session fields
+                state.update((0, -1, 0, 0, int(seq)))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_seq": [seq],
+                        "session_start": [pd.Timestamp(s_start, unit="us")],
+                        "session_end": [pd.Timestamp(s_last, unit="us")],
+                        "n_events": [n],
+                        "total_value": [cents / 100.0],
+                        "closed": ["timeout"],
+                    }
+                )
         return
 
     rows = rows.sort_values(["ts", "event_id"])
@@ -176,35 +196,33 @@ def _session_fn(
     ts_us = (
         pd.to_datetime(rows["ts"]).astype("datetime64[us]").astype("int64")
     ).tolist()
-    vals = rows["value"].astype(float).tolist()
+    vals = [_cents(v) for v in rows["value"].astype(float).tolist()]
 
     if state.exists:
-        s_start, s_last, n, sv, seq = state.get
+        s_start, s_last, n, cents, seq = state.get
+        if s_last < 0:  # counter-only state from a previous timeout flush
+            s_start, s_last, n, cents = None, None, 0, 0
     else:
-        s_start, s_last, n, sv, seq = None, None, 0, 0.0, 0
+        s_start, s_last, n, cents, seq = None, None, 0, 0, 0
 
     out = []
     for t, v in zip(ts_us, vals):
         if s_last is None:
             seq += 1
-            s_start, s_last, n, sv = t, t, 1, v
+            s_start, s_last, n, cents = t, t, 1, v
         elif t - s_last > _GAP_US:
-            out.append((seq, s_start, s_last, n, sv))
+            out.append((seq, s_start, s_last, n, cents))
             seq += 1
-            s_start, s_last, n, sv = t, t, 1, v
+            s_start, s_last, n, cents = t, t, 1, v
         else:
-            s_last, n, sv = t, n + 1, sv + v
-
-    batch_max = max(ts_us) if ts_us else None
-    if s_last is not None and batch_max is not None and batch_max - s_last > _GAP_US:
-        out.append((seq, s_start, s_last, n, sv))
-        s_last = None
+            s_last, n, cents = t, n + 1, cents + v
 
     if s_last is not None:
-        state.update((int(s_start), int(s_last), int(n), float(sv), int(seq)))
+        state.update((int(s_start), int(s_last), int(n), int(cents), int(seq)))
         state.setTimeoutDuration(60_000)
     elif state.exists:
-        state.remove()
+        # no open session and nothing new: keep the counter-only row
+        state.update((0, -1, 0, 0, int(seq)))
 
     if out:
         yield pd.DataFrame(
@@ -214,7 +232,7 @@ def _session_fn(
                 "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
                 "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
                 "n_events": [o[3] for o in out],
-                "total_value": [round(o[4], 2) for o in out],
+                "total_value": [o[4] / 100.0 for o in out],
                 "closed": ["true"] * len(out),
             }
         )

@@ -147,3 +147,82 @@ def test_sliding_counts_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) > 0
     for k, v in got.items():
         assert expected.get(k) == v
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _pdf(events):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": [1] * len(events),
+            "event_id": list(range(len(events))),
+            "ts": [pd.Timestamp(t, unit="us") for t, _v in events],
+            "value": [v for _t, v in events],
+        }
+    )
+
+
+def test_session_seq_survives_timeout_flush():
+    """After a timeout flushes the open session, a returning user's next
+    session must continue the per-key counter, not restart at 1."""
+    from debezium_server_bigquery_spark.streaming.sessions import _session_fn
+
+    state = _FakeState()
+    hour_us = 3_600_000_000
+    # batch 1: two sessions' worth of events (gap closes the first in-loop)
+    out1 = list(_session_fn((1,), [_pdf([(0, 1.0), (3 * hour_us, 2.0)])], state))
+    assert [int(s) for s in out1[0]["session_seq"]] == [1]
+    # timeout fires: open session 2 flushes, counter stays
+    state.hasTimedOut = True
+    out2 = list(_session_fn((1,), [], state))
+    assert [int(s) for s in out2[0]["session_seq"]] == [2]
+    assert state.exists  # counter-only state row retained
+    # user returns: new session numbered 3, never 1
+    state.hasTimedOut = False
+    out3 = list(_session_fn((1,), [_pdf([(9 * hour_us, 5.0)])], state))
+    assert out3 == []  # open session held in state, nothing closed yet
+    assert state.get[4] == 3
+    # a second timeout with nothing open emits nothing and keeps the counter
+    state.hasTimedOut = True
+    out4 = list(_session_fn((1,), [], state))
+    assert [int(s) for s in out4[0]["session_seq"]] == [3]
+    state.hasTimedOut = True
+    assert list(_session_fn((1,), [], state)) == []
+    assert state.get[4] == 3
+
+
+def test_session_cents_match_decimal_semantics():
+    from debezium_server_bigquery_spark.streaming.sessions import _cents
+
+    # HALF_UP over the shortest decimal repr — the exact rule of Spark's
+    # double -> DECIMAL cast (BigDecimal.valueOf uses Double.toString's
+    # shortest repr, then setScale HALF_UP).  Note this differs from both
+    # python round() (half-even: 0.125 -> 12) and truncation of the raw
+    # binary value (1.005 stored as 1.00499... would round down).
+    assert _cents(0.125) == 13
+    assert _cents(1.005) == 101
+    assert _cents(2.675) == 268
+    assert _cents(3.335) == 334
