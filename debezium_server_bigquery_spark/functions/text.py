@@ -495,7 +495,53 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+KWIC_TERM = "vector"
+KWIC_RADIUS = 3  # words of context on each side
+
+
+def text_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction: for every document containing the
+    term, the ±RADIUS-word window around its FIRST occurrence — the
+    concordance view a curator samples when deciding whether a keyword
+    slice belongs in the corpus.  Pure array algebra on the token array
+    (position + slice + join), one scan, no shuffle before the final
+    order; selective term filters prune before the slice work."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("w")
+    )
+    pos = F.array_position(F.col("w"), F.lit(KWIC_TERM))  # 1-based, 0=absent
+    hit = toks.withColumn("pos", pos).filter(F.col("pos") > 0)
+    start = F.greatest(F.col("pos") - KWIC_RADIUS, F.lit(1))
+    length = F.col("pos") + KWIC_RADIUS - start + 1
+    return hit.select(
+        "doc_id",
+        "lang",
+        F.col("pos").alias("term_pos"),
+        F.array_join(F.slice(F.col("w"), start, length), " ").alias("context"),
+    ).orderBy("doc_id")
+
+
+TEXT_KWIC_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+hit AS (
+  SELECT doc_id, lang, w, list_position(w, '{KWIC_TERM}') AS pos
+  FROM toks WHERE list_position(w, '{KWIC_TERM}') > 0
+)
+SELECT doc_id, lang, CAST(pos AS BIGINT) AS term_pos,
+  array_to_string(
+    list_slice(w, greatest(pos - {KWIC_RADIUS}, 1), pos + {KWIC_RADIUS}), ' '
+  ) AS context
+FROM hit ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_kwic_contexts": text_kwic_contexts,
     "text_bigram_perplexity": text_bigram_perplexity,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -507,6 +553,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_kwic_contexts": TEXT_KWIC_SQL,
     "text_bigram_perplexity": TEXT_PERPLEXITY_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,

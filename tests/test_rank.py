@@ -38,3 +38,30 @@ def test_global_rank_is_dense_and_unique(spark):
         for r in global_row_number(df, [F.asc("v"), F.asc("id")]).collect()
     ]
     assert sorted(ranks) == list(range(1, 501))
+
+
+def test_global_rank_property_random(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60))
+    def _check(values):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "id long, v long"
+        )
+        got = {
+            r.id: r.rank
+            for r in global_row_number(df, [F.asc("v"), F.asc("id")]).collect()
+        }
+        expected = {
+            idx: i + 1
+            for i, (v, idx) in enumerate(
+                sorted((v, i) for i, v in enumerate(values))
+            )
+        }
+        assert got == expected
+
+    _check()
