@@ -191,8 +191,9 @@ _TIER1 = [
     # validate_constraints, media_header_probe, contrastive_triplets,
     # sliding_event_counts, pivot_event_type_daily, vocab_oov_rate,
     # dataset_datacard, funnel_conversion_window, session_stats_daily,
-    # rfm_customer_segments, event_transition_matrix, bpe_train_merges
-    # (rows-only — no SQL twin by design, see functions/bpe.py).  All pass the local oracle replica at sf0.01
+    # rfm_customer_segments, event_transition_matrix, text_kwic_contexts,
+    # bpe_train_merges (rows-only — no SQL twin by design, see
+    # functions/bpe.py).  All pass the local oracle replica at sf0.01
     # (incl. --plain --tz) and should displace multiply-covered family
     # members next round; scd2_user_history and scd2_sink_e2e are already
     # in this round's graded prefix.
