@@ -273,3 +273,26 @@ def test_optimize_noop_below_threshold(spark, sf_dir, tmp_path):
     t.append(cdc.filter(F.col("event_id") < 100), epoch_id=0)
     summary = optimize(path, max_files=64, spark=spark)
     assert summary["compacted_partitions"] == 0
+
+
+def test_optimize_expires_old_partitions(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.cli import optimize
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    path = str(tmp_path / "t")
+    t = ParquetTable(spark, path, mode="append", partition_type="DAY")
+    cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    t.append(cdc, epoch_id=0)
+    months = sorted(
+        d.split("=", 1)[1] for d in t.partition_file_counts()
+    )
+    assert len(months) >= 2, "need multiple day partitions to expire"
+    keep_from = months[-1]
+    summary = optimize(path, max_files=64, expire_before=keep_from, spark=spark)
+    assert len(summary["expired_partitions"]) == len(months) - 1
+    left = sorted(d.split("=", 1)[1] for d in t.partition_file_counts())
+    assert left == [keep_from]
