@@ -71,6 +71,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.plans.funnel",),
         ("debezium_server_bigquery_spark.plans.behavior",),
         ("debezium_server_bigquery_spark.plans.segmentation",),
+        ("debezium_server_bigquery_spark.plans.diagnostics",),
         ("debezium_server_bigquery_spark.plans.validation",),
         ("debezium_server_bigquery_spark.plans.constraints",),
         ("debezium_server_bigquery_spark.plans.analytics_windows",),
@@ -192,6 +193,7 @@ _TIER1 = [
     # sliding_event_counts, pivot_event_type_daily, vocab_oov_rate,
     # dataset_datacard, funnel_conversion_window, session_stats_daily,
     # rfm_customer_segments, event_transition_matrix, text_kwic_contexts,
+    # skew_report_lineitem_suppkey, events_value_histogram,
     # bpe_train_merges (rows-only — no SQL twin by design, see
     # functions/bpe.py).  All pass the local oracle replica at sf0.01
     # (incl. --plain --tz) and should displace multiply-covered family
