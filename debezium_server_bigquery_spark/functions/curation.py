@@ -287,12 +287,76 @@ FROM ranked WHERE rank <= {TFIDF_TOP_N} ORDER BY doc_id, rank
 """
 
 
+# train/val/test split fractions over the md5-hash range — deterministic,
+# content-independent, reproducible across engines and runs.
+SPLIT_BOUNDS = (("train", 0.90), ("val", 0.95), ("test", 1.0))
+_SPLIT_MOD = 1_000_000
+
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment plus the per-(lang, split)
+    balance report: each doc's split is a pure function of its id hash
+    (90/5/5 over the 60-bit md5 range), so re-runs, engine versions, and
+    corpus growth never reshuffle existing assignments — the property a
+    training pipeline needs to keep eval sets uncontaminated.  One scan,
+    one combinable aggregate; the report is O(langs × splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.pmod(hash60(F.concat(F.lit("split:"), F.col("doc_id"))), F.lit(_SPLIT_MOD))
+    split = F.lit(SPLIT_BOUNDS[-1][0])
+    for name, hi in reversed(SPLIT_BOUNDS):
+        split = F.when(u < int(hi * _SPLIT_MOD), F.lit(name)).otherwise(split)
+    assigned = docs.select("lang", split.alias("split"), "n_chars")
+    totals = assigned.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    return (
+        assigned.groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("n_docs") / F.col("lang_docs").cast("double"), 6).alias(
+                "frac_of_lang"
+            ),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+_SPLIT_U = f"({_hash60_sql(chr(39) + 'split:' + chr(39) + ' || doc_id')} % {_SPLIT_MOD})"
+_SPLIT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_SPLIT_U} < {int(hi * _SPLIT_MOD)} THEN '{name}'"
+        for name, hi in SPLIT_BOUNDS
+    )
+    + f" ELSE '{SPLIT_BOUNDS[-1][0]}' END"
+)
+
+DATASET_SPLITS_SQL = f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+    {_SPLIT_CASE} AS split
+  FROM documents
+),
+totals AS (SELECT lang, COUNT(*) AS lang_docs FROM assigned GROUP BY lang)
+SELECT a.lang, a.split, COUNT(*) AS n_docs,
+  CAST(SUM(a.n_chars) AS BIGINT) AS n_chars,
+  round(COUNT(*) / CAST(ANY_VALUE(t.lang_docs) AS DOUBLE), 6) AS frac_of_lang
+FROM assigned a JOIN totals t ON a.lang = t.lang
+GROUP BY a.lang, a.split
+ORDER BY a.lang, a.split
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_bernoulli_by_lang": sample_bernoulli_by_lang,
     "vocab_top_terms": vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "vocab_oov_rate": vocab_oov_rate,
+    "dataset_splits": dataset_splits,
 }
 
 ORACLES = {
@@ -301,4 +365,5 @@ ORACLES = {
     "vocab_top_terms": VOCAB_TOP_TERMS_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
     "vocab_oov_rate": VOCAB_OOV_SQL,
+    "dataset_splits": DATASET_SPLITS_SQL,
 }
