@@ -194,7 +194,7 @@ _TIER1 = [
     # dataset_datacard, funnel_conversion_window, session_stats_daily,
     # rfm_customer_segments, event_transition_matrix, text_kwic_contexts,
     # skew_report_lineitem_suppkey, events_value_histogram,
-    # dataset_splits,
+    # dataset_splits, select_quality_budget,
     # bpe_train_merges (rows-only — no SQL twin by design, see
     # functions/bpe.py).  All pass the local oracle replica at sf0.01
     # (incl. --plain --tz) and should displace multiply-covered family

@@ -23,15 +23,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def global_row_number(
-    df: DataFrame, order_cols: list[Column], out: str = "rank"
-) -> DataFrame:
-    """Exact 1-based global row_number over ``order_cols`` without a
-    single-partition window."""
+def _ranged_with_offsets(
+    df: DataFrame, order_cols: list[Column], per_partition_agg: Column
+):
+    """Shared two-level machinery: range-partition on the order, compute a
+    per-partition aggregate, and turn it into cumulative offsets — the
+    O(num_partitions) driver metadata both rank and prefix-sum need."""
     spark = df.sparkSession
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     # localCheckpoint: the range partitioner SAMPLES to pick boundaries, so
-    # recomputing the lineage for the counts action and the final plan
+    # recomputing the lineage for the offsets action and the final plan
     # could place splits differently and mismatch the offsets — materialize
     # the ranged layout once and let both consumers read it.
     ranged = (
@@ -39,26 +40,57 @@ def global_row_number(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    # O(num_partitions) rows to the driver — metadata, not data
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    per_part = {
+        r["__pid"]: r["agg"]
+        for r in ranged.groupBy("__pid").agg(per_partition_agg.alias("agg")).collect()
     }
     offsets, acc = {}, 0
-    for pid in sorted(counts):
+    for pid in sorted(per_part):
         offsets[pid] = acc
-        acc += counts[pid]
-    offset_col = F.coalesce(
-        *[
-            F.when(F.col("__pid") == pid, F.lit(off))
-            for pid, off in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
-        ranged.withColumn(
-            out, (F.row_number().over(w).cast("long") + offset_col).cast("long")
+        acc += per_part[pid] or 0
+    offset_col = (
+        F.coalesce(
+            *[
+                F.when(F.col("__pid") == pid, F.lit(off))
+                for pid, off in sorted(offsets.items())
+            ],
+            F.lit(0),
         )
-        .drop("__pid")
+        if offsets
+        else F.lit(0)
     )
+    return ranged, offset_col
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[Column], out: str = "rank"
+) -> DataFrame:
+    """Exact 1-based global row_number over ``order_cols`` without a
+    single-partition window."""
+    ranged, offset_col = _ranged_with_offsets(df, order_cols, F.count(F.lit(1)))
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return ranged.withColumn(
+        out, (F.row_number().over(w).cast("long") + offset_col).cast("long")
+    ).drop("__pid")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out: str = "running",
+) -> DataFrame:
+    """Exact inclusive running SUM of ``value_col`` over the total order —
+    the distributed form of ``SUM() OVER (ORDER BY ...)``, same two-level
+    shape as :func:`global_row_number`: per-partition local cumsum plus
+    the cumulative sums of all earlier range partitions.  Integer-exact
+    for integral value columns under any partitioning."""
+    ranged, offset_col = _ranged_with_offsets(df, order_cols, F.sum(value_col))
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        out, (F.sum(value_col).over(w) + offset_col).cast("long")
+    ).drop("__pid")

@@ -185,11 +185,76 @@ ORDER BY c.event_type, c.next_type
 """
 
 
+TOKEN_BUDGET = 8000  # words — ~half the sf0.01 corpus, so selection bites
+
+
+def select_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: take documents in descending quality
+    order until the cumulative token count reaches the budget — the "best
+    N tokens" curation cut.  Quality and token counts come from the
+    existing scorer; the greedy cumulative cut is an exact distributed
+    prefix sum over the (quality desc, doc_id) total order
+    (operators/rank.global_prefix_sum), never a single-partition window.
+    Output is the per-language balance of the selected slice."""
+    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.operators.rank import global_prefix_sum
+
+    q = text_quality_score(spark, sf_dir).select(
+        "doc_id", "n_words", "quality_score"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = q.join(docs, "doc_id")
+    cum = global_prefix_sum(
+        scored,
+        [F.desc("quality_score"), F.asc("doc_id")],
+        "n_words",
+        out="cum_tokens",
+    )
+    sel = cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.round(F.min("quality_score"), 2).alias("min_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _budget_sql() -> str:
+    from debezium_server_bigquery_spark.functions.text import TEXT_QUALITY_SQL
+
+    return f"""
+WITH q AS ({TEXT_QUALITY_SQL}),
+j AS (
+  SELECT q.doc_id, q.n_words, q.quality_score, d.lang
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+c AS (
+  SELECT *, CAST(SUM(n_words) OVER (
+      ORDER BY quality_score DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM j
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+  round(MIN(quality_score), 2) AS min_quality
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+GROUP BY lang ORDER BY lang
+"""
+
+
+SELECT_BUDGET_SQL = _budget_sql()
+
+
 QUERIES = {
     "rfm_customer_segments": rfm_customer_segments,
     "event_transition_matrix": event_transition_matrix,
+    "select_quality_budget": select_quality_budget,
 }
 ORACLES = {
     "rfm_customer_segments": RFM_SQL,
     "event_transition_matrix": TRANSITION_SQL,
+    "select_quality_budget": SELECT_BUDGET_SQL,
 }

@@ -65,3 +65,24 @@ def test_global_rank_property_random(spark):
         assert got == expected
 
     _check()
+
+
+def test_global_prefix_sum_matches_single_partition_window(spark):
+    from debezium_server_bigquery_spark.operators.rank import global_prefix_sum
+
+    df = spark.range(0, 730).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("v"),
+        (F.pmod(F.xxhash64("id", "id"), F.lit(50)) + 1).alias("tokens"),
+    )
+    got = {
+        r.id: r.running
+        for r in global_prefix_sum(
+            df, [F.asc("v"), F.asc("id")], "tokens"
+        ).collect()
+    }
+    acc, expected = 0, {}
+    for r in sorted(df.collect(), key=lambda r: (r.v, r.id)):
+        acc += r.tokens
+        expected[r.id] = acc
+    assert got == expected
