@@ -164,7 +164,15 @@ def scd2_merge_batch(
 
     Idempotency: the same epoch marker scheme as merge_upsert guards
     replayed micro-batches, and exact re-deliveries inside the window are
-    collapsed by a deterministic dropDuplicates on the ordering key.
+    collapsed by a FULL-ROW dropDuplicates — deduping on the ordering key
+    alone would collapse two genuinely different events sharing
+    (key, ts, op) into one arbitrary survivor (silent data loss when the
+    configured tiebreak does not uniquify the stream).
+
+    Schema evolution: a later batch may add columns the stored history
+    lacks — the redo source selects the intersection of stored/batch
+    change columns and every union uses ``allowMissingColumns=True``
+    (NULL-filling the other side), mirroring operators/merge.py.
     """
     from debezium_server_bigquery_spark.operators.table import KEY_BUCKET
 
@@ -178,7 +186,7 @@ def scd2_merge_batch(
     table.guard_create(live is not None)
     if live is None:
         hist = scd2_from_changes(
-            batch.dropDuplicates(keys + [order_col, op_col, *tiebreak]),
+            batch.dropDuplicates(),
             keys,
             order_col,
             op_col,
@@ -199,15 +207,16 @@ def scd2_merge_batch(
     bkeys = batch.select(*keys).distinct()
     touched = live.join(bkeys, keys, "left_semi")
     untouched = live.join(bkeys, keys, "left_anti").drop(KEY_BUCKET)
+    stored_change_cols = [c for c in change_cols if c in touched.columns]
     redo_src = (
-        touched.select(*change_cols)  # original change rows of touched keys
-        .unionByName(batch)
-        .dropDuplicates(keys + [order_col, op_col, *tiebreak])
+        touched.select(*stored_change_cols)  # original change rows, minus
+        .unionByName(batch, allowMissingColumns=True)  # cols stored lacks
+        .dropDuplicates()  # full row: collapse only exact re-deliveries
     )
     recomputed = scd2_from_changes(
         redo_src, keys, order_col, op_col, delete_op, tiebreak, keep_tombstones=True
     )
-    result = untouched.unionByName(recomputed)
+    result = untouched.unionByName(recomputed, allowMissingColumns=True)
     table.overwrite_partitions(
         table.with_partition_col(result), expected_partitions=buckets
     )

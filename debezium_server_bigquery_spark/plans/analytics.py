@@ -261,10 +261,15 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+    # orderBy().limit(10) compiles to TakeOrderedAndProject — per-partition
+    # top-10 then a driver merge, O(n) scan with no global sort.  The
+    # row_number window runs AFTER the limit, over exactly 10 rows, so its
+    # single-partition exchange moves 10 rows, not ~15M customers at sf100
+    # (the pre-round-6 shape ranked ALL customers in one task).
+    top10 = totals.orderBy(F.desc("total_spend"), F.asc("o_custkey")).limit(10)
     w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
     return (
-        totals.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        top10.withColumn("rnk", F.row_number().over(w))
         .join(broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .select("rnk", "o_custkey", "c_name", "c_mktsegment", "total_spend", "n_orders")
         .orderBy("rnk")

@@ -314,8 +314,11 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-0
 # Q15 shape — top supplier: aggregate + global-max scalar subquery.
 # --------------------------------------------------------------------------
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The max-revenue scalar subquery is a rank-1 window over the
-    aggregated (small) revenue relation — never a driver-side collect."""
+    """The max-revenue scalar subquery is a one-row max aggregate
+    broadcast-joined back onto the revenue relation — no single-partition
+    rank window over all suppliers (~1M rows at sf100), no driver-side
+    collect.  Equality keeps the reference semantics of rank()==1: all
+    tied suppliers survive."""
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -325,8 +328,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
     )
-    w = Window.orderBy(F.desc("total_revenue"))
-    best = revenue.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1).drop("rk")
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    best = revenue.join(
+        broadcast(mx), F.col("total_revenue") == F.col("__mx")
+    ).drop("__mx")
     return (
         best.join(broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

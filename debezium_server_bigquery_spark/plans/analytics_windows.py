@@ -67,22 +67,34 @@ ORDER BY o_custkey, order_seq
 # 7-day moving average of daily event volume (frame over aggregate).
 # --------------------------------------------------------------------------
 def w_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing avg/min/max over the daily series WITHOUT an
+    unpartitioned window (``partitionBy(lit(1))`` still collapses the
+    whole series into one task).  Distributed sliding-frame shape: rank
+    the series with ``operators/rank.global_row_number``, explode each
+    row's count to the 7 rank positions whose trailing frame it feeds,
+    aggregate by position, join back on the rank — one bounded 7× fan-out
+    and one hash shuffle on position, valid for a series of any length."""
+    from debezium_server_bigquery_spark.operators.rank import global_row_number
+
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(F.count("*").alias("n_events"))
-    w = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("day")
-        .rowsBetween(-6, Window.currentRow)
+    ranked = global_row_number(daily, [F.asc("day")], out="rn")
+    contrib = ranked.select(
+        F.col("n_events").alias("c"),
+        F.explode(F.expr("sequence(rn, rn + 6)")).alias("pos"),
     )
-    return daily.select(
-        "day",
-        "n_events",
-        F.round(F.avg("n_events").over(w), 4).alias("ma7"),
-        F.min("n_events").over(w).alias("min7"),
-        F.max("n_events").over(w).alias("max7"),
-    ).orderBy("day")
+    stats = contrib.groupBy("pos").agg(
+        F.round(F.avg("c"), 4).alias("ma7"),
+        F.min("c").alias("min7"),
+        F.max("c").alias("max7"),
+    )
+    return (
+        ranked.join(stats, ranked.rn == stats.pos)
+        .select("day", "n_events", "ma7", "min7", "max7")
+        .orderBy("day")
+    )
 
 
 W_MOVING_AVG_SQL = """
@@ -137,13 +149,26 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 # Customer spend quartiles (ntile over aggregate, then per-quartile stats).
 # --------------------------------------------------------------------------
 def w_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) over ALL customers is an unpartitioned window — a single
+    task ranking ~15M rows at sf100.  Instead: exact global rank via
+    ``operators/rank.global_row_number`` (range partition + local rank +
+    O(partitions) offsets) and the quantile bucket from rank arithmetic,
+    ``((r-1)*4) div n + 1`` — the same distributed-tile shape as
+    ``plans/segmentation.rfm_customer_segments``.  Bucket sizes differ
+    from SQL NTILE's front-loaded remainder by at most one row; the
+    oracle twin computes the identical formula."""
+    from debezium_server_bigquery_spark.operators.rank import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).cast("double").alias("spend")
     )
-    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    n = spend.agg(F.count("*").alias("n"))
+    ranked = global_row_number(
+        spend, [F.desc("spend"), F.asc("o_custkey")], out="rn"
+    ).crossJoin(F.broadcast(n))
     return (
-        spend.withColumn("quartile", F.ntile(4).over(w))
+        ranked.withColumn("quartile", F.expr("((rn - 1) * 4) div n + 1"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_customers"),
@@ -160,7 +185,9 @@ WITH spend AS (
   SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
   FROM orders GROUP BY o_custkey
 ), tiled AS (
-  SELECT o_custkey, spend, NTILE(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+  SELECT o_custkey, spend,
+    ((ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) - 1) * 4)
+      // (SELECT COUNT(*) FROM spend) + 1 AS quartile
   FROM spend
 )
 SELECT quartile, COUNT(*) AS n_customers,

@@ -441,7 +441,11 @@ def cdc_coerce_exotic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("c_binary").alias("bin_hex"),  # F1 round-trip, hex for the hash
         F.col("g.srid").alias("g_srid"),  # F2/F3
         F.col("g.wkb").alias("g_wkb"),
-        F.col("c_dates").alias("dates"),  # F9+F5: array<date>
+        # F9+F5: array<date> reduced to scalar columns — the driver
+        # canonicalizer pandas-sorts the frame and cannot hash list cells,
+        # so registry convention is scalar-only outputs (cf. quantize.py).
+        F.col("c_dates")[0].alias("date_lo"),
+        F.col("c_dates")[1].alias("date_hi"),
         F.col("c_amount").cast("string").alias("amount_str"),  # F10 precise
         F.col("c_amount").cast("double").alias("amount_dbl"),
     ).orderBy("event_id")
@@ -452,8 +456,8 @@ SELECT event_id,
   hex('blob-' || CAST(event_id AS VARCHAR)) AS bin_hex,
   CAST(event_id % 4326 AS BIGINT) AS g_srid,
   upper(lpad(to_hex(event_id), 8, '0')) AS g_wkb,
-  [DATE '1970-01-01' + CAST(event_id % 20000 AS INTEGER),
-   DATE '1970-01-01' + CAST((event_id * 3) % 20000 AS INTEGER)] AS dates,
+  DATE '1970-01-01' + CAST(event_id % 20000 AS INTEGER) AS date_lo,
+  DATE '1970-01-01' + CAST((event_id * 3) % 20000 AS INTEGER) AS date_hi,
   CAST(CAST((event_id * 100 + 7) / 100.0 AS DECIMAL(12,2)) AS VARCHAR) AS amount_str,
   (event_id * 100 + 7) / 100.0 AS amount_dbl
 FROM events WHERE event_id <= 2000 ORDER BY event_id

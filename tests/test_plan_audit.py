@@ -35,3 +35,70 @@ def test_no_cartesian_product(spark, name, fn):
         f"{name}: cartesian product in physical plan — unbounded all-pairs "
         f"scan, O(n^2) at scale"
     )
+
+
+def _node_depth(line: str) -> int:
+    """Depth of a plan-tree line = column of its '+-'/':-' marker; the
+    root line (no marker) is depth -1 so every child is deeper."""
+    for marker in ("+- ", ":- "):
+        i = line.find(marker)
+        if i >= 0:
+            return i
+    return -1
+
+
+def _single_partition_windows(plan: str) -> list[str]:
+    """Window nodes whose subtree shuffles everything into ONE partition
+    without an upstream limit bounding the row count.
+
+    ``Exchange SinglePartition`` feeding a Window is the textbook global-
+    sort bottleneck: every row of the input lands on a single task.  The
+    one legitimate shape is a window over an already-limited relation
+    (TakeOrderedAndProject / GlobalLimit / CollectLimit below the
+    exchange): then the exchange moves O(k) rows, not O(n)."""
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "Window" not in line:  # matches Window + WindowGroupLimit
+            continue
+        d = _node_depth(line)
+        # Walk the subtree in pre-order and find the FIRST Exchange — the
+        # Window sits on a unary chain (Sort/Project/...), so the first
+        # exchange below it is the one satisfying the window's
+        # distribution requirement.  Deeper exchanges (e.g. a one-row
+        # bounds aggregate under a broadcast join) belong to other
+        # operators and are not the window's feed.
+        j = i + 1
+        feed_single = False
+        limited = False
+        while j < len(lines) and _node_depth(lines[j]) > d:
+            ln = lines[j]
+            if any(
+                tok in ln
+                for tok in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+            ):
+                limited = True
+            if "Exchange" in ln:
+                feed_single = "Exchange SinglePartition" in ln
+                break
+            j += 1
+        if feed_single and not limited:
+            bad.append(line.strip())
+    return bad
+
+
+@pytest.mark.parametrize("name,fn", _ALL, ids=[n for n, _ in _ALL])
+def test_no_single_partition_window(spark, name, fn):
+    """Registry-wide ban on unpartitioned windows over unbounded inputs —
+    the shape ``operators/rank.py`` exists to replace.  Would have caught
+    the three pre-round-6 stragglers (q_top_customers, w_spend_quartiles,
+    q15_top_supplier) at introduction time."""
+    plan = _physical(fn(spark, SF_DIR))
+    offenders = _single_partition_windows(plan)
+    assert not offenders, (
+        f"{name}: Window over Exchange SinglePartition with no upstream "
+        f"limit — ALL rows collapse to one task at scale; use "
+        f"operators/rank.global_row_number, orderBy().limit(k), or a "
+        f"max-aggregate broadcast join instead.  Offending nodes: "
+        f"{offenders}"
+    )

@@ -212,6 +212,48 @@ def test_scd2_sink_untouched_keys_survive_bucket_rewrite(spark, tmp_path):
         assert v[(k, 1)] == (100, None, float(k))
 
 
+def test_scd2_sink_distinct_events_same_ts_both_survive(spark, tmp_path):
+    """Two DIFFERENT events sharing (key, ts, op) must BOTH survive the
+    in-window dedup — only exact full-row re-deliveries collapse.  The
+    pre-round-6 dedup on (keys, order, op, tiebreak) with the pipeline
+    default tiebreak=() silently dropped one of them."""
+    t = _sink_table(spark, tmp_path)
+    _apply(
+        spark,
+        t,
+        [(1, 100, "c", 1.0, 1), (1, 200, "u", 2.0, 2), (1, 200, "u", 3.0, 3)],
+        0,
+    )
+    v = _versions(t)
+    assert len(v) == 3  # all three changes versioned, none lost
+    # exact re-delivery of an already-stored row still collapses
+    _apply(spark, t, [(1, 200, "u", 2.0, 2)], 1)
+    assert len(_versions(t)) == 3
+
+
+def test_scd2_sink_schema_evolution_adds_column(spark, tmp_path):
+    """A later batch with an ADDED column must merge, NULL-filling stored
+    history rows — the pre-round-6 sink raised on the column mismatch in
+    both touched.select and the untouched∪recomputed union."""
+    from debezium_server_bigquery_spark.operators.scd import scd2_merge_batch
+
+    t = _sink_table(spark, tmp_path)
+    _apply(spark, t, [(1, 100, "c", 1.0, 1), (2, 100, "c", 2.0, 2)], 0)
+    evolved = spark.createDataFrame(
+        [(1, 200, "u", 10.0, 3, "eu")],
+        "user_id long, ts long, __op string, value double, event_id long,"
+        " region string",
+    )
+    scd2_merge_batch(t, evolved, order_col="ts", epoch_id=1)
+    rows = {
+        (r.user_id, r.version_num): r
+        for r in t.read().filter(F.col("__op") != "d").collect()
+    }
+    assert rows[(1, 1)].valid_to == 200 and rows[(1, 1)].region is None
+    assert rows[(1, 2)].value == 10.0 and rows[(1, 2)].region == "eu"
+    assert rows[(2, 1)].valid_to is None  # untouched key carried over
+
+
 def test_streaming_scd2_with_checkpoint_restart(spark, sf_dir, tmp_path):
     """SCD2 sink under Structured Streaming: two source files -> two
     micro-batches; final history equals the one-shot batch build, and a
