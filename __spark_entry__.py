@@ -100,36 +100,32 @@ def _collect(attr: str) -> dict:
 # a driver that grades a prefix of the dict still sees each component; the
 # remaining members and the TPC-H-shaped tail follow.
 #
-# Round-5 rotation: the 16 local-green queries that had never had a driver
-# CORRECTNESS row (the shortlist recorded here last round), plus
-# set_returned_open_orders (§2.5 set-ops' first driver row) and the new
-# cdc_coerce_exotic (F1 base64->bytes, F2 geometry wkb->hex, F9
-# array-element coercion, F10 precise decimal — previously fixture-only),
-# replace multiply-covered family members: the lazy-upsert e2e variant
-# (S5 stays graded via cdc_upsert_final_state + keep-deletes), two of
-# four fuzzy-dedup variants (exact + clusters + incremental stay), two of
-# three text-stats members (docs_by_lang_summary / text_common_spans take
-# over lang-id and spans), two ANN members (ivf_recall / pq_adc take over
-# IVF and PQ), the distinct-count sketch (quantiles + heavy-hitters take
-# over sketches), stratified sampling (bernoulli-by-lang takes over),
-# the checksum validator (rowcounts-all-tables takes over), corpus_recipe
-# (export-manifest + canonical-docs take over curation), rollup (grouping
-# sets takes over §2.5 grouped analytics), one TPC-H member, the fan-in
-# e2e (metrics e2e keeps the multi-destination write path graded),
-# nested-envelope (F4 had its r4 row; exotic coercions take the slot),
-# the tumbling-window counts (running-spend + sessionize keep §2.5
-# windows graded), kmeans (semantic_dedup_pairs exercises its cells), and
-# the banded-range join twin (asof + skew + stream interval keep joins
-# graded).  Every rotated-out query stays registered right after the
-# prefix, so it keeps local-oracle coverage and can re-enter later; all
-# of them already have a passing driver row from r1-r4.
+# Round-6 rotation (per the r5 verdict's ask #4): the 25 SQL-twinned
+# round-5 queries that have never had a driver CORRECTNESS row — the SCD2
+# point-in-time/diff/enrich trio, BM25, PageRank + co-occurrence,
+# retention cohorts, volume anomaly, referential-integrity + constraint
+# validators, media header probe, contrastive triplets, sliding counts,
+# daily pivot, OOV rate, datacard, funnel window, session daily stats,
+# RFM, transition matrix, KWIC, skew report, value histogram, splits, and
+# quality-budget selection — enter the graded prefix, plus R3
+# (pipeline_fanin_rewrite_e2e) and F4 (cdc_nested_envelope) rotating back
+# in, plus two queries NEW this round: pipeline_replay_idempotent_e2e
+# (S7 epoch-marker idempotency under the gate, verdict ask #7) and
+# bpe_first_merge (BPE round 1 as a static SQL-twinned argmax, ask #5).
+# They displace 29 multiply-covered members that all have a passing r5
+# driver row (the r5-new graded set: SCD2 sink/history, the sketch pair,
+# the ANN recall/ADC pair, shard export pair, text/curation members, and
+# the TPC-H-adjacent tail) — every rotated-out query stays registered
+# right after the prefix, keeps local-oracle coverage, and re-enters in a
+# later rotation per the two-consecutive-rounds policy.  Kept in the
+# prefix: the CDC parity core (S1-S6, R1/R2/R5/R6, A1-A3, F1-F11 via the
+# coercion pair), the e2e write paths, grouping-sets/set-ops/window reps,
+# the asof + skew joins, exact dedup, and brute-force ANN — so every §2
+# component retains at least one graded row this round, and
+# cdc_coerce_exotic gets its re-attempt after the round-5 output-shape
+# fix.
 _TIER1 = [
     "q1_pricing_summary",
-    # r5 swap: scd2_sink_e2e takes q_events_daily's slot (plain daily agg,
-    # graded green r1-r4; q1 keeps the scan/agg/sort family graded) so the
-    # round's headline operator — the history-preserving SCD2 sink — gets a
-    # driver row immediately; q_events_daily re-registers after the prefix.
-    "scd2_sink_e2e",
     "cdc_flatten",
     "cdc_route",
     "cdc_dedup_last_writer",
@@ -137,32 +133,61 @@ _TIER1 = [
     "cdc_append_stats",
     "cdc_coerce_scalars",
     "cdc_coerce_exotic",
+    "cdc_nested_envelope",
     "pipeline_schema_evolution_e2e",
     "pipeline_keep_deletes_e2e",
     "pipeline_metrics_e2e",
     "pipeline_rejects_e2e",
+    "pipeline_fanin_rewrite_e2e",
+    "pipeline_replay_idempotent_e2e",
     "ivm_incremental_agg_e2e",
+    "scd2_state_as_of",
+    "snapshot_diff_epochs",
+    "scd2_temporal_enrich",
     "sessionize_events",
+    "session_stats_daily",
     "w_running_customer_spend",
     "gsets_returnflag_year_revenue",
     "set_returned_open_orders",
     "asof_purchase_last_view",
     "skew_join_above_user_avg",
-    "stream_view_purchase_pairs",
     "dedup_exact",
+    "contrastive_triplets",
+    "ann_cosine_topk",
+    "bm25_search_topk",
+    "pagerank_trade_graph",
+    "supplier_cooccurrence_topk",
+    "retention_cohorts",
+    "events_volume_anomaly",
+    "sliding_event_counts",
+    "pivot_event_type_daily",
+    "funnel_conversion_window",
+    "rfm_customer_segments",
+    "event_transition_matrix",
+    "text_kwic_contexts",
+    "vocab_oov_rate",
+    "dataset_datacard",
+    "dataset_splits",
+    "select_quality_budget",
+    "media_header_probe",
+    "skew_report_lineitem_suppkey",
+    "events_value_histogram",
+    "validate_referential_integrity",
+    "validate_constraints",
+    "bpe_first_merge",
+    # -- end of the 50-query graded prefix --------------------------------
+    # Rotated out this round (all carry a passing r5 driver row):
+    "scd2_sink_e2e",
+    "scd2_user_history",
+    "stream_view_purchase_pairs",
     "dedup_clusters",
     "dedup_incremental_minhash",
     "semantic_dedup_pairs",
-    "ann_cosine_topk",
     "ann_ivf_recall",
     "ann_pq_adc_topk",
     "ts_similarity_topk",
     "sketch_value_quantiles",
     "sketch_heavy_hitters",
-    # r5 swap: scd2_user_history takes text_quality_score's slot (quality
-    # scoring graded green r1-r4; the text family keeps docs_by_lang_summary,
-    # text_common_spans, chunk_documents, text_pii_scrub in the prefix).
-    "scd2_user_history",
     "docs_by_lang_summary",
     "text_common_spans",
     "chunk_documents",
@@ -181,28 +206,8 @@ _TIER1 = [
     "funnel_view_click_purchase",
     "validate_rowcounts_all_tables",
     "mix_domain_weights",
-    # -- end of the 50-query graded prefix; rotated-out members follow so
-    # they keep local-oracle coverage and re-enter in a future rotation.
-    # All queries below have at least one passing driver row from a prior
-    # round (or are family twins of one), EXCEPT the queries new in round
-    # 5 — the round-6 rotation shortlist: scd2_state_as_of,
-    # snapshot_diff_epochs, scd2_temporal_enrich, bm25_search_topk,
-    # pagerank_trade_graph, supplier_cooccurrence_topk, retention_cohorts,
-    # events_volume_anomaly, validate_referential_integrity,
-    # validate_constraints, media_header_probe, contrastive_triplets,
-    # sliding_event_counts, pivot_event_type_daily, vocab_oov_rate,
-    # dataset_datacard, funnel_conversion_window, session_stats_daily,
-    # rfm_customer_segments, event_transition_matrix, text_kwic_contexts,
-    # skew_report_lineitem_suppkey, events_value_histogram,
-    # dataset_splits, select_quality_budget,
-    # bpe_train_merges (rows-only — no SQL twin by design, see
-    # functions/bpe.py).  All pass the local oracle replica at sf0.01
-    # (incl. --plain --tz) and should displace multiply-covered family
-    # members next round; scd2_user_history and scd2_sink_e2e are already
-    # in this round's graded prefix.
+    # Earlier rotations' members (prior-green r1-r4):
     "q3_shipping_priority",
-    "cdc_nested_envelope",
-    "pipeline_fanin_rewrite_e2e",
     "pipeline_lazy_upsert_e2e",
     "windowed_event_counts",
     "rollup_nation_year_revenue",

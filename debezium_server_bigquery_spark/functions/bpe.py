@@ -65,6 +65,26 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over a (freq, syms) symbol table —
+    the map-side-combinable core of every BPE round."""
+    return (
+        syms.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) as a, "
+                    "element_at(syms, i + 1) as b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
 def train_bpe_merges(
     spark: SparkSession, words: DataFrame, k: int = K_MERGES
 ) -> list[tuple[int, str, str, str, int]]:
@@ -79,21 +99,7 @@ def train_bpe_merges(
     ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, k + 1):
-        pairs = (
-            syms.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1), "
-                        "i -> struct(element_at(syms, i) as a, "
-                        "element_at(syms, i + 1) as b))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
+        pairs = _pair_counts(syms)
         top = (
             pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
         )  # 1 row — O(1) driver data per round
@@ -113,8 +119,51 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-QUERIES = {"bpe_train_merges": bpe_train_merges}
-# Deliberately no ORACLES entry — see module docstring: the per-round
-# argmax feedback loop is not expressible as one static SQL statement;
-# tests/test_bpe.py pins the result against a pure-Python reference BPE.
-ORACLES: dict[str, str] = {}
+def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round 1 as a STATIC query: the argmax adjacent character pair
+    over the initial (per-character) symbol table.  Unlike the full
+    trainer — whose per-round argmax feedback loop no single SQL
+    statement can express — round 1 has no loop dependency, so it gets a
+    hash-checked oracle twin and gives the BPE family a driver-graded
+    row alongside the rows-only ``bpe_train_merges``."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    syms = word_frequencies(docs).withColumn(
+        "syms", F.expr("filter(split(word, ''), x -> x <> '')")
+    )
+    return (
+        _pair_counts(syms)
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .select(
+            F.col("a").alias("left"),
+            F.col("b").alias("right"),
+            F.concat("a", "b").alias("merged"),
+            F.col("cnt").alias("support"),
+        )
+    )
+
+
+BPE_FIRST_MERGE_SQL = r"""
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS freq
+  FROM documents, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t(w)
+  WHERE w <> ''
+  GROUP BY w
+), pairs AS (
+  SELECT substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b,
+    CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM words, UNNEST(range(1, length(word))) AS r(i)
+  GROUP BY 1, 2
+)
+SELECT a AS "left", b AS "right", a || b AS merged, cnt AS support
+FROM pairs ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+"""
+
+
+QUERIES = {"bpe_train_merges": bpe_train_merges, "bpe_first_merge": bpe_first_merge}
+# bpe_train_merges deliberately has no ORACLES entry — see module
+# docstring: the per-round argmax feedback loop is not expressible as one
+# static SQL statement; tests/test_bpe.py pins the result against a
+# pure-Python reference BPE.  Round 1 alone IS static — bpe_first_merge
+# carries the family's hash-checked twin.
+ORACLES: dict[str, str] = {"bpe_first_merge": BPE_FIRST_MERGE_SQL}

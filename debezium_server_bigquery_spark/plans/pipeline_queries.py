@@ -425,6 +425,43 @@ GROUP BY 1, 2 ORDER BY table_name, epoch
 """
 
 
+def pipeline_replay_idempotent_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 offset-store semantics under the gate: the stream splits into
+    two micro-batches and the SECOND is applied TWICE with the same epoch
+    id — a foreachBatch replay after a checkpoint rollback.  The epoch
+    marker (``operators/table.py`` ``epoch_committed``, the
+    BigqueryOffsetBackingStore.java resume-point analog) must make the
+    re-delivery a no-op.  Append mode makes the guard observable in the
+    output: without the marker the replay would double epoch 1's row
+    counts and event-id sums; the oracle applies every event exactly
+    once."""
+    p = CdcPipeline(spark, scratch_dir("dsbq_replay_"), mode="append")
+    cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    e1 = cdc.filter(F.col("event_id") % 2 == 1)
+    p.process_batch(cdc.filter(F.col("event_id") % 2 == 0), epoch_id=0)
+    p.process_batch(e1, epoch_id=1)
+    p.process_batch(e1, epoch_id=1)  # replayed epoch — marker must skip it
+    df = _union_tables(p, ["user_id", "event_id", "__op"])
+    return (
+        df.groupBy("table_name", "__op")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_events"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .orderBy("table_name", "__op")
+    )
+
+
+PIPELINE_REPLAY_SQL = f"""{_CDC_CTE}
+SELECT {_TABLE_NAME_SQL} AS table_name, __op, COUNT(*) AS n_rows,
+  COUNT(DISTINCT event_id) AS n_events,
+  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM cdc WHERE {_NOT_HEARTBEAT}
+GROUP BY 1, 2 ORDER BY table_name, __op
+"""
+
+
 QUERIES = {
     "pipeline_upsert_e2e": pipeline_upsert_e2e,
     "pipeline_append_e2e": pipeline_append_e2e,
@@ -435,6 +472,7 @@ QUERIES = {
     "pipeline_lazy_upsert_e2e": pipeline_lazy_upsert_e2e,
     "pipeline_rejects_e2e": pipeline_rejects_e2e,
     "pipeline_metrics_e2e": pipeline_metrics_e2e,
+    "pipeline_replay_idempotent_e2e": pipeline_replay_idempotent_e2e,
 }
 
 ORACLES = {
@@ -447,4 +485,5 @@ ORACLES = {
     "pipeline_lazy_upsert_e2e": PIPELINE_UPSERT_SQL,
     "pipeline_rejects_e2e": PIPELINE_REJECTS_SQL,
     "pipeline_metrics_e2e": PIPELINE_METRICS_SQL,
+    "pipeline_replay_idempotent_e2e": PIPELINE_REPLAY_SQL,
 }
