@@ -332,6 +332,13 @@ def optimize(
 
         validate_zorder(cols)
         table.zorder_cols = cols
+        # A layout override must actually rewrite: with the default
+        # fragmentation threshold a tidy table compacts nothing and the
+        # requested z-order would silently never land.  Force the full
+        # OPTIMIZE ZORDER pass and persist the override so subsequent
+        # maintenance (and pipeline writes via open()) keep the layout.
+        max_files = 0
+        table.persist_layout()
     expired = table.expire_partitions(expire_before) if expire_before else []
     compacted = table.compact(
         max_files_per_partition=max_files, files_per_partition=files_per_partition

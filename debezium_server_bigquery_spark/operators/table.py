@@ -142,8 +142,16 @@ class ParquetTable:
             key_cols=tuple(meta.get("key_cols", ())),
             mode=meta.get("mode", "append"),
             n_buckets=meta.get("n_buckets", 32),
+            # clustering_field is stored explicitly — the derived
+            # "clustering" list also embeds PK columns, so it cannot be
+            # used to recover the field; without this an `optimize`
+            # compaction would re-sort rewritten partitions with the
+            # default clustering even on custom-clustered tables.
+            clustering_field=meta.get("clustering_field", "__source_ts_ms"),
             partition_type=meta.get("partition_type", "MONTH"),
             partition_field=meta.get("partition_field", "__ts_ms"),
+            allow_field_addition=meta.get("allow_field_addition", True),
+            create_if_needed=meta.get("create_if_needed", True),
             zorder_cols=tuple(meta.get("zorder", ())),
         )
 
@@ -166,11 +174,25 @@ class ParquetTable:
                     "partition_type": self.partition_type,
                     "partition_field": self.partition_field,
                     "clustering": self.clustering_cols(),
+                    "clustering_field": self.clustering_field,
+                    "allow_field_addition": self.allow_field_addition,
+                    "create_if_needed": self.create_if_needed,
                     "zorder": self.zorder_cols,
                     "schema": json.loads(schema_json),
                 },
                 fh,
             )
+
+    def persist_layout(self) -> None:
+        """Rewrite stored metadata from this handle's CURRENT settings
+        without touching data files — how an optimize-time z-order
+        override becomes durable for future ``open()`` calls.  No-op on a
+        table that has not been created yet (first write stores it)."""
+        if not self.exists():
+            return
+        with open(self.meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        self._write_meta(json.dumps(meta["schema"]))
 
     def clustering_cols(self) -> list[str]:
         """<=3 PK columns + clustering field — BigQuery's 4-field limit,

@@ -150,25 +150,55 @@ def _cents(v: float) -> int:
     )
 
 
-def _session_fn(
-    key: Tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user session accumulator.
+def make_session_fn(counter_ttl_ms: int | None = None):
+    """Build the per-user session accumulator.
 
     Events inside a micro-batch are sorted by event time; every session a
     later in-batch event closes (gap exceeded) is emitted ``closed='true'``
     inside the per-event loop; the trailing open session stays in state and
     is flushed by the timeout path when the key goes quiet.  After a
     timeout flush the state keeps the per-key session COUNTER (open fields
-    cleared, no further timeout registered) so a returning user continues
-    the strictly monotonic session_seq the batch twin produces — a
-    counter-only state row per ever-seen key, the price of stable keys.
+    cleared) so a returning user continues the strictly monotonic
+    session_seq the batch twin produces — a counter-only state row per
+    ever-seen key, the price of stable keys.
+
+    **State bound**: with ``counter_ttl_ms=None`` (default, exact batch
+    parity) those counter rows are retained forever, so state grows with
+    LIFETIME distinct-key cardinality — fine for bounded key domains
+    (users), wrong for unbounded ones.  Setting ``counter_ttl_ms`` arms a
+    second timeout on each counter-only row and EVICTS it when the key
+    stays quiet past the TTL, bounding state to O(active keys within TTL)
+    at the documented cost that a key returning after eviction restarts
+    its session_seq at 1.
+
     Values accumulate as integer cents quantized per event with the same
     HALF_UP-on-decimal-repr rule as the batch's DECIMAL(18,2) cast, so
     totals match the batch twin exactly, not just to float tolerance.
     """
+
+    def _fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        yield from _session_body(key, pdfs, state, counter_ttl_ms)
+
+    return _fn
+
+
+def _keep_counter(state: GroupState, seq: int, counter_ttl_ms: int | None) -> None:
+    """Retain the counter-only state row; in TTL mode arm its eviction."""
+    state.update((0, -1, 0, 0, int(seq)))
+    if counter_ttl_ms is not None:
+        state.setTimeoutDuration(counter_ttl_ms)
+
+
+def _session_body(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    counter_ttl_ms: int | None,
+) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
 
@@ -177,7 +207,7 @@ def _session_fn(
             s_start, s_last, n, cents, seq = state.get
             if s_last >= 0 and n > 0:
                 # keep the counter; clear the open-session fields
-                state.update((0, -1, 0, 0, int(seq)))
+                _keep_counter(state, seq, counter_ttl_ms)
                 yield pd.DataFrame(
                     {
                         "user_id": [user_id],
@@ -189,6 +219,10 @@ def _session_fn(
                         "closed": ["timeout"],
                     }
                 )
+            elif counter_ttl_ms is not None:
+                # counter-only row reached its TTL: evict (seq restarts if
+                # the key ever returns — the documented trade)
+                state.remove()
         return
 
     rows = rows.sort_values(["ts", "event_id"])
@@ -222,7 +256,7 @@ def _session_fn(
         state.setTimeoutDuration(60_000)
     elif state.exists:
         # no open session and nothing new: keep the counter-only row
-        state.update((0, -1, 0, 0, int(seq)))
+        _keep_counter(state, seq, counter_ttl_ms)
 
     if out:
         yield pd.DataFrame(
@@ -238,18 +272,25 @@ def _session_fn(
         )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+# Default accumulator: exact batch parity (counters never evicted); see
+# make_session_fn for the TTL-bounded variant.
+_session_fn = make_session_fn()
+
+
+def sessionize_stream(events: DataFrame, counter_ttl_ms: int | None = None) -> DataFrame:
     """Incremental sessionization over a (streaming or batch) events frame.
 
     ``applyInPandasWithState`` keyed on user_id: state is one open session
     per key; Arrow moves each group as pandas batches.  At 100 TB scale the
-    state store shards by key across executors and only open sessions are
-    retained — memory is O(active users), not O(events).
+    state store shards by key across executors and only open sessions plus
+    per-key seq counters are retained — memory is O(active users) for the
+    open sessions, plus O(lifetime distinct keys) for the counters unless
+    ``counter_ttl_ms`` bounds them (see make_session_fn for the trade).
     """
     return events.select("user_id", "event_id", "ts", "value").groupBy(
         "user_id"
     ).applyInPandasWithState(
-        _session_fn,
+        make_session_fn(counter_ttl_ms) if counter_ttl_ms is not None else _session_fn,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",

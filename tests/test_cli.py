@@ -275,6 +275,60 @@ def test_optimize_noop_below_threshold(spark, sf_dir, tmp_path):
     assert summary["compacted_partitions"] == 0
 
 
+def test_optimize_zorder_forces_rewrite_on_tidy_table(spark, sf_dir, tmp_path):
+    """A pure re-layout request (--zorder with no fragmentation) must
+    still rewrite and persist: pre-fix, the default --max-files 8 silently
+    no-opped on a tidy table and the layout never landed."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.cli import optimize
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    path = str(tmp_path / "t")
+    t = ParquetTable(spark, path, mode="append")
+    cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    t.append(cdc.filter(F.col("event_id") < 200), epoch_id=0)  # tidy: 1 file/part
+    summary = optimize(path, zorder="user_id,event_id", spark=spark)  # default max_files
+    assert summary["compacted_partitions"] >= 1  # rewrote despite no fragmentation
+    t2 = ParquetTable.open(spark, path)
+    assert t2.zorder_cols == ["user_id", "event_id"]  # override persisted
+
+
+def test_open_restores_clustering_field_and_flags(spark, tmp_path):
+    """open() must reconstruct clustering_field / allow_field_addition /
+    create_if_needed — pre-fix they reverted to defaults, so optimize
+    re-sorted custom-clustered tables with __source_ts_ms."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    path = str(tmp_path / "t")
+    t = ParquetTable(
+        spark,
+        path,
+        key_cols=("user_id",),
+        mode="upsert",
+        clustering_field="event_type",
+        allow_field_addition=False,
+        create_if_needed=True,
+    )
+    df = spark.createDataFrame(
+        [(1, "view", 100)], "user_id long, event_type string, __source_ts_ms long"
+    )
+    from debezium_server_bigquery_spark.operators.merge import merge_upsert
+
+    merge_upsert(
+        t, df.withColumn("__op", F.lit("c")), order_col="__source_ts_ms", epoch_id=0
+    )
+    t2 = ParquetTable.open(spark, path)
+    assert t2.clustering_field == "event_type"
+    assert t2.allow_field_addition is False
+    assert t2.create_if_needed is True
+    assert t2.clustering_cols() == ["user_id", "event_type"]
+
+
 def test_optimize_expires_old_partitions(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 

@@ -214,6 +214,29 @@ def test_session_seq_survives_timeout_flush():
     assert state.get[4] == 3
 
 
+def test_session_counter_ttl_evicts_quiet_keys():
+    """With counter_ttl_ms set, a counter-only state row is removed when
+    its TTL timeout fires, bounding streaming state to active keys; the
+    returning key restarts session_seq at 1 — the documented trade.
+    Without a TTL (the default) the counter survives forever."""
+    from debezium_server_bigquery_spark.streaming.sessions import make_session_fn
+
+    fn = make_session_fn(counter_ttl_ms=60_000)
+    state = _FakeState()
+    hour_us = 3_600_000_000
+    list(fn((1,), [_pdf([(0, 1.0)])], state))  # open session 1
+    state.hasTimedOut = True
+    out = list(fn((1,), [], state))  # flush -> counter-only row, TTL armed
+    assert [int(s) for s in out[0]["session_seq"]] == [1]
+    assert state.exists
+    state.hasTimedOut = True
+    assert list(fn((1,), [], state)) == []  # TTL fires on the counter row
+    assert not state.exists  # evicted
+    state.hasTimedOut = False
+    list(fn((1,), [_pdf([(9 * hour_us, 5.0)])], state))
+    assert state.get[4] == 1  # seq restarted after eviction
+
+
 def test_session_cents_match_decimal_semantics():
     from debezium_server_bigquery_spark.streaming.sessions import _cents
 
