@@ -1,0 +1,65 @@
+"""Bigram LM + likelihood quality filter — hand-checked semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from debezium_server_bigquery_spark.functions.lm import (
+    _doc_bigrams,
+    _doc_tokens,
+    bigram_lm,
+    doc_lm_quality_bottomk,
+    lm_bigram_topk,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the cat sat", "en", "a", 11),
+        (2, "the cat ran", "en", "a", 11),
+        (3, "THE  cat   sat", "en", "a", 14),  # case + runs of spaces
+        (4, "zqx", "xx", "b", 3),  # single token: no bigrams
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_bigram_counts_and_smoothing(spark):
+    lm = {
+        (r.a, r.b): (r.cnt, r.prob)
+        for r in bigram_lm(_doc_tokens(_docs(spark))).collect()
+    }
+    # c(the,cat)=3, c(the)=3 contexts; V = {the,cat,sat,ran,zqx} = 5
+    cnt, prob = lm[("the", "cat")]
+    assert cnt == 3 and prob == pytest.approx((3 + 1) / (3 + 5))
+    # c(cat,sat)=2 of c(cat)=3 contexts
+    cnt, prob = lm[("cat", "sat")]
+    assert cnt == 2 and prob == pytest.approx((2 + 1) / (3 + 5))
+    assert ("zqx", "zqx") not in lm  # single-token doc contributes nothing
+
+
+def test_tokenize_normalizes_case_and_runs(spark):
+    toks = {
+        r.doc_id: r.toks for r in _doc_tokens(_docs(spark)).collect()
+    }
+    assert toks[3] == ["the", "cat", "sat"]  # lowercased, empties dropped
+    pairs = {
+        (r.doc_id, r.a, r.b) for r in _doc_bigrams(_doc_tokens(_docs(spark))).collect()
+    }
+    assert (3, "the", "cat") in pairs and (3, "cat", "sat") in pairs
+
+
+def test_quality_filter_ranks_rare_bigrams_lowest(spark, sf_dir):
+    out = doc_lm_quality_bottomk(spark, sf_dir).collect()
+    assert 0 < len(out) <= 25
+    scores = [r.mean_prob for r in out]
+    assert scores == sorted(scores)  # least-likely first
+    assert all(r.n_bigrams >= 1 and 0.0 < r.mean_prob < 1.0 for r in out)
+
+
+def test_topk_bigrams_ordered_and_bounded(spark, sf_dir):
+    out = lm_bigram_topk(spark, sf_dir).collect()
+    assert 0 < len(out) <= 30
+    cnts = [r.cnt for r in out]
+    assert cnts == sorted(cnts, reverse=True)
