@@ -24,6 +24,14 @@ double division of exact integers (correctly rounded, bit-identical in
 Spark and DuckDB); the per-document mean casts each term to
 DECIMAL(25,15) before summing (exact, associative — the PageRank
 contribution pattern, functions/graph.py) and rounds the final ratio.
+
+Lineage note: the scoring query derives both the LM and the per-doc
+bigrams from the same tokenize expression, which Spark recomputes per
+consumer (~3 column-pruned scans of documents.text).  Correctness is
+unaffected; a production run at corpus scale would materialize the
+bigram frame once (``df.persist()`` or a checkpoint table) and feed both
+branches from it — the counts-vs-probe shape itself is already the
+scale-right plan (hash-keyed joins, no corpus-sized broadcast).
 """
 
 from __future__ import annotations
