@@ -322,6 +322,96 @@ GROUP BY destination ORDER BY destination
 """
 
 
+def ivm_incremental_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained JOIN view over the real write path: two
+    CDC-replicated destinations (the two lexicographically-first), a
+    stored per-user join of their final states, bootstrapped after batch
+    1 and refreshed after batch 2 for ONLY the users batch 2 touched on
+    either side (``streaming/ivm.MaterializedJoin``).  The view must
+    equal a full recompute of both destinations' final states joined —
+    which the oracle derives from raw events.  keep_deletes=True on the
+    bases for the same cross-batch resurrection argument as the
+    aggregate e2e; the view's sides then drop tombstones."""
+    from debezium_server_bigquery_spark.operators.merge import merge_upsert
+    from debezium_server_bigquery_spark.operators.routing import filter_heartbeats
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+    from debezium_server_bigquery_spark.streaming.ivm import MaterializedJoin
+
+    events = filter_heartbeats(
+        synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    )
+    # O(destinations) driver metadata — the routing fan-out is bounded
+    da, db = sorted(r[0] for r in events.select("destination").distinct().collect())[:2]
+    b1 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b2 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    root = scratch_dir("dsbq_ivmj_")
+    tables = {
+        d: ParquetTable(
+            spark,
+            os.path.join(root, d.replace(".", "_")),
+            key_cols=["user_id"],
+            mode="upsert",
+            n_buckets=8,
+        )
+        for d in (da, db)
+    }
+
+    def apply(batch: DataFrame, epoch: str) -> None:
+        for d in (da, db):
+            merge_upsert(
+                tables[d],
+                batch.filter(F.col("destination") == d),
+                keep_deletes=True,
+                tiebreak=("event_id",),
+                epoch_id=f"{epoch}.{d}",
+            )
+
+    def side(d: str, prefix: str) -> DataFrame:
+        live = tables[d].read().filter(
+            F.coalesce(F.col("__deleted"), F.lit("false")) != "true"
+        )
+        return live.select(
+            "user_id",
+            F.col("event_id").alias(f"{prefix}_event_id"),
+            F.col("value").alias(f"{prefix}_value"),
+        )
+
+    apply(b1, "b1")
+    mj = MaterializedJoin(spark, os.path.join(root, "view"), ["user_id"])
+    mj.initialize(side(da, "a"), side(db, "b"))
+    apply(b2, "b2")
+    mj.refresh(
+        side(da, "a"),
+        side(db, "b"),
+        touched=b2.filter(F.col("destination").isin([da, db])).select("user_id"),
+    )
+    return mj.read().select(
+        "user_id", "a_event_id", "a_value", "b_event_id", "b_value"
+    ).orderBy("user_id")
+
+
+IVM_JOIN_SQL = f"""{_CDC_CTE}
+, two AS (
+  SELECT destination FROM cdc WHERE {_NOT_HEARTBEAT}
+  GROUP BY destination ORDER BY destination LIMIT 2
+), final AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY destination, user_id
+        ORDER BY __source_ts_ns DESC, {_OP_PRI} DESC, event_id DESC) AS rn
+    FROM cdc
+    WHERE {_NOT_HEARTBEAT} AND destination IN (SELECT destination FROM two)
+  ) WHERE rn = 1 AND __op <> 'd'
+)
+SELECT a.user_id, a.event_id AS a_event_id, a.value AS a_value,
+       b.event_id AS b_event_id, b.value AS b_value
+FROM (SELECT * FROM final WHERE destination = (SELECT MIN(destination) FROM two)) a
+JOIN (SELECT * FROM final WHERE destination = (SELECT MAX(destination) FROM two)) b
+  USING (user_id)
+ORDER BY user_id
+"""
+
+
 def pipeline_schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 schema evolution under the gate: batch 1 lands with the original
     schema, batch 2 (split by event-id parity) arrives with an ADDED
@@ -468,6 +558,7 @@ QUERIES = {
     "pipeline_keep_deletes_e2e": pipeline_keep_deletes_e2e,
     "pipeline_fanin_rewrite_e2e": pipeline_fanin_rewrite_e2e,
     "ivm_incremental_agg_e2e": ivm_incremental_agg_e2e,
+    "ivm_incremental_join_e2e": ivm_incremental_join_e2e,
     "pipeline_schema_evolution_e2e": pipeline_schema_evolution_e2e,
     "pipeline_lazy_upsert_e2e": pipeline_lazy_upsert_e2e,
     "pipeline_rejects_e2e": pipeline_rejects_e2e,
@@ -481,6 +572,7 @@ ORACLES = {
     "pipeline_keep_deletes_e2e": PIPELINE_KEEP_DELETES_SQL,
     "pipeline_fanin_rewrite_e2e": PIPELINE_FANIN_SQL,
     "ivm_incremental_agg_e2e": IVM_SQL,
+    "ivm_incremental_join_e2e": IVM_JOIN_SQL,
     "pipeline_schema_evolution_e2e": PIPELINE_EVOLUTION_SQL,
     "pipeline_lazy_upsert_e2e": PIPELINE_UPSERT_SQL,
     "pipeline_rejects_e2e": PIPELINE_REJECTS_SQL,

@@ -95,3 +95,80 @@ class MaterializedAggregate:
 
     def read(self) -> DataFrame:
         return self.state.read()
+
+
+class MaterializedJoin:
+    """A stored equi-join view ``left ⋈ right ON join_cols`` maintained by
+    affected-key partial recompute — the join sibling of
+    :class:`MaterializedAggregate`.
+
+    On refresh the caller names the join keys a micro-batch touched (on
+    EITHER side); both base sides are semi-join-pruned to those keys, the
+    join is recomputed for exactly those keys, and the state table swaps
+    the buckets holding them (untouched keys in those buckets are carried
+    over, other buckets never read or written).  Recomputing the touched
+    key's whole join group — instead of algebraic ΔA⋈B ∪ A⋈ΔB deltas —
+    stays correct under upsert + delete with after-image-only CDC, the
+    same argument as the aggregate's docstring; cost is churn × per-key
+    join width, never view size.
+
+    The two inputs must already have disjoint non-key column names (the
+    view schema is their concatenation).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        join_cols: Sequence[str],
+        n_buckets: int = 16,
+    ):
+        self.join_cols = list(join_cols)
+        self.state = ParquetTable(
+            spark,
+            path,
+            key_cols=self.join_cols,
+            mode="upsert",
+            n_buckets=n_buckets,
+            clustering_field="",
+        )
+
+    def _compute(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        return left.join(right, self.join_cols)
+
+    def _swap(self, rows: DataFrame, buckets: list) -> None:
+        self.state.overwrite_partitions(rows, expected_partitions=buckets)
+
+    def initialize(self, left: DataFrame, right: DataFrame) -> None:
+        """Full recompute — the bootstrap (and the repair path)."""
+        out = self.state.with_partition_col(self._compute(left, right))
+        buckets = [r[0] for r in out.select(KEY_BUCKET).distinct().collect()]
+        self._swap(out, buckets)
+
+    def refresh(self, left: DataFrame, right: DataFrame, touched: DataFrame) -> None:
+        """Recompute the join for exactly the keys in ``touched`` (any
+        DataFrame carrying ``join_cols``; extra columns ignored).  A key
+        whose rows vanished from either side drops out of the view —
+        recompute-to-nothing, like the aggregate."""
+        keys = touched.select(*self.join_cols).distinct()
+        keyed = self.state.with_partition_col(keys)
+        buckets = [r[0] for r in keyed.select(KEY_BUCKET).distinct().collect()]
+        if not buckets:
+            return
+        recomputed = self.state.with_partition_col(
+            self._compute(
+                left.join(F.broadcast(keys), self.join_cols, "left_semi"),
+                right.join(F.broadcast(keys), self.join_cols, "left_semi"),
+            )
+        )
+        live = self.state.read_raw()
+        if live is None:
+            self._swap(recomputed, buckets)
+            return
+        untouched = live.filter(F.col(KEY_BUCKET).isin(buckets)).join(
+            F.broadcast(keys), self.join_cols, "left_anti"
+        )
+        self._swap(untouched.unionByName(recomputed), buckets)
+
+    def read(self) -> DataFrame:
+        return self.state.read()

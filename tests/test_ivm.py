@@ -107,3 +107,89 @@ def test_refresh_with_pipeline_upsert_destination(spark, tmp_path, sf_dir):
         r.k: (r.n, float(r.total)) for r in agg_over_dest(dest.read()).collect()
     }
     assert _snap(mv) == full
+
+
+# -- MaterializedJoin ------------------------------------------------------
+def _mj(spark, tmp_path):
+    from debezium_server_bigquery_spark.streaming.ivm import MaterializedJoin
+
+    return MaterializedJoin(spark, str(tmp_path / "jv"), ["user_id"])
+
+
+def _left(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, a_val double")
+
+
+def _right(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, b_val double")
+
+
+def _jsnap(mj):
+    return {r.user_id: (r.a_val, r.b_val) for r in mj.read().collect()}
+
+
+def test_join_refresh_matches_full_recompute(spark, tmp_path):
+    mj = _mj(spark, tmp_path)
+    mj.initialize(
+        _left(spark, [(1, 10.0), (2, 20.0), (3, 30.0)]),
+        _right(spark, [(1, 1.0), (2, 2.0), (4, 4.0)]),
+    )
+    assert _jsnap(mj) == {1: (10.0, 1.0), 2: (20.0, 2.0)}
+    # user 2's left row updates; user 4 gains a left row (new join match)
+    l2 = _left(spark, [(1, 10.0), (2, 99.0), (3, 30.0), (4, 40.0)])
+    r2 = _right(spark, [(1, 1.0), (2, 2.0), (4, 4.0)])
+    mj.refresh(l2, r2, spark.createDataFrame([(2,), (4,)], "user_id long"))
+    assert _jsnap(mj) == {1: (10.0, 1.0), 2: (99.0, 2.0), 4: (40.0, 4.0)}
+
+
+def test_join_refresh_drops_key_vanished_from_one_side(spark, tmp_path):
+    mj = _mj(spark, tmp_path)
+    mj.initialize(
+        _left(spark, [(1, 10.0), (2, 20.0)]), _right(spark, [(1, 1.0), (2, 2.0)])
+    )
+    # user 2 deleted from the right side: its view row must disappear
+    mj.refresh(
+        _left(spark, [(1, 10.0), (2, 20.0)]),
+        _right(spark, [(1, 1.0)]),
+        spark.createDataFrame([(2,)], "user_id long"),
+    )
+    assert _jsnap(mj) == {1: (10.0, 1.0)}
+
+
+def test_join_refresh_untouched_keys_not_rewritten(spark, tmp_path):
+    mj = _mj(spark, tmp_path)
+    mj.initialize(
+        _left(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]),
+        _right(spark, [(1, 1.5), (2, 2.5), (3, 3.5)]),
+    )
+    # bases that LIE about key 3: refreshing only {1} must leave 3 stored
+    mj.refresh(
+        _left(spark, [(1, 9.0), (3, 999.0)]),
+        _right(spark, [(1, 1.5), (3, 999.5)]),
+        spark.createDataFrame([(1,)], "user_id long"),
+    )
+    assert _jsnap(mj) == {1: (9.0, 1.5), 2: (2.0, 2.5), 3: (3.0, 3.5)}
+
+
+def test_join_refresh_multi_row_per_key(spark, tmp_path):
+    """Non-unique keys: the view holds the full per-key cross product and
+    a refresh recomputes the whole group."""
+    mj = _mj(spark, tmp_path)
+    mj.initialize(
+        _left(spark, [(1, 1.0), (1, 2.0)]), _right(spark, [(1, 10.0)])
+    )
+    assert sorted((r.a_val, r.b_val) for r in mj.read().collect()) == [
+        (1.0, 10.0),
+        (2.0, 10.0),
+    ]
+    mj.refresh(
+        _left(spark, [(1, 1.0), (1, 2.0)]),
+        _right(spark, [(1, 10.0), (1, 20.0)]),
+        spark.createDataFrame([(1,)], "user_id long"),
+    )
+    assert sorted((r.a_val, r.b_val) for r in mj.read().collect()) == [
+        (1.0, 10.0),
+        (1.0, 20.0),
+        (2.0, 10.0),
+        (2.0, 20.0),
+    ]
