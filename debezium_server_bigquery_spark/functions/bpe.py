@@ -39,11 +39,14 @@ def _sq(s: str) -> str:
     return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
-def _merge_expr(a: str, b: str) -> str:
-    """Greedy left-to-right merge of adjacent (a, b) into one symbol."""
+def _merge_expr(a: str, b: str, col: str = "syms") -> str:
+    """Greedy left-to-right merge of adjacent (a, b) into one symbol.
+
+    ``col`` names the array column (parameterized, never string-replaced:
+    a trained merge could itself spell a column name)."""
     a, b, ab = _sq(a), _sq(b), _sq(a + b)
     return f"""
-    aggregate(syms, cast(array() as array<string>),
+    aggregate({col}, cast(array() as array<string>),
       (acc, x) -> case
         when size(acc) > 0 and element_at(acc, -1) = '{a}' and x = '{b}'
         then concat(slice(acc, 1, size(acc) - 1), array('{ab}'))
@@ -117,6 +120,54 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, support long"
     ).orderBy("rank")
+
+
+def bpe_encode_words(words: DataFrame, merges: list[tuple]) -> DataFrame:
+    """Apply a trained merge table to a word table: adds ``tokens``
+    (array<string>) — each word's BPE segmentation.
+
+    Applying rank-by-rank greedy left-to-right reproduces reference BPE
+    encoding exactly (same procedure as training applies after each
+    argmax).  The merges arrive as the trainer's [(rank, a, b, ...), ...]
+    list — O(k) driver metadata compiled into k chained in-JVM array
+    folds, no Python on the executors.
+    """
+    out = words.withColumn(
+        "tokens", F.expr("filter(split(word, ''), x -> x <> '')")
+    )
+    for _rank, a, b, *_rest in merges:
+        out = out.withColumn("tokens", F.expr(_merge_expr(a, b, col="tokens")))
+    return out
+
+
+def bpe_token_stats(docs: DataFrame, merges: list[tuple], text_col: str = "text") -> DataFrame:
+    """Per-document token counts under a trained BPE tokenizer.
+
+    Scale design: the corpus is reduced to its per-doc word occurrences
+    and the tokenizer runs ONCE PER DISTINCT WORD (the vocabulary table,
+    orders of magnitude smaller than the corpus); occurrences then join
+    the encoded vocabulary on the word hash key and aggregate back to
+    documents — encode-the-vocabulary-not-the-corpus, the same economy as
+    training on word frequencies."""
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("word"),
+    )
+    encoded = bpe_encode_words(occ.select("word").distinct(), merges).select(
+        "word", F.size("tokens").alias("n_word_tokens")
+    )
+    return (
+        occ.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_word_tokens").alias("n_tokens"),
+        )
+    )
 
 
 def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

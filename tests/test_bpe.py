@@ -4,6 +4,7 @@ the oracle for the registry's one rows-only entry (see functions/bpe.py)."""
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from debezium_server_bigquery_spark.functions.bpe import (
@@ -89,3 +90,71 @@ def test_bpe_symbols_with_quotes_and_backslashes(spark):
     # symbols are spliced into SQL expressions — escaping must hold
     wf = {"a'b": 3, "a\\b": 2, "ab": 5}
     assert _spark_bpe(spark, wf, 3) == _py_bpe(wf, 3)
+
+
+# -- encoding (applying a trained merge table) -----------------------------
+def _py_encode(word: str, merges) -> list[str]:
+    s = list(word)
+    for _rank, a, b, *_ in merges:
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def test_bpe_encode_matches_python(spark):
+    from debezium_server_bigquery_spark.functions.bpe import bpe_encode_words
+
+    wf = {"lower": 3, "low": 5, "newest": 6, "widest": 3, "newer": 2}
+    merges = _spark_bpe(spark, wf, 6)
+    words = spark.createDataFrame([(w,) for w in wf], "word string")
+    got = {r.word: list(r.tokens) for r in bpe_encode_words(words, merges).collect()}
+    assert got == {w: _py_encode(w, merges) for w in wf}
+    # the training corpus's own words re-encode consistently: every token
+    # is either a merged symbol or a single character
+    vocab = {m[3] for m in merges}
+    for toks in got.values():
+        assert all(len(t) == 1 or t in vocab for t in toks)
+
+
+def test_bpe_token_stats_on_documents(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.bpe import (
+        bpe_token_stats,
+        bpe_train_merges,
+        word_frequencies,
+    )
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    merges = [
+        (r.rank, r.left, r.right, r.merged, r.support)
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    out = {r.doc_id: r for r in bpe_token_stats(docs, merges).collect()}
+    assert len(out) == 50
+    # merges only ever shrink a word's token count; chars are the ceiling
+    wf = word_frequencies(docs)
+    n_chars = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.aggregate(
+                F.transform(
+                    F.filter(
+                        F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                    ),
+                    lambda w: F.length(w),
+                ),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).alias("n"),
+        ).collect()
+    }
+    for doc_id, r in out.items():
+        assert r.n_words <= r.n_tokens <= n_chars[doc_id]
