@@ -500,11 +500,83 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality evaluation of the banded-MinHash index: of the TRUE
+    near-dup pairs (exact capped-index Jaccard >= threshold), what
+    fraction does LSH banding surface as candidates — and how precise is
+    the candidate set at that threshold?  One row: counts + recall +
+    candidate precision.  The measurement every dedup deployment needs
+    before trusting the approximate path; the ann_ivf_recall analog for
+    text.
+
+    Scale note: composes the two pair generators verbatim (both already
+    bucketed/df-capped — no new join shape); at corpus scale this is an
+    audit query to run over a sampled slice, since the ground-truth side
+    is the expensive exact index."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.try_divide(F.col("n_hit").cast("double"), F.col("n_truth")), 6
+            ).alias("recall"),
+            F.round(
+                F.try_divide(
+                    F.col("n_hit").cast("double"), F.col("n_candidates")
+                ),
+                6,
+            ).alias("precision"),
+        )
+    )
+
+
+DEDUP_LSH_RECALL_SQL = f"""{MINHASH_BAND_CTES},
+inv_all AS (SELECT doc_id, unnest(sh) AS sh FROM shingled WHERE len(sh) > 0),
+stop AS (SELECT sh FROM inv_all GROUP BY sh HAVING COUNT(*) > {JACCARD_DF_CAP}),
+inv AS (SELECT doc_id, sh FROM inv_all WHERE sh NOT IN (SELECT sh FROM stop)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT doc_a, doc_b FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 6)
+    >= {JACCARD_THRESHOLD}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+hit AS (SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand)
+SELECT
+  (SELECT COUNT(*) FROM truth) AS n_truth,
+  (SELECT COUNT(*) FROM cand) AS n_candidates,
+  (SELECT COUNT(*) FROM hit) AS n_hit,
+  round((SELECT COUNT(*) FROM hit)::DOUBLE
+    / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall,
+  round((SELECT COUNT(*) FROM hit)::DOUBLE
+    / NULLIF((SELECT COUNT(*) FROM cand), 0), 6) AS precision
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_lsh_recall": dedup_lsh_recall,
 }
 
 ORACLES = {
@@ -512,4 +584,5 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_lsh_recall": DEDUP_LSH_RECALL_SQL,
 }

@@ -38,3 +38,20 @@ def test_multiple_keys_and_empty_keys_passthrough(spark):
     assert out == {1: "b", 2: "c"}
     # PK-less: dedup is a no-op (append fallback handles these tables).
     assert dedup_last_writer(df, []).count() == 3
+
+
+def test_lsh_recall_bounds_and_consistency(spark, sf_dir):
+    """Recall/precision are consistent ratios of the hit count, hits can
+    never exceed either side, and banded LSH at these parameters should
+    recover the large majority of true near-dup pairs."""
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+        dedup_lsh_recall,
+    )
+
+    r = dedup_lsh_recall(spark, sf_dir).collect()[0]
+    assert r.n_hit <= r.n_truth and r.n_hit <= r.n_candidates
+    if r.n_truth:
+        assert r.recall == round(r.n_hit / r.n_truth, 6)
+        assert r.recall >= 0.8  # banding params are tuned for high recall
+    if r.n_candidates:
+        assert r.precision == round(r.n_hit / r.n_candidates, 6)
