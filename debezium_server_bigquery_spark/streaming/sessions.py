@@ -480,8 +480,72 @@ GROUP BY 1 ORDER BY day
 """
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's BUILT-IN ``session_window`` — the
+    declarative twin of the hand-rolled island sessionizer, kept beside it
+    deliberately: where the engine ships the operator, use it (one
+    groupBy, merge logic inside the aggregation, streaming-ready with a
+    watermark for free).
+
+    Boundary semantics agree with the island form (verified by
+    ``tests/test_sessions.py::test_session_window_boundary_semantics``):
+    an event exactly one gap after the previous MERGES into the session —
+    Spark compares event time against the session end inclusively — so
+    only a strictly larger gap splits, the same ``>`` the island form
+    uses.  The one shape difference: ``session_end`` here is last event +
+    gap (the window's end), not the last event time."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+    epoch_us(ts) - epoch_us(LAG(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_MIN * 60 * 1_000_000}
+      THEN 1 ELSE 0 END AS is_new
+  FROM gaps
+), seq AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+  COUNT(*) AS n_events,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM seq GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize,
+    "session_window_stats": session_window_stats,
     "windowed_event_counts": windowed_event_counts,
     "sliding_event_counts": sliding_event_counts,
     "session_stats_daily": session_stats_daily,
@@ -489,6 +553,7 @@ QUERIES = {
 
 ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
+    "session_window_stats": SESSION_WINDOW_SQL,
     "windowed_event_counts": WINDOWED_COUNTS_SQL,
     "sliding_event_counts": SLIDING_COUNTS_SQL,
     "session_stats_daily": SESSION_STATS_SQL,

@@ -249,3 +249,54 @@ def test_session_cents_match_decimal_semantics():
     assert _cents(1.005) == 101
     assert _cents(2.675) == 268
     assert _cents(3.335) == 334
+
+
+def test_session_window_builtin_matches_island_form(spark, sf_dir):
+    """Away from the exact-gap boundary the built-in session_window and
+    the hand-rolled island sessionizer carve identical sessions."""
+    from debezium_server_bigquery_spark.streaming.sessions import (
+        session_window_stats,
+        sessionize,
+    )
+
+    builtin = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in session_window_stats(spark, sf_dir).collect()
+    }
+    island = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in sessionize(spark, sf_dir).collect()
+    }
+    assert builtin == island  # the test data has no exact-30min gaps
+
+
+def test_session_window_boundary_semantics(spark):
+    """A gap of EXACTLY the window size MERGES under the built-in
+    operator (Spark compares event time against the session end
+    inclusively) — the same strict-> split rule as the island form, so
+    the two sessionizers agree even on the boundary."""
+    import pandas as pd
+
+    from debezium_server_bigquery_spark.streaming.sessions import (
+        SESSION_GAP_MIN,
+    )
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1],
+                "event_id": [1, 2, 3],
+                "ts": pd.to_datetime([0, gap_us, gap_us + 1000], unit="us"),
+                "value": [1.0, 1.0, 1.0],
+            }
+        )
+    )
+    from pyspark.sql import functions as F
+
+    out = (
+        ev.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in out) == [3]  # exact gap merges
