@@ -1,0 +1,110 @@
+"""Distributed closed-form linear regression (per-group OLS trend).
+
+The analytics step after windows and funnels: fit y = a·x + b per group
+with the closed-form normal equations — slope, intercept, and R² derive
+from six sufficient statistics (n, Σx, Σx², Σy, Σxy, Σy²) that one
+map-side-combinable aggregate produces.  No iteration, no driver data,
+no ML library: grouped regression over a trillion rows costs exactly one
+groupBy.
+
+Cross-engine determinism: x is integer (day ordinal), y decimal — all six
+sums are EXACT (integer/decimal arithmetic, associative); each sum is
+cast to double once (correctly rounded) and the closed-form expressions
+are written identically in both engines, so every IEEE step matches
+bit-for-bit before the output rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+
+def ols_sums(df: DataFrame, keys: list[str], x: Column, y: Column) -> DataFrame:
+    """Per-group sufficient statistics for simple OLS.  ``x`` must be
+    integral and ``y`` decimal so every sum is exact."""
+    d = df.select(*keys, x.alias("x"), y.alias("y"))
+    return d.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+
+
+def ols_fit(sums: DataFrame) -> DataFrame:
+    """slope / intercept / R² from the sufficient statistics.  Groups with
+    zero x-variance (a single distinct x) yield NULLs via try_divide."""
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.try_divide(num, den)
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = F.try_divide(
+        num * num,
+        den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+    )
+    return sums.withColumns(
+        {"slope": slope, "intercept": intercept, "r2": r2}
+    )
+
+
+def revenue_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue trend per market segment: is each segment's spend
+    growing, and how linearly?  One fact-dim join, one daily aggregate,
+    one OLS aggregate — all shuffle-keyed, nothing collected."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    )
+    fit = ols_fit(ols_sums(daily, ["segment"], F.col("x"), F.col("y")))
+    return fit.select(
+        "segment",
+        F.col("n").alias("n_days"),
+        F.round("slope", 8).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 8).alias("r2"),
+    ).orderBy("segment")
+
+
+REVENUE_TREND_SQL = """
+WITH daily AS (
+  SELECT c_mktsegment AS segment,
+    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS x,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), sums AS (
+  SELECT segment, COUNT(*) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx,
+    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+    CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+    CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM daily GROUP BY segment
+)
+SELECT segment, n AS n_days,
+  round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 8) AS slope,
+  round((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) * sx) / n,
+    4) AS intercept,
+  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+    / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 8) AS r2
+FROM sums ORDER BY segment
+"""
+
+
+QUERIES = {"revenue_trend_by_segment": revenue_trend_by_segment}
+ORACLES = {"revenue_trend_by_segment": REVENUE_TREND_SQL}
