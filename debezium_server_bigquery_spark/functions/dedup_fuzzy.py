@@ -500,6 +500,72 @@ ORDER BY doc_a, doc_b
 """
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|.  Catches a short
+    document embedded in a longer one — a quote, a copy with appended
+    boilerplate — which symmetric Jaccard dilutes below threshold.
+    Emitted per ORDERED pair (doc_a contained in doc_b, doc_a != doc_b),
+    over the same stop-shingled inverted index and df-cap as the Jaccard
+    query, so the posting-list self-join stays bounded at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    shingled = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    inv_all = shingled.select("doc_id", F.explode("sh").alias("sh")).repartition(
+        "sh"
+    )
+    stop = (
+        inv_all.groupBy("sh")
+        .agg(F.count("*").alias("dfreq"))
+        .filter(F.col("dfreq") > JACCARD_DF_CAP)
+        .select("sh")
+    )
+    inv = inv_all.join(stop.hint("shuffle_hash"), "sh", "left_anti")
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    return (
+        shared.join(sa, "doc_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared").cast("double") / F.col("n_a"), 6),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "n_shared", "n_a", "containment")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+inv_all AS (SELECT doc_id, unnest(sh) AS sh FROM shingled),
+stop AS (SELECT sh FROM inv_all GROUP BY sh HAVING COUNT(*) > {JACCARD_DF_CAP}),
+inv AS (SELECT doc_id, sh FROM inv_all WHERE sh NOT IN (SELECT sh FROM stop)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared, sa.n_sh AS n_a,
+  round(n_shared::DOUBLE / sa.n_sh, 6) AS containment
+FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+WHERE round(n_shared::DOUBLE / sa.n_sh, 6) >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality evaluation of the banded-MinHash index: of the TRUE
     near-dup pairs (exact capped-index Jaccard >= threshold), what
@@ -576,6 +642,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_lsh_recall": dedup_lsh_recall,
 }
 
@@ -584,5 +651,6 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_containment_pairs": DEDUP_CONTAINMENT_SQL,
     "dedup_lsh_recall": DEDUP_LSH_RECALL_SQL,
 }

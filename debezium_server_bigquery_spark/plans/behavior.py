@@ -301,13 +301,60 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users and the DAU/WAU stickiness ratio.
+
+    Exact rolling-7-day distinct users WITHOUT a window over sets: each
+    distinct (user, active-day) pair fans out to the 7 window-end days it
+    belongs to (bounded explode, the same positional trick as
+    w_moving_avg_events), and a countDistinct per window-end day gives
+    WAU — two hash aggregates, no unpartitioned window, no HLL needed for
+    exactness.  Output keyed to days that actually have events."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("wday"),
+    )
+    wau = contrib.groupBy("wday").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+DAU_WAU_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+contrib AS (
+  SELECT user_id, day + i::INTEGER AS wday FROM ud, UNNEST(range(0, 7)) r(i)
+),
+wau AS (SELECT wday, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY wday)
+SELECT day, dau, wau, round(dau::DOUBLE / wau, 6) AS stickiness
+FROM dau JOIN wau ON day = wday ORDER BY day
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "events_volume_anomaly": events_volume_anomaly,
     "funnel_conversion_window": funnel_conversion_window,
+    "dau_wau_stickiness": dau_wau_stickiness,
 }
 ORACLES = {
     "retention_cohorts": RETENTION_SQL,
     "events_volume_anomaly": ANOMALY_SQL,
     "funnel_conversion_window": CONV_FUNNEL_SQL,
+    "dau_wau_stickiness": DAU_WAU_SQL,
 }

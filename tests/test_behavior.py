@@ -57,3 +57,47 @@ def test_steady_volume_not_flagged(spark):
         rows += [("view", day)] * (100 + (d % 3))  # mild daily wobble
     out = volume_anomaly_frame(_frame(spark, rows)).collect()
     assert not any(r.is_anomaly for r in out)
+
+
+def test_dau_wau_stickiness_invariants(spark, sf_dir):
+    """WAU >= DAU always (the window contains the day); stickiness in
+    (0, 1]; a 1-day corpus would give stickiness 1.0 everywhere."""
+    from debezium_server_bigquery_spark.plans.behavior import dau_wau_stickiness
+
+    rows = dau_wau_stickiness(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.wau >= r.dau >= 1
+        assert 0.0 < r.stickiness <= 1.0
+        assert r.stickiness == round(r.dau / r.wau, 6)
+
+
+def test_dau_wau_hand_case(spark):
+    """3 users: u1 active day0+day3, u2 day0, u3 day9 (isolated week)."""
+    import pandas as pd
+
+    from debezium_server_bigquery_spark.plans.behavior import dau_wau_stickiness
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-04", "2024-01-01", "2024-01-10"]
+            ),
+        }
+    )
+    import unittest.mock as mock
+
+    ev = spark.createDataFrame(df)
+    with mock.patch(
+        "debezium_server_bigquery_spark.plans.behavior.load_table",
+        return_value=ev,
+    ):
+        got = {
+            str(r.day): (r.dau, r.wau) for r in dau_wau_stickiness(spark, "x").collect()
+        }
+    # day0 window [day-6, day0] sees u1+u2; day3 window sees u1+u2 as well
+    assert got["2024-01-01"] == (2, 2)
+    assert got["2024-01-04"] == (1, 2)
+    # u1's Jan-4 activity is exactly 6 days back — still inside the window
+    assert got["2024-01-10"] == (1, 2)

@@ -55,3 +55,25 @@ def test_lsh_recall_bounds_and_consistency(spark, sf_dir):
         assert r.recall >= 0.8  # banding params are tuned for high recall
     if r.n_candidates:
         assert r.precision == round(r.n_hit / r.n_candidates, 6)
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a longer one must surface with
+    containment 1.0 even though symmetric Jaccard would dilute it."""
+    import unittest.mock as mock
+
+    from debezium_server_bigquery_spark.functions import dedup_fuzzy
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short, "en", "a", len(short)), (2, long, "en", "a", len(long))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with mock.patch.object(dedup_fuzzy, "load_table", return_value=docs):
+        rows = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in dedup_fuzzy.dedup_containment_pairs(spark, "x").collect()
+        }
+    assert rows.get((1, 2)) == 1.0  # short fully contained in long
+    assert (2, 1) not in rows  # long is NOT contained in short
