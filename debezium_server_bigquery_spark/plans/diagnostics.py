@@ -108,11 +108,76 @@ GROUP BY 1, 2 ORDER BY event_type, bucket
 """
 
 
+TRIM_PCT = 5  # percent trimmed from EACH tail
+
+
+def trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: the 5%-trimmed mean of ``value`` per
+    event type — the outlier-resistant center a data-quality report pairs
+    with the raw mean (a handful of corrupt extremes moves the mean, not
+    the trimmed mean).
+
+    Exact and scale-safe: rank within each group with a window
+    PARTITIONED on the group key (never a global sort), drop
+    floor(n·5%) rows from each tail by rank arithmetic, and average the
+    kept values through a decimal cast so the sum is exact and
+    associative.  Ties order on (value, event_id) — fully deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    kept = ranked.filter(
+        (F.col("r") > F.floor(F.col("n") * TRIM_PCT / 100))
+        & (F.col("r") <= F.col("n") - F.floor(F.col("n") * TRIM_PCT / 100))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("trimmed_mean"),
+            F.min("value").alias("kept_lo"),
+            F.max("value").alias("kept_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TRIMMED_MEAN_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), kept AS (
+  SELECT event_type, value FROM ranked
+  WHERE r > FLOOR(n * {TRIM_PCT} / 100.0)
+    AND r <= n - FLOOR(n * {TRIM_PCT} / 100.0)
+)
+SELECT event_type, COUNT(*) AS n_kept,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+    AS trimmed_mean,
+  MIN(value) AS kept_lo, MAX(value) AS kept_hi
+FROM kept GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "skew_report_lineitem_suppkey": skew_report_lineitem_suppkey,
     "events_value_histogram": events_value_histogram,
+    "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
 }
 ORACLES = {
     "skew_report_lineitem_suppkey": SKEW_REPORT_SQL,
     "events_value_histogram": HISTOGRAM_SQL,
+    "trimmed_mean_value_by_type": TRIMMED_MEAN_SQL,
 }

@@ -242,3 +242,21 @@ def test_contamination_flags_only_overlapping_docs(spark):
         text_mod.load_table = orig
     assert 1 in rows and rows[1] == 1  # shares exactly 'alpha beta gamma'
     assert 2 not in rows
+
+
+def test_trimmed_mean_resists_outliers(spark):
+    """Planting extreme outliers moves the raw mean but not the 5%-trimmed
+    mean of the clean bulk."""
+    import unittest.mock as mock
+
+    from debezium_server_bigquery_spark.plans import diagnostics
+
+    rows = [("a", float(50 + (i % 11)), i) for i in range(96)]
+    rows += [("a", 1e9, 1001), ("a", 1e9, 1002), ("a", -1e9, 1003), ("a", -1e9, 1004)]
+    ev = spark.createDataFrame(rows, "event_type string, value double, event_id long")
+    with mock.patch.object(diagnostics, "load_table", return_value=ev):
+        out = diagnostics.trimmed_mean_value_by_type(spark, "x").collect()[0]
+    # n=100, floor(5%)=5 per tail: all 4 outliers (2 per tail) are shed
+    assert out.n_kept == 90
+    assert 50.0 <= out.trimmed_mean <= 61.0
+    assert out.kept_lo >= 50.0 and out.kept_hi <= 61.0
