@@ -179,6 +179,15 @@ _TIER1 = [
     "validate_constraints",
     "bpe_first_merge",
     # -- end of the 50-query graded prefix --------------------------------
+    # Round-7 rotation shortlist — the queries NEW in round 6, none of
+    # which has a driver CORRECTNESS row yet (all pass the local oracle
+    # replica incl. --plain --tz): lm_bigram_topk, doc_lm_quality_bottomk,
+    # embedding_covariance_upper, ivm_incremental_join_e2e,
+    # dedup_lsh_recall, dedup_containment_pairs, session_window_stats,
+    # revenue_trend_by_segment, dau_wau_stickiness,
+    # trimmed_mean_value_by_type.  Swap them in next round for
+    # multiply-covered members, and rotate r5-graded members (below) back
+    # per the two-consecutive-rounds policy.
     # Rotated out this round (all carry a passing r5 driver row):
     "scd2_sink_e2e",
     "scd2_user_history",
