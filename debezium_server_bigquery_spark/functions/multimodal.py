@@ -212,20 +212,41 @@ def _wav_header(sample_rate: int) -> bytes:
     )
 
 
+def _gif_header(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height)
+
+
+def _bmp_header(width: int, height: int) -> bytes:
+    import struct
+
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)  # size, reserved, pixel offset
+        + struct.pack("<Iii", 40, width, height)  # BITMAPINFOHEADER head
+    )
+
+
+def _synth_payload(i: int) -> bytes:
+    if i % 4 == 0:
+        return _png_header(i % 512 + 1, (i * 7) % 512 + 1)
+    if i % 4 == 1:
+        return _wav_header(8000 + (i % 8) * 1000)
+    if i % 4 == 2:
+        return _gif_header(i % 256 + 1, (i * 3) % 256 + 1)
+    return _bmp_header(i % 128 + 1, (i * 5) % 128 + 1)
+
+
 def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Even doc_ids become PNG payloads, odd become WAV — dimensions and
+    """doc_id % 4 cycles PNG / WAV / GIF / BMP payloads — dimensions and
     rate derive from doc_id, mirrored by the oracle's arithmetic."""
     for pdf in batches:
         ids = pdf["doc_id"]
         yield pd.DataFrame(
             {
                 "doc_id": ids,
-                "payload": [
-                    _png_header(int(i) % 512 + 1, (int(i) * 7) % 512 + 1)
-                    if int(i) % 2 == 0
-                    else _wav_header(8000 + (int(i) % 8) * 1000)
-                    for i in ids
-                ],
+                "payload": [_synth_payload(int(i)) for i in ids],
             }
         )
 
@@ -251,6 +272,13 @@ def _parse_media_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             elif data[:4] == b"RIFF" and data[8:16] == b"WAVEfmt ":
                 kind = "wav"
                 (rate,) = struct.unpack("<I", data[24:28])
+            elif data[:6] in (b"GIF87a", b"GIF89a"):
+                kind = "gif"
+                width, height = struct.unpack("<HH", data[6:10])
+            elif data[:2] == b"BM" and len(data) >= 26:
+                kind = "bmp"
+                width, height = struct.unpack("<ii", data[18:26])
+                height = abs(height)  # negative height = top-down rows
             out["doc_id"].append(doc_id)
             out["kind"].append(kind)
             out["width"].append(width)
@@ -279,10 +307,15 @@ def media_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_PROBE_SQL = """
 SELECT doc_id,
-  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
-  CASE WHEN doc_id % 2 = 0 THEN doc_id % 512 + 1 END AS width,
-  CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 512 + 1 END AS height,
-  CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS sample_rate
+  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                  WHEN 2 THEN 'gif' ELSE 'bmp' END AS kind,
+  CASE doc_id % 4 WHEN 0 THEN doc_id % 512 + 1
+                  WHEN 2 THEN doc_id % 256 + 1
+                  WHEN 3 THEN doc_id % 128 + 1 END AS width,
+  CASE doc_id % 4 WHEN 0 THEN (doc_id * 7) % 512 + 1
+                  WHEN 2 THEN (doc_id * 3) % 256 + 1
+                  WHEN 3 THEN (doc_id * 5) % 128 + 1 END AS height,
+  CASE WHEN doc_id % 4 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS sample_rate
 FROM documents ORDER BY doc_id
 """
 

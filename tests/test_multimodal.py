@@ -6,6 +6,8 @@ def test_media_header_roundtrip_real_bytes():
     import pandas as pd
 
     from debezium_server_bigquery_spark.functions.multimodal import (
+        _bmp_header,
+        _gif_header,
         _parse_media_header,
         _png_header,
         _wav_header,
@@ -13,11 +15,13 @@ def test_media_header_roundtrip_real_bytes():
 
     pdf = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3],
+            "doc_id": [1, 2, 3, 4, 5],
             "payload": [
                 _png_header(640, 480),
                 _wav_header(44100),
                 b"not a media file",
+                _gif_header(320, 200),
+                _bmp_header(64, 32),
             ],
         }
     )
@@ -26,3 +30,5 @@ def test_media_header_roundtrip_real_bytes():
     assert (rows[1].kind, rows[1].width, rows[1].height) == ("png", 640, 480)
     assert (rows[2].kind, rows[2].sample_rate) == ("wav", 44100)
     assert rows[3].kind == "unknown"
+    assert (rows[4].kind, rows[4].width, rows[4].height) == ("gif", 320, 200)
+    assert (rows[5].kind, rows[5].width, rows[5].height) == ("bmp", 64, 32)
