@@ -424,42 +424,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark result and the DuckDB oracle stay value-identical.  The
     stop-shingle set is a tiny aggregate -> broadcast anti-join.
     """
+    # stop_shingled_index shingles ONCE and hash-partitions the inverted
+    # index on sh, so the doc-frequency aggregate, the stop-shingle
+    # anti-join, sizes, and the postings self-join all hang off the SAME
+    # exchange (ReusedExchange in the physical plan); the df-cap drops
+    # mega-hot shingles with a scalable count aggregate before any
+    # posting list forms.
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    shingled = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
-    # Shingle ONCE: explicitly hash-partition the inverted index on sh so
-    # every consumer below — the doc-frequency aggregate, the stop-shingle
-    # anti-join, and the postings aggregate — hangs off the SAME exchange
-    # (ReusedExchange in the physical plan).  Without this the
-    # scan->shingle->explode subtree is recomputed per consumer, and that
-    # subtree is the dominant CPU at every scale.
-    inv_all = shingled.select("doc_id", F.explode("sh").alias("sh")).repartition(
-        "sh"
-    )
-    # shingles() is distinct per doc, so COUNT(*) per shingle == doc freq.
-    # Count BEFORE collecting posting lists: a mega-hot shingle must be
-    # dropped by a scalable count aggregate, never buffered into a list.
-    stop = (
-        inv_all.groupBy("sh")
-        .agg(F.count("*").alias("dfreq"))
-        .filter(F.col("dfreq") > JACCARD_DF_CAP)
-        .select("sh")
-    )
-    # Both sides are partitioned on sh already -> co-partitioned anti-join,
-    # no broadcast needed and no fresh exchange.
-    inv = inv_all.join(stop.hint("shuffle_hash"), "sh", "left_anti")
-    # sizes and the self-join both consume the same sh-partitioned exchange;
-    # every agg stays a codegen'd hash agg (no posting-list buffering).
-    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared"))
-    )
+    inv, sizes = stop_shingled_index(docs)
+    shared = shared_shingle_pairs(inv, symmetric=True)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -479,12 +452,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_JACCARD_SQL = f"""
-WITH shingled AS ({_SHINGLES_SQL}),
-inv_all AS (SELECT doc_id, unnest(sh) AS sh FROM shingled),
+# Shared SQL CTE fragment: the stop-shingled inverted index + per-doc
+# sizes — the single SQL source matching stop_shingled_index(); composes
+# after a `WITH shingled AS (...)` head.
+_INV_CTES = f"""inv_all AS (SELECT doc_id, unnest(sh) AS sh FROM shingled),
 stop AS (SELECT sh FROM inv_all GROUP BY sh HAVING COUNT(*) > {JACCARD_DF_CAP}),
 inv AS (SELECT doc_id, sh FROM inv_all WHERE sh NOT IN (SELECT sh FROM stop)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id)"""
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+{_INV_CTES},
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -503,15 +482,12 @@ ORDER BY doc_a, doc_b
 CONTAINMENT_THRESHOLD = 0.8
 
 
-def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric near-dup detection: containment(A in B) =
-    |shingles(A) ∩ shingles(B)| / |shingles(A)|.  Catches a short
-    document embedded in a longer one — a quote, a copy with appended
-    boilerplate — which symmetric Jaccard dilutes below threshold.
-    Emitted per ORDERED pair (doc_a contained in doc_b, doc_a != doc_b),
-    over the same stop-shingled inverted index and df-cap as the Jaccard
-    query, so the posting-list self-join stays bounded at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+def stop_shingled_index(docs: DataFrame):
+    """The shared exact-similarity substrate: (inv, sizes) where ``inv``
+    is the stop-shingled inverted index (df-capped, sh-partitioned so
+    every consumer reuses ONE exchange) and ``sizes`` the per-doc
+    filtered shingle counts.  Single source of the index for Jaccard and
+    containment — the df-cap/partitioning strategy lives here only."""
     shingled = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
     inv_all = shingled.select("doc_id", F.explode("sh").alias("sh")).repartition(
         "sh"
@@ -524,16 +500,36 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inv = inv_all.join(stop.hint("shuffle_hash"), "sh", "left_anti")
     sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return inv, sizes
+
+
+def shared_shingle_pairs(inv: DataFrame, symmetric: bool) -> DataFrame:
+    """Posting-list self-join → (doc_a, doc_b, n_shared); ``symmetric``
+    keeps only doc_a < doc_b, else all ordered pairs."""
     a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
+    pair_cond = (
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        if symmetric
+        else (F.col("a.doc_id") != F.col("b.doc_id"))
+    )
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & pair_cond)
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|.  Catches a short
+    document embedded in a longer one — a quote, a copy with appended
+    boilerplate — which symmetric Jaccard dilutes below threshold.
+    Emitted per ORDERED pair (doc_a contained in doc_b, doc_a != doc_b),
+    over the same stop-shingled inverted index and df-cap as the Jaccard
+    query, so the posting-list self-join stays bounded at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    inv, sizes = stop_shingled_index(docs)
+    shared = shared_shingle_pairs(inv, symmetric=False)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     return (
         shared.join(sa, "doc_a")
@@ -549,10 +545,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CONTAINMENT_SQL = f"""
 WITH shingled AS ({_SHINGLES_SQL}),
-inv_all AS (SELECT doc_id, unnest(sh) AS sh FROM shingled),
-stop AS (SELECT sh FROM inv_all GROUP BY sh HAVING COUNT(*) > {JACCARD_DF_CAP}),
-inv AS (SELECT doc_id, sh FROM inv_all WHERE sh NOT IN (SELECT sh FROM stop)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
+{_INV_CTES},
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id <> b.doc_id
@@ -604,10 +597,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_LSH_RECALL_SQL = f"""{MINHASH_BAND_CTES},
-inv_all AS (SELECT doc_id, unnest(sh) AS sh FROM shingled WHERE len(sh) > 0),
-stop AS (SELECT sh FROM inv_all GROUP BY sh HAVING COUNT(*) > {JACCARD_DF_CAP}),
-inv AS (SELECT doc_id, sh FROM inv_all WHERE sh NOT IN (SELECT sh FROM stop)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
+{_INV_CTES},
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -266,13 +266,19 @@ def _parse_media_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             data = bytes(payload)
             kind, width, height, rate = "unknown", None, None, None
-            if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+            # every branch length-guards its unpack: a truncated payload
+            # must classify as unknown, never crash the Arrow task
+            if (
+                data[:8] == b"\x89PNG\r\n\x1a\n"
+                and data[12:16] == b"IHDR"
+                and len(data) >= 24
+            ):
                 kind = "png"
                 width, height = struct.unpack(">II", data[16:24])
-            elif data[:4] == b"RIFF" and data[8:16] == b"WAVEfmt ":
+            elif data[:4] == b"RIFF" and data[8:16] == b"WAVEfmt " and len(data) >= 28:
                 kind = "wav"
                 (rate,) = struct.unpack("<I", data[24:28])
-            elif data[:6] in (b"GIF87a", b"GIF89a"):
+            elif data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
                 kind = "gif"
                 width, height = struct.unpack("<HH", data[6:10])
             elif data[:2] == b"BM" and len(data) >= 26:

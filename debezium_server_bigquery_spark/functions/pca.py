@@ -87,7 +87,10 @@ def embedding_covariance(emb: DataFrame) -> DataFrame:
 
 
 def embedding_covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread=True: the per-row d(d+1)/2 product fan-out is the costliest
+    # narrow compute in the registry — a single-split test file would pin
+    # it to one core (no-op on real multi-split layouts)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return (
         embedding_covariance(emb)
         .select("i", "j", F.round("cov", ROUND_DIGITS).alias("cov"))
@@ -97,12 +100,15 @@ def embedding_covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_COVARIANCE_SQL = """
 WITH pairs AS (
-  SELECT r1.i AS i, r2.j AS j,
-    CAST(embedding[r1.i] AS DOUBLE) * CAST(embedding[r2.j] AS DOUBLE) AS xy
-  FROM embeddings
-  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) r1
-  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS j) r2
-  WHERE r1.i <= r2.j
+  -- dimension derived per row from len(embedding): no hardcoded d, the
+  -- oracle adapts with the fixture exactly like the Spark side's
+  -- size(embedding)
+  SELECT i, j,
+    CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS xy
+  FROM embeddings,
+    UNNEST(range(1, len(embedding) + 1)) AS r1(i),
+    UNNEST(range(1, len(embedding) + 1)) AS r2(j)
+  WHERE i <= j
 ), sums AS (
   SELECT i, j, COUNT(*) AS n,
     CAST(SUM(CAST(xy AS DECIMAL(38,20))) AS DOUBLE) AS sxy
@@ -111,8 +117,8 @@ WITH pairs AS (
   SELECT k, CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
       / COUNT(*) AS mu
   FROM (
-    SELECT r.k AS k, embedding[r.k] AS x
-    FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 65)) AS k) r
+    SELECT k, embedding[k] AS x
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(k)
   ) GROUP BY k
 )
 SELECT s.i, s.j, round(s.sxy / s.n - mi.mu * mj.mu, 10) AS cov

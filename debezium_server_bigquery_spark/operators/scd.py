@@ -181,9 +181,11 @@ def scd2_merge_batch(
     keys = list(table.key_cols)
     if not keys:
         raise ValueError("scd2_merge_batch requires key columns")
-    change_cols = list(batch.columns)
     live = table.read_raw() if table.exists() else None
     table.guard_create(live is not None)
+    # allow-field-addition gate: like merge_upsert, a disabled gate drops
+    # batch columns the stored table does not know instead of evolving it.
+    batch = table.restrict_to_live(batch, live)
     if live is None:
         hist = scd2_from_changes(
             batch.dropDuplicates(),
@@ -207,10 +209,15 @@ def scd2_merge_batch(
     bkeys = batch.select(*keys).distinct()
     touched = live.join(bkeys, keys, "left_semi")
     untouched = live.join(bkeys, keys, "left_anti").drop(KEY_BUCKET)
-    stored_change_cols = [c for c in change_cols if c in touched.columns]
+    # Replay ALL stored change columns (everything except the derived
+    # SCD2/bucket columns) — intersecting with batch.columns would NULL
+    # out stored-only columns for every touched key when a later batch
+    # stops carrying one.  unionByName fills each side's missing columns.
+    derived = {"valid_from", "valid_to", "is_current", "version_num", KEY_BUCKET}
+    stored_change_cols = [c for c in touched.columns if c not in derived]
     redo_src = (
-        touched.select(*stored_change_cols)  # original change rows, minus
-        .unionByName(batch, allowMissingColumns=True)  # cols stored lacks
+        touched.select(*stored_change_cols)  # original change rows
+        .unionByName(batch, allowMissingColumns=True)
         .dropDuplicates()  # full row: collapse only exact re-deliveries
     )
     recomputed = scd2_from_changes(

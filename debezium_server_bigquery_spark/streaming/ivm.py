@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 from debezium_server_bigquery_spark.operators.table import KEY_BUCKET, ParquetTable
 
 
+def _stored_buckets(table: ParquetTable) -> list[int]:
+    """Bucket values currently present on disk — so a repair
+    re-initialize can clear buckets whose keys all vanished."""
+    out: list[int] = []
+    for d in table.partition_file_counts():
+        v = d.split("=", 1)[1]
+        out.append(int(v))
+    return out
+
+
 class MaterializedAggregate:
     """A stored aggregate over ``group_cols`` maintained incrementally.
 
@@ -62,9 +72,14 @@ class MaterializedAggregate:
         )
 
     def initialize(self, base: DataFrame) -> None:
-        """Full recompute — the bootstrap (and the repair path)."""
+        """Full recompute — the bootstrap (and the repair path).  On a
+        repair over existing state, buckets absent from the new output
+        are still overwritten (to nothing) so stale groups vanish."""
         out = self.state.with_partition_col(self.agg_fn(base))
-        buckets = [r[0] for r in out.select(KEY_BUCKET).distinct().collect()]
+        buckets = sorted(
+            {r[0] for r in out.select(KEY_BUCKET).distinct().collect()}
+            | set(_stored_buckets(self.state))
+        )
         self.state.overwrite_partitions(out, expected_partitions=buckets)
 
     def refresh(self, base: DataFrame, touched: DataFrame) -> None:
@@ -140,9 +155,14 @@ class MaterializedJoin:
         self.state.overwrite_partitions(rows, expected_partitions=buckets)
 
     def initialize(self, left: DataFrame, right: DataFrame) -> None:
-        """Full recompute — the bootstrap (and the repair path)."""
+        """Full recompute — the bootstrap (and the repair path).  On a
+        repair over existing state, buckets absent from the new output
+        are still overwritten (to nothing) so stale keys vanish."""
         out = self.state.with_partition_col(self._compute(left, right))
-        buckets = [r[0] for r in out.select(KEY_BUCKET).distinct().collect()]
+        buckets = sorted(
+            {r[0] for r in out.select(KEY_BUCKET).distinct().collect()}
+            | set(_stored_buckets(self.state))
+        )
         self._swap(out, buckets)
 
     def refresh(self, left: DataFrame, right: DataFrame, touched: DataFrame) -> None:

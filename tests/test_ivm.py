@@ -193,3 +193,24 @@ def test_join_refresh_multi_row_per_key(spark, tmp_path):
         (2.0, 10.0),
         (2.0, 20.0),
     ]
+
+
+def test_reinitialize_clears_vanished_groups(spark, tmp_path):
+    """Repair path: a full re-initialize over existing state must clear
+    buckets whose groups all vanished from the base."""
+    mv = _state(spark, tmp_path)
+    mv.initialize(_base(spark, [(f"g{i}", i, 1.0) for i in range(20)]))
+    assert len(_snap(mv)) == 20
+    mv.initialize(_base(spark, [("g0", 0, 5.0)]))  # 19 groups vanished
+    assert _snap(mv) == {"g0": (1, 5.0)}
+
+
+def test_join_reinitialize_clears_vanished_keys(spark, tmp_path):
+    mj = _mj(spark, tmp_path)
+    mj.initialize(
+        _left(spark, [(i, 1.0) for i in range(20)]),
+        _right(spark, [(i, 2.0) for i in range(20)]),
+    )
+    assert len(_jsnap(mj)) == 20
+    mj.initialize(_left(spark, [(3, 9.0)]), _right(spark, [(3, 8.0)]))
+    assert _jsnap(mj) == {3: (9.0, 8.0)}

@@ -32,3 +32,22 @@ def test_media_header_roundtrip_real_bytes():
     assert rows[3].kind == "unknown"
     assert (rows[4].kind, rows[4].width, rows[4].height) == ("gif", 320, 200)
     assert (rows[5].kind, rows[5].width, rows[5].height) == ("bmp", 64, 32)
+
+
+def test_media_header_truncated_payloads_are_unknown():
+    """Truncated magic-matching payloads must classify as unknown, not
+    crash the Arrow task's struct.unpack."""
+    import pandas as pd
+
+    from debezium_server_bigquery_spark.functions.multimodal import (
+        _parse_media_header,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [b"GIF89a\x01", b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR", b"RIFF1234WAVEfmt "],
+        }
+    )
+    (out,) = list(_parse_media_header(iter([pdf])))
+    assert list(out["kind"]) == ["unknown", "unknown", "unknown"]

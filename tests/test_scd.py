@@ -254,6 +254,60 @@ def test_scd2_sink_schema_evolution_adds_column(spark, tmp_path):
     assert rows[(2, 1)].valid_to is None  # untouched key carried over
 
 
+def test_scd2_sink_batch_missing_stored_column_preserves_values(spark, tmp_path):
+    """A later batch that LACKS a column the stored history carries must
+    not NULL that column out of the touched key's replayed history — the
+    replay selects all stored change columns, not the intersection."""
+    from debezium_server_bigquery_spark.operators.scd import scd2_merge_batch
+
+    t = _sink_table(spark, tmp_path)
+    wide = spark.createDataFrame(
+        [(1, 100, "c", 1.0, 1, "eu"), (2, 100, "c", 2.0, 2, "us")],
+        "user_id long, ts long, __op string, value double, event_id long,"
+        " region string",
+    )
+    scd2_merge_batch(t, wide, order_col="ts", epoch_id=0)
+    narrow = spark.createDataFrame(
+        [(1, 200, "u", 10.0, 3)],
+        "user_id long, ts long, __op string, value double, event_id long",
+    )
+    scd2_merge_batch(t, narrow, order_col="ts", epoch_id=1)
+    rows = {
+        (r.user_id, r.version_num): r
+        for r in t.read().filter(F.col("__op") != "d").collect()
+    }
+    assert rows[(1, 1)].region == "eu"  # stored value survives the re-window
+    assert rows[(1, 2)].region is None  # the narrow change never had one
+    assert rows[(2, 1)].region == "us"
+
+
+def test_scd2_sink_field_addition_gate(spark, tmp_path):
+    """allow_field_addition=False drops a later batch's new columns
+    instead of evolving the stored SCD2 schema — merge_upsert parity."""
+    from debezium_server_bigquery_spark.operators.scd import scd2_merge_batch
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    t = ParquetTable(
+        spark,
+        str(tmp_path / "dim"),
+        key_cols=("user_id",),
+        mode="upsert",
+        n_buckets=4,
+        allow_field_addition=False,
+    )
+    _apply(spark, t, [(1, 100, "c", 1.0, 1)], 0)
+    evolved = spark.createDataFrame(
+        [(1, 200, "u", 2.0, 2, "eu")],
+        "user_id long, ts long, __op string, value double, event_id long,"
+        " region string",
+    )
+    scd2_merge_batch(t, evolved, order_col="ts", epoch_id=1)
+    out = t.read()
+    assert "region" not in out.columns  # gate held: schema not evolved
+    v = _versions(t)
+    assert v[(1, 2)] == (200, None, 2.0)  # the change itself still applied
+
+
 def test_streaming_scd2_with_checkpoint_restart(spark, sf_dir, tmp_path):
     """SCD2 sink under Structured Streaming: two source files -> two
     micro-batches; final history equals the one-shot batch build, and a
