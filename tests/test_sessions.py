@@ -300,3 +300,63 @@ def test_session_window_boundary_semantics(spark):
         .collect()
     )
     assert sorted(r["count"] for r in out) == [3]  # exact gap merges
+
+
+def test_session_window_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """The built-in session_window aggregate under Structured Streaming
+    (availableNow + watermark): every emitted session matches the batch
+    form exactly — the operator is genuinely streaming-ready."""
+    from debezium_server_bigquery_spark.streaming.sessions import (
+        SESSION_GAP_MIN,
+        session_window_stats,
+    )
+    from debezium_server_bigquery_spark.timeutil import as_instant
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    ts_type = ev.schema["ts"].dataType
+    out = (
+        stream.withColumn("ts", as_instant(F.col("ts"), ts_type))
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sw_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in 180s"
+    got = {
+        (r.user_id, r.session_start.replace(tzinfo=None)): (
+            r.n_events,
+            r.total_value,
+        )
+        for r in spark.sql("SELECT * FROM sw_out").collect()
+    }
+    assert len(got) > 0
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in session_window_stats(spark, sf_dir).collect()
+    }
+    for k, v in got.items():
+        assert batch.get(k) == v, f"streaming session {k} diverges from batch"
