@@ -185,6 +185,103 @@ ORDER BY c.event_type, c.next_type
 """
 
 
+def event_next_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the Markov next-event model: transitions
+    whose NEXT event id hashes into the 1-in-5 test fold are predicted by
+    the argmax transition trained on the other four folds; output is
+    per-current-type hit rate.  The eval twin the transition matrix needs
+    before anyone trusts it — same family as ann_ivf_recall and
+    dedup_lsh_recall (measure the approximate/model artifact against held
+    truth inside the engine).
+
+    Scale: one user-keyed window builds transitions once; the trained
+    argmax table is O(types²) (broadcast); accuracy is one aggregate over
+    the test fold.  Ties in the argmax break on the lexicographically
+    smallest next type — deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("(ts_ns div 1000) * 1000").alias("ts_ns"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("next_id", F.lead("event_id").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select("event_type", "next_type", "next_id")
+    )
+    train = pairs.filter(F.pmod("next_id", F.lit(5)) != 0)
+    test = pairs.filter(F.pmod("next_id", F.lit(5)) == 0)
+    counts = train.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("cnt")
+    )
+    wp = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("next_type")
+    )
+    pred = (
+        counts.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("next_type").alias("predicted"))
+    )
+    return (
+        test.join(F.broadcast(pred), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "event_type",
+            "n_test",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_test").cast("double"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+NEXT_PRED_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id
+      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) * 1000, event_id) AS next_type,
+    LEAD(event_id) OVER (
+      PARTITION BY user_id
+      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) * 1000, event_id) AS next_id
+  FROM events
+),
+pairs AS (
+  SELECT event_type, next_type, next_id FROM ordered WHERE next_type IS NOT NULL
+),
+counts AS (
+  SELECT event_type, next_type, COUNT(*) AS cnt
+  FROM pairs WHERE next_id % 5 <> 0
+  GROUP BY event_type, next_type
+),
+pred AS (
+  SELECT event_type, next_type AS predicted FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY cnt DESC, next_type ASC) AS rk
+    FROM counts
+  ) WHERE rk = 1
+)
+SELECT p.event_type, COUNT(*) AS n_test,
+  CAST(SUM(CASE WHEN p.next_type = pr.predicted THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  round(SUM(CASE WHEN p.next_type = pr.predicted THEN 1 ELSE 0 END)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM pairs p JOIN pred pr ON p.event_type = pr.event_type
+WHERE p.next_id % 5 = 0
+GROUP BY p.event_type ORDER BY p.event_type
+"""
+
+
 TOKEN_BUDGET = 8000  # words — ~half the sf0.01 corpus, so selection bites
 
 
@@ -251,10 +348,12 @@ SELECT_BUDGET_SQL = _budget_sql()
 QUERIES = {
     "rfm_customer_segments": rfm_customer_segments,
     "event_transition_matrix": event_transition_matrix,
+    "event_next_prediction_accuracy": event_next_prediction_accuracy,
     "select_quality_budget": select_quality_budget,
 }
 ORACLES = {
     "rfm_customer_segments": RFM_SQL,
     "event_transition_matrix": TRANSITION_SQL,
+    "event_next_prediction_accuracy": NEXT_PRED_SQL,
     "select_quality_budget": SELECT_BUDGET_SQL,
 }

@@ -101,3 +101,15 @@ def test_dau_wau_hand_case(spark):
     assert got["2024-01-04"] == (1, 2)
     # u1's Jan-4 activity is exactly 6 days back — still inside the window
     assert got["2024-01-10"] == (1, 2)
+
+
+def test_next_prediction_accuracy_bounds(spark, sf_dir):
+    from debezium_server_bigquery_spark.plans.segmentation import (
+        event_next_prediction_accuracy,
+    )
+
+    rows = event_next_prediction_accuracy(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_test
+        assert r.accuracy == round(r.n_correct / r.n_test, 6)
