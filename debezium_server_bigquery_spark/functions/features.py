@@ -1,0 +1,71 @@
+"""Feature hashing (the hashing trick) — fixed-width ML feature export.
+
+The last step before text leaves the engine for a trainer: map each
+document's bag of words into a FIXED-width integer count vector by
+hashing tokens into buckets — no vocabulary to build, broadcast, or keep
+consistent across runs (Weinberger et al., ICML'09).  Emitted as scalar
+columns ``f0..f{D-1}`` (not an array) per the registry's scalar-output
+convention, which is also the columnar layout a parquet-consuming
+trainer wants.
+
+Scale: one tokenize + explode, one hash-keyed aggregate with map-side
+combine; the pivot to D columns is a conditional-sum aggregate, never a
+wide shuffle.  The bucket hash is the dedup family's ``hash60`` (md5 —
+identical in Spark and DuckDB), so counts are bit-identical integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import _hash60_sql, hash60
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+N_FEATURES = 16
+
+
+def hashed_features(docs: DataFrame, n_features: int = N_FEATURES, text_col: str = "text") -> DataFrame:
+    """(doc_id, f0..f{n-1}) — hashed bag-of-words count vector per doc."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("w"),
+    )
+    bucketed = toks.select("doc_id", F.pmod(hash60(F.col("w")), F.lit(n_features)).alias("b"))
+    return bucketed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == k, 1).otherwise(0)).alias(f"f{k}")
+            for k in range(n_features)
+        ]
+    )
+
+
+def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return hashed_features(docs).orderBy("doc_id")
+
+
+_F_COLS = ",\n  ".join(
+    f"CAST(SUM(CASE WHEN b = {k} THEN 1 ELSE 0 END) AS BIGINT) AS f{k}"
+    for k in range(N_FEATURES)
+)
+
+DOC_HASHED_FEATURES_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, w
+  FROM documents,
+    UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS t(w)
+), bucketed AS (
+  SELECT doc_id, {_hash60_sql('w')} % {N_FEATURES} AS b FROM toks
+)
+SELECT doc_id,
+  {_F_COLS}
+FROM bucketed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = {"doc_hashed_features": doc_hashed_features}
+ORACLES = {"doc_hashed_features": DOC_HASHED_FEATURES_SQL}

@@ -1,0 +1,44 @@
+"""Feature hashing — hand-checked bucket counts and invariants."""
+
+from __future__ import annotations
+
+from debezium_server_bigquery_spark.functions.features import (
+    N_FEATURES,
+    hashed_features,
+)
+
+
+def test_hashed_features_counts_total_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = hashed_features(docs).collect()
+    assert len(out) == 40
+    n_tokens = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("n"),
+        ).collect()
+    }
+    for r in out:
+        # feature counts are a partition of the token count
+        assert sum(r[f"f{k}"] for k in range(N_FEATURES)) == n_tokens[r.doc_id]
+        assert all(r[f"f{k}"] >= 0 for k in range(N_FEATURES))
+
+
+def test_hashed_features_deterministic_buckets(spark):
+    """The same token always lands in the same bucket — two docs of the
+    same repeated word differ only by count scale."""
+    docs = spark.createDataFrame(
+        [(1, "zap zap zap"), (2, "zap")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in hashed_features(docs).collect()}
+    vec1 = [rows[1][f"f{k}"] for k in range(N_FEATURES)]
+    vec2 = [rows[2][f"f{k}"] for k in range(N_FEATURES)]
+    assert sum(v > 0 for v in vec1) == 1  # one word -> one bucket
+    assert [v * 3 for v in vec2] == vec1
