@@ -76,6 +76,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.plans.behavior",),
         ("debezium_server_bigquery_spark.plans.segmentation",),
         ("debezium_server_bigquery_spark.plans.diagnostics",),
+        ("debezium_server_bigquery_spark.plans.profiler",),
         ("debezium_server_bigquery_spark.plans.validation",),
         ("debezium_server_bigquery_spark.plans.constraints",),
         ("debezium_server_bigquery_spark.plans.analytics_windows",),
