@@ -59,6 +59,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.pca",),
         ("debezium_server_bigquery_spark.functions.regression",),
         ("debezium_server_bigquery_spark.functions.features",),
+        ("debezium_server_bigquery_spark.functions.fusion",),
         ("debezium_server_bigquery_spark.functions.multimodal",),
         ("debezium_server_bigquery_spark.functions.packing",),
         ("debezium_server_bigquery_spark.functions.chunking",),

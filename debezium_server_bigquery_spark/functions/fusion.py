@@ -1,0 +1,134 @@
+"""Multi-signal quality fusion — reciprocal rank fusion (RRF) of
+independent document-quality signals.
+
+A curation pipeline rarely trusts one scorer: the heuristic quality
+filter (length/stopword/punctuation, functions/text.py) and the
+corpus-LM likelihood (functions/lm.py) disagree exactly where each is
+blind.  RRF (Cormack et al., SIGIR'09) blends them scale-free — each
+signal contributes 1/(K + rank), so magnitudes never need calibrating —
+and the blended top-k is the "best documents by consensus" cut.
+
+Scale: each signal's rank comes from ``operators/rank.global_row_number``
+(range partition + local rank + O(partitions) offsets — never a
+single-task window); the two rank frames hash-join on doc_id and the
+top-k compiles to TakeOrderedAndProject.
+
+Determinism: each RRF term is one IEEE division of exact integers and
+the two-term sum is written in the same fixed order in both engines —
+bit-identical before the output rounding.  Documents with < 2 tokens
+have no LM score and are excluded (inner join), matching the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+RRF_K = 60
+TOP_DOCS = 30
+
+
+def rrf_blend(ranked: list[DataFrame], k: int = RRF_K) -> DataFrame:
+    """Join per-signal (doc_id, rank_i) frames and sum 1/(k + rank_i)."""
+    out = ranked[0]
+    for nxt in ranked[1:]:
+        out = out.join(nxt, "doc_id")
+    rank_cols = [c for c in out.columns if c.startswith("rank_")]
+    expr = None
+    for c in rank_cols:  # fixed fold order — FP-sum determinism
+        term = F.lit(1.0) / (F.lit(k) + F.col(c))
+        expr = term if expr is None else expr + term
+    return out.withColumn("rrf", expr)
+
+
+def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top documents by RRF consensus of the heuristic quality score and
+    the corpus-LM mean bigram likelihood."""
+    from debezium_server_bigquery_spark.functions.lm import (
+        _doc_tokens,
+        doc_lm_scores,
+    )
+    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.operators.rank import global_row_number
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    lmscore = doc_lm_scores(
+        _doc_tokens(load_table(spark, sf_dir, "documents", spread=True))
+    ).select("doc_id", "mean_prob")
+    r1 = global_row_number(
+        q, [F.desc("quality_score"), F.asc("doc_id")], out="rank_q"
+    ).select("doc_id", "rank_q")
+    r2 = global_row_number(
+        lmscore, [F.desc("mean_prob"), F.asc("doc_id")], out="rank_lm"
+    ).select("doc_id", "rank_lm")
+    return (
+        rrf_blend([r1, r2])
+        .select("doc_id", "rank_q", "rank_lm", F.round("rrf", 9).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(TOP_DOCS)
+    )
+
+
+# The oracle recomputes both signals from scratch (same definitions as
+# TEXT_QUALITY_SQL and DOC_LM_QUALITY_SQL) and blends with the identical
+# fixed-order RRF expression.
+QUALITY_RRF_SQL = rf"""
+WITH toks0 AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w,
+    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS wl
+  FROM documents
+), quality AS (
+  SELECT doc_id,
+    round(
+      (CASE WHEN len(w) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN len(list_filter(wl, t -> list_contains(
+            ['the','a','and','of','to','in','is','on','for','with'], t)))
+          / greatest(len(wl), 1) > 0.01 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+          / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END), 2)
+      AS quality_score
+  FROM toks0
+), toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(toks))) AS r(i)
+), c_ab AS (
+  SELECT a, b, COUNT(*) AS cnt FROM bg GROUP BY a, b
+), c_a AS (
+  SELECT a, CAST(SUM(cnt) AS BIGINT) AS ctx FROM c_ab GROUP BY a
+), v AS (
+  SELECT COUNT(DISTINCT w2) AS v FROM toks, UNNEST(toks) AS u(w2)
+), lm AS (
+  SELECT a, b, (cnt + 1) / CAST(ctx + v AS DOUBLE) AS prob
+  FROM c_ab JOIN c_a USING (a), v
+), lmscore AS (
+  SELECT bg.doc_id,
+    round(CAST(SUM(CAST(prob AS DECIMAL(25,15))) AS DOUBLE) / COUNT(*), 9)
+      AS mean_prob
+  FROM bg JOIN lm USING (a, b)
+  GROUP BY bg.doc_id
+), r1 AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+    ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS rank_q
+  FROM quality
+), r2 AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+    ORDER BY mean_prob DESC, doc_id ASC) AS BIGINT) AS rank_lm
+  FROM lmscore
+)
+SELECT doc_id, rank_q, rank_lm,
+  round(1.0::DOUBLE / ({RRF_K} + rank_q)
+      + 1.0::DOUBLE / ({RRF_K} + rank_lm), 9) AS rrf
+FROM r1 JOIN r2 USING (doc_id)
+ORDER BY rrf DESC, doc_id ASC LIMIT {TOP_DOCS}
+"""
+
+
+QUERIES = {"quality_rank_fusion": quality_rank_fusion}
+ORACLES = {"quality_rank_fusion": QUALITY_RRF_SQL}

@@ -141,19 +141,15 @@ ORDER BY cnt DESC, a ASC, b ASC LIMIT 30
 """
 
 
-def doc_lm_quality_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Likelihood-based quality filter: the documents whose bigrams are
-    LEAST probable under the corpus's own bigram LM — the removal
-    candidates a perplexity filter would surface.  Documents with fewer
-    than two tokens have no bigrams and are not scored."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    toks = _doc_tokens(docs)
+def doc_lm_scores(toks: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_bigrams, mean_prob) for every document with >= 2
+    tokens — the corpus-LM likelihood score, shared by the bottom-k
+    filter and the rank-fusion blender.  lang is carried through the
+    bigram frame (constant per doc) and grouped alongside doc_id — NO
+    join back to the corpus-cardinality documents table, which would
+    otherwise need a broadcast or shuffle of one row per document."""
     lm = bigram_lm(toks)
-    # lang is carried through the bigram frame (constant per doc) and
-    # grouped alongside doc_id — NO join back to the corpus-cardinality
-    # documents table, which would otherwise need a broadcast or shuffle
-    # of one row per document.
-    scored = (
+    return (
         _doc_bigrams(toks)
         .join(lm.select("a", "b", "prob"), ["a", "b"])  # bigram-keyed join
         .groupBy("doc_id", "lang")
@@ -171,6 +167,15 @@ def doc_lm_quality_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_prob"),
         )
     )
+
+
+def doc_lm_quality_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-based quality filter: the documents whose bigrams are
+    LEAST probable under the corpus's own bigram LM — the removal
+    candidates a perplexity filter would surface.  Documents with fewer
+    than two tokens have no bigrams and are not scored."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    scored = doc_lm_scores(_doc_tokens(docs))
     return scored.orderBy(F.asc("mean_prob"), F.asc("doc_id")).limit(BOTTOM_DOCS)
 
 
