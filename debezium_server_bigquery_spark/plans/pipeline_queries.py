@@ -552,6 +552,87 @@ GROUP BY 1, 2 ORDER BY table_name, __op
 """
 
 
+def incremental_snapshot_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBLog-style incremental snapshot under the gate: a pre-existing
+    database state is read in FOUR key-range chunks interleaved with four
+    slices of concurrently-arriving live changes, all applied through the
+    real MERGE sink.  Snapshot rows enter as ``__op='r'`` with
+    ``__source_ts_ns=0``, so the A2 comparator makes any live change beat
+    its key's snapshot row no matter which lands first — the ordering
+    realization of the DBLog watermark algorithm (Andreakis &
+    Papapanagiotou, Netflix '19) that Debezium ships as incremental
+    snapshots; the reference inherits it from the embedded engine via its
+    snapshot-mode configuration surface.  keep_deletes=True prevents a
+    late snapshot
+    chunk from resurrecting a key a live delete removed.  The final table
+    must equal: live winners where present, else the database row."""
+    from debezium_server_bigquery_spark.operators.dedup import dedup_last_writer
+    from debezium_server_bigquery_spark.operators.merge import merge_upsert
+    from debezium_server_bigquery_spark.operators.routing import filter_heartbeats
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    cdc = filter_heartbeats(
+        synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    )
+    hist = cdc.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    live = cdc.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    # the database being snapshotted = destructive final state of history
+    db = dedup_last_writer(
+        hist, ["user_id"], order_col="__source_ts_ns", tiebreak=("event_id",)
+    ).filter(F.col("__op") != "d")
+    table = ParquetTable(
+        spark,
+        os.path.join(scratch_dir("dsbq_snap_"), "t"),
+        key_cols=["user_id"],
+        mode="upsert",
+        n_buckets=8,
+    )
+    for i in range(4):
+        chunk = db.filter(F.pmod("user_id", F.lit(4)) == i).withColumns(
+            {"__op": F.lit("r"), "__source_ts_ns": F.lit(0).cast("long")}
+        )
+        merge_upsert(
+            table, chunk, keep_deletes=True, tiebreak=("event_id",),
+            epoch_id=f"snap.{i}",
+        )
+        merge_upsert(
+            table,
+            live.filter(F.pmod("event_id", F.lit(4)).isin(i, i + 4)),  # slice i
+            keep_deletes=True,
+            tiebreak=("event_id",),
+            epoch_id=f"live.{i}",
+        )
+    return (
+        table.read()
+        .filter(F.coalesce(F.col("__deleted"), F.lit("false")) != "true")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+INCREMENTAL_SNAPSHOT_SQL = f"""{_CDC_CTE}
+, hist AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY __source_ts_ns DESC, {_OP_PRI} DESC, event_id DESC) AS rn
+    FROM cdc WHERE {_NOT_HEARTBEAT} AND event_id % 2 = 0
+  ) WHERE rn = 1 AND __op <> 'd'
+), live AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY __source_ts_ns DESC, {_OP_PRI} DESC, event_id DESC) AS rn
+    FROM cdc WHERE {_NOT_HEARTBEAT} AND event_id % 2 = 1
+  ) WHERE rn = 1
+)
+SELECT user_id, event_id, event_type, value
+FROM live WHERE __op <> 'd'
+UNION ALL
+SELECT user_id, event_id, event_type, value
+FROM hist WHERE user_id NOT IN (SELECT user_id FROM live)
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "pipeline_upsert_e2e": pipeline_upsert_e2e,
     "pipeline_append_e2e": pipeline_append_e2e,
@@ -564,6 +645,7 @@ QUERIES = {
     "pipeline_rejects_e2e": pipeline_rejects_e2e,
     "pipeline_metrics_e2e": pipeline_metrics_e2e,
     "pipeline_replay_idempotent_e2e": pipeline_replay_idempotent_e2e,
+    "incremental_snapshot_e2e": incremental_snapshot_e2e,
 }
 
 ORACLES = {
@@ -578,4 +660,5 @@ ORACLES = {
     "pipeline_rejects_e2e": PIPELINE_REJECTS_SQL,
     "pipeline_metrics_e2e": PIPELINE_METRICS_SQL,
     "pipeline_replay_idempotent_e2e": PIPELINE_REPLAY_SQL,
+    "incremental_snapshot_e2e": INCREMENTAL_SNAPSHOT_SQL,
 }

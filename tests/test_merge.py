@@ -139,3 +139,36 @@ def test_leftover_staging_dir_is_invisible(spark, tmp_path):
     got = {(r.c_id, r.c_data) for r in t.read().collect()}
     assert got == {(1, "a2"), (2, "b")}
     assert not any(r.c_id == 9 for r in t.read().collect())
+
+
+def test_snapshot_chunk_cannot_resurrect_deleted_key(spark, tmp_path):
+    """Incremental-snapshot ordering: a snapshot chunk (op='r', ts=0)
+    landing AFTER a live delete must not resurrect the key — the stored
+    tombstone (keep_deletes=True) wins on timestamp."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.operators.merge import merge_upsert
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    t = ParquetTable(
+        spark, str(tmp_path / "t"), key_cols=["user_id"], mode="upsert", n_buckets=4
+    )
+    schema = (
+        "user_id long, event_id long, value double, __op string,"
+        " __source_ts_ns long, __deleted string"
+    )
+    live_delete = spark.createDataFrame(
+        [(7, 100, 0.0, "d", 1000, "true")], schema
+    )
+    snapshot = spark.createDataFrame(
+        [(7, 50, 5.0, "r", 0, "false"), (8, 51, 6.0, "r", 0, "false")], schema
+    )
+    merge_upsert(t, live_delete, keep_deletes=True, tiebreak=("event_id",), epoch_id=0)
+    merge_upsert(t, snapshot, keep_deletes=True, tiebreak=("event_id",), epoch_id=1)
+    alive = {
+        r.user_id
+        for r in t.read()
+        .filter(F.coalesce(F.col("__deleted"), F.lit("false")) != "true")
+        .collect()
+    }
+    assert alive == {8}  # 7 stays dead; 8's snapshot row lands
