@@ -189,8 +189,8 @@ _TIER1 = [
     # dedup_lsh_recall, dedup_containment_pairs, session_window_stats,
     # revenue_trend_by_segment, dau_wau_stickiness,
     # trimmed_mean_value_by_type, event_next_prediction_accuracy,
-    # doc_hashed_features, quality_rank_fusion, profile_table_columns.
-    # Swap them in next round for
+    # doc_hashed_features, quality_rank_fusion, profile_table_columns,
+    # incremental_snapshot_e2e.  Swap them in next round for
     # multiply-covered members, and rotate r5-graded members (below) back
     # per the two-consecutive-rounds policy.
     # Rotated out this round (all carry a passing r5 driver row):
