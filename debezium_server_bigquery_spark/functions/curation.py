@@ -350,8 +350,79 @@ ORDER BY a.lang, a.split
 """
 
 
+def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED Bernoulli sampling: each document keeps with
+    probability equal to its quality score, decided by its own salted
+    hash — the soft curation cut between hard filtering (drop below
+    threshold) and uniform sampling, still embarrassingly parallel and
+    exactly reproducible.  Output is the per-language selection balance
+    with the mean quality of what survived (selection should tilt the
+    mean upward versus the corpus).
+
+    Determinism: the draw is an integer hash; the keep probability is
+    the rounded quality score — both engines evaluate the identical
+    double comparison, so selection is bit-identical."""
+    from debezium_server_bigquery_spark.functions.text import text_quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    draw = F.pmod(
+        hash60(F.concat(F.lit("wq:"), F.col("doc_id"))), F.lit(_RATE_SCALE)
+    )
+    kept = (
+        docs.join(q, "doc_id")  # doc-keyed hash join, never broadcast
+        .withColumn("draw", draw)
+        .filter(F.col("draw") < F.col("quality_score") * _RATE_SCALE)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(6,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUALITY_CTE = r"""
+  SELECT doc_id,
+    round(
+      (CASE WHEN len(w) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN len(list_filter(wl, t -> list_contains(
+            ['the','a','and','of','to','in','is','on','for','with'], t)))
+          / greatest(len(wl), 1) > 0.01 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+          / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END), 2)
+      AS quality_score
+  FROM (
+    SELECT doc_id, text,
+      list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w,
+      list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS wl
+    FROM documents)
+"""
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH quality AS ({_QUALITY_CTE}),
+kept AS (
+  SELECT d.lang, q.quality_score
+  FROM documents d JOIN quality q USING (doc_id)
+  WHERE {_hash60_sql("'wq:' || d.doc_id")} % {_RATE_SCALE}
+    < q.quality_score * {_RATE_SCALE}
+)
+SELECT lang, COUNT(*) AS n_selected,
+  round(CAST(SUM(CAST(quality_score AS DECIMAL(6,2))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_quality
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
+    "sample_weighted_by_quality": sample_weighted_by_quality,
     "sample_bernoulli_by_lang": sample_bernoulli_by_lang,
     "vocab_top_terms": vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -361,6 +432,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sample_weighted_by_quality": SAMPLE_WEIGHTED_SQL,
     "sample_bernoulli_by_lang": SAMPLE_BERNOULLI_SQL,
     "vocab_top_terms": VOCAB_TOP_TERMS_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,

@@ -77,3 +77,26 @@ def test_quantize_matches_python_reference(spark, sf_dir):
         assert abs(got[vid].scale - scale) < 1e-9
         assert got[vid].q_min == min(q) and got[vid].q_max == max(q)
         assert abs(got[vid].mse - mse) < 1e-12
+
+
+def test_weighted_sampling_tilts_quality_upward(spark, sf_dir):
+    """Selection probability == quality, so the selected slice's mean
+    quality must be >= the corpus mean (strictly, unless degenerate)."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.functions.curation import (
+        sample_weighted_by_quality,
+    )
+    from debezium_server_bigquery_spark.functions.text import text_quality_score
+
+    sel = sample_weighted_by_quality(spark, sf_dir).collect()
+    assert len(sel) > 0
+    total_sel = sum(r.n_selected for r in sel)
+    overall_sel_mean = (
+        sum(r.mean_quality * r.n_selected for r in sel) / total_sel
+    )
+    corpus = text_quality_score(spark, sf_dir).agg(
+        F.avg("quality_score").alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    assert 0 < total_sel < corpus.n  # a genuine subset
+    assert overall_sel_mean >= corpus.m  # quality-weighted tilt
