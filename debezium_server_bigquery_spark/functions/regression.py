@@ -106,5 +106,63 @@ FROM sums ORDER BY segment
 """
 
 
-QUERIES = {"revenue_trend_by_segment": revenue_trend_by_segment}
-ORACLES = {"revenue_trend_by_segment": REVENUE_TREND_SQL}
+def revenue_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal profile of daily order revenue: per ISO weekday
+    (0 = Monday), the mean DAILY revenue and its index against the
+    overall daily mean — the seasonality read that pairs with the OLS
+    trend for a full decompose-by-inspection.  Two combinable aggregates
+    (per-day, then per-weekday) plus a one-row broadcast overall mean;
+    every mean is an exact decimal sum over an IEEE division."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    overall = daily.agg(
+        (F.sum("rev").cast("double") / F.count("*")).alias("overall_mean")
+    )
+    return (
+        daily.groupBy(F.expr("weekday(day)").alias("weekday"))
+        .agg(
+            F.count("*").alias("n_days"),
+            (F.sum("rev").cast("double") / F.count("*")).alias("mean_rev_raw"),
+        )
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "weekday",
+            "n_days",
+            F.round("mean_rev_raw", 4).alias("mean_daily_revenue"),
+            F.round(
+                F.col("mean_rev_raw") / F.col("overall_mean"), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("weekday")
+    )
+
+
+WEEKDAY_SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+), overall AS (
+  SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS overall_mean FROM daily
+), wk AS (
+  SELECT isodow(day) - 1 AS weekday, COUNT(*) AS n_days,
+    CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mean_rev_raw
+  FROM daily GROUP BY 1
+)
+SELECT weekday, n_days,
+  round(mean_rev_raw, 4) AS mean_daily_revenue,
+  round(mean_rev_raw / overall_mean, 6) AS seasonal_index
+FROM wk, overall ORDER BY weekday
+"""
+
+
+QUERIES = {
+    "revenue_trend_by_segment": revenue_trend_by_segment,
+    "revenue_weekday_seasonality": revenue_weekday_seasonality,
+}
+ORACLES = {
+    "revenue_trend_by_segment": REVENUE_TREND_SQL,
+    "revenue_weekday_seasonality": WEEKDAY_SEASONALITY_SQL,
+}

@@ -64,3 +64,17 @@ def test_revenue_trend_output_shape(spark, sf_dir):
     assert len(out) == 5  # TPC-H market segments
     for r in out:
         assert r.n_days > 1 and r.r2 is not None and 0.0 <= r.r2 <= 1.0
+
+
+def test_weekday_seasonality_indices_average_to_one(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.regression import (
+        revenue_weekday_seasonality,
+    )
+
+    rows = revenue_weekday_seasonality(spark, sf_dir).collect()
+    assert {r.weekday for r in rows} == set(range(7))
+    total_days = sum(r.n_days for r in rows)
+    # day-weighted mean of the indices is 1 by construction
+    weighted = sum(r.seasonal_index * r.n_days for r in rows) / total_days
+    assert abs(weighted - 1.0) < 1e-4
+    assert all(r.mean_daily_revenue > 0 for r in rows)
