@@ -282,6 +282,63 @@ GROUP BY p.event_type ORDER BY p.event_type
 """
 
 
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the exact Gini coefficient of per-customer
+    spend — G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n over spend sorted ascending
+    with rank i.  The inequality metric behind "top decile drives X% of
+    revenue" dashboards, computed exactly at any scale: the rank comes
+    from ``operators/rank.global_row_number`` and both Σx and Σ i·x_i are
+    exact decimal sums (rank × decimal stays decimal), so the only
+    floating point is the final two-division expression — bit-identical
+    cross-engine."""
+    from debezium_server_bigquery_spark.operators.rank import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("spend")
+    )
+    ranked = global_row_number(
+        spend, [F.asc("spend"), F.asc("o_custkey")], out="r"
+    )
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("spend").alias("sx"),
+        F.sum(F.col("r") * F.col("spend")).alias("srx"),
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("sx").cast("double"), 2).alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * F.col("srx").cast("double"))
+            / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n") + 1) / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT spend, CAST(ROW_NUMBER() OVER (ORDER BY spend ASC, o_custkey ASC)
+    AS BIGINT) AS r
+  FROM spend
+), sums AS (
+  SELECT COUNT(*) AS n, SUM(spend) AS sx, SUM(r * spend) AS srx FROM ranked
+)
+SELECT n AS n_customers,
+  round(CAST(sx AS DOUBLE), 2) AS total_revenue,
+  round((2.0 * CAST(srx AS DOUBLE)) / (n * CAST(sx AS DOUBLE))
+      - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+FROM sums
+"""
+
+
 TOKEN_BUDGET = 8000  # words — ~half the sf0.01 corpus, so selection bites
 
 
@@ -349,11 +406,13 @@ QUERIES = {
     "rfm_customer_segments": rfm_customer_segments,
     "event_transition_matrix": event_transition_matrix,
     "event_next_prediction_accuracy": event_next_prediction_accuracy,
+    "customer_revenue_gini": customer_revenue_gini,
     "select_quality_budget": select_quality_budget,
 }
 ORACLES = {
     "rfm_customer_segments": RFM_SQL,
     "event_transition_matrix": TRANSITION_SQL,
     "event_next_prediction_accuracy": NEXT_PRED_SQL,
+    "customer_revenue_gini": GINI_SQL,
     "select_quality_budget": SELECT_BUDGET_SQL,
 }

@@ -113,3 +113,24 @@ def test_next_prediction_accuracy_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_test
         assert r.accuracy == round(r.n_correct / r.n_test, 6)
+
+
+def test_gini_hand_cases(spark):
+    """Equal spends -> Gini 0; extreme concentration -> near 1."""
+    import unittest.mock as mock
+
+    from debezium_server_bigquery_spark.plans import segmentation
+
+    def run(rows):
+        orders = spark.createDataFrame(
+            rows, "o_custkey long, o_totalprice double, o_orderdate date"
+        )
+        with mock.patch.object(segmentation, "load_table", return_value=orders):
+            return segmentation.customer_revenue_gini(spark, "x").collect()[0]
+
+    equal = run([(k, 100.0, None) for k in range(10)])
+    assert equal.gini == 0.0
+    concentrated = run(
+        [(k, 0.01, None) for k in range(9)] + [(9, 100000.0, None)]
+    )
+    assert concentrated.gini > 0.85
