@@ -559,6 +559,48 @@ ORDER BY doc_a, doc_b
 """
 
 
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does duplication FLOW between sources?  Near-dup candidate
+    pairs (banded MinHash) aggregated by the unordered pair of their
+    documents' sources — the report that tells a curation team which
+    crawls/feeds re-ingest each other's content (high off-diagonal mass =
+    cross-source copying; diagonal = within-source boilerplate).  Reuses
+    the LSH pair generator verbatim plus two doc-keyed joins to attach
+    sources; output is O(sources²)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+CROSS_SOURCE_DUP_SQL = f"""{MINHASH_BAND_CTES},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT least(da.source, db.source) AS source_a,
+  greatest(da.source, db.source) AS source_b,
+  COUNT(*) AS n_pairs
+FROM cand
+  JOIN documents da ON da.doc_id = cand.doc_a
+  JOIN documents db ON db.doc_id = cand.doc_b
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality evaluation of the banded-MinHash index: of the TRUE
     near-dup pairs (exact capped-index Jaccard >= threshold), what
@@ -633,6 +675,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment_pairs": dedup_containment_pairs,
+    "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_lsh_recall": dedup_lsh_recall,
 }
 
@@ -642,5 +685,6 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment_pairs": DEDUP_CONTAINMENT_SQL,
+    "cross_source_dup_matrix": CROSS_SOURCE_DUP_SQL,
     "dedup_lsh_recall": DEDUP_LSH_RECALL_SQL,
 }

@@ -77,3 +77,18 @@ def test_containment_catches_embedded_doc(spark):
         }
     assert rows.get((1, 2)) == 1.0  # short fully contained in long
     assert (2, 1) not in rows  # long is NOT contained in short
+
+
+def test_cross_source_matrix_counts_match_pairs(spark, sf_dir):
+    """The matrix is a lossless regrouping of the LSH candidate pairs:
+    its n_pairs sum equals the pair count, and sources are normalized to
+    unordered (source_a <= source_b)."""
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+        cross_source_dup_matrix,
+        dedup_minhash_lsh,
+    )
+
+    matrix = cross_source_dup_matrix(spark, sf_dir).collect()
+    n_pairs = dedup_minhash_lsh(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in matrix) == n_pairs
+    assert all(r.source_a <= r.source_b for r in matrix)
