@@ -190,7 +190,10 @@ _TIER1 = [
     # revenue_trend_by_segment, dau_wau_stickiness,
     # trimmed_mean_value_by_type, event_next_prediction_accuracy,
     # doc_hashed_features, quality_rank_fusion, profile_table_columns,
-    # incremental_snapshot_e2e.  Swap them in next round for
+    # incremental_snapshot_e2e, sample_weighted_by_quality,
+    # open_orders_over_time, revenue_weekday_seasonality,
+    # customer_revenue_gini, cross_source_dup_matrix.  Swap them in next
+    # round for
     # multiply-covered members, and rotate r5-graded members (below) back
     # per the two-consecutive-rounds policy.
     # Rotated out this round (all carry a passing r5 driver row):
