@@ -106,31 +106,32 @@ def _collect(attr: str) -> dict:
 # a driver that grades a prefix of the dict still sees each component; the
 # remaining members and the TPC-H-shaped tail follow.
 #
-# Round-6 rotation (per the r5 verdict's ask #4): the 25 SQL-twinned
-# round-5 queries that have never had a driver CORRECTNESS row — the SCD2
-# point-in-time/diff/enrich trio, BM25, PageRank + co-occurrence,
-# retention cohorts, volume anomaly, referential-integrity + constraint
-# validators, media header probe, contrastive triplets, sliding counts,
-# daily pivot, OOV rate, datacard, funnel window, session daily stats,
-# RFM, transition matrix, KWIC, skew report, value histogram, splits, and
-# quality-budget selection — enter the graded prefix, plus R3
-# (pipeline_fanin_rewrite_e2e) and F4 (cdc_nested_envelope) rotating back
-# in, plus two queries NEW this round: pipeline_replay_idempotent_e2e
-# (S7 epoch-marker idempotency under the gate, verdict ask #7) and
-# bpe_first_merge (BPE round 1 as a static SQL-twinned argmax, ask #5).
-# They displace 29 multiply-covered members that all have a passing r5
-# driver row (the r5-new graded set: SCD2 sink/history, the sketch pair,
-# the ANN recall/ADC pair, shard export pair, text/curation members, and
-# the TPC-H-adjacent tail) — every rotated-out query stays registered
-# right after the prefix, keeps local-oracle coverage, and re-enters in a
-# later rotation per the two-consecutive-rounds policy.  Kept in the
-# prefix: the CDC parity core (S1-S6, R1/R2/R5/R6, A1-A3, F1-F11 via the
-# coercion pair), the e2e write paths, grouping-sets/set-ops/window reps,
-# the asof + skew joins, exact dedup, and brute-force ANN — so every §2
-# component retains at least one graded row this round, and
-# cdc_coerce_exotic gets its re-attempt after the round-5 output-shape
-# fix.
+# Round-7 rotation (per the r6 verdict's ask #1): the 20 round-6-new
+# queries that have never had a driver CORRECTNESS row — the bigram-LM
+# pair, embedding covariance, the IVM join view, LSH recall/precision,
+# containment pairs, the cross-source dup matrix, built-in session_window
+# stats, OLS revenue trend, DAU/WAU stickiness, trimmed means, Markov
+# next-event accuracy, feature hashing, RRF quality fusion, the column
+# profiler, the DBLog incremental snapshot, quality-weighted sampling,
+# open-order backlog, weekday seasonality, and the revenue Gini — enter
+# the graded prefix, plus TWO queries new this round closing the last
+# never-graded components: pipeline_schema_history_e2e (S8 store/recover
+# through the real pipeline, ask #5) and pipeline_keyless_append_e2e (A4
+# doUpsert/doTableHasPrimaryKey append fallback, ask #6).  They displace
+# 22 multiply-covered members that all carry a passing r6 driver row (the
+# SCD2 trio, session daily stats, co-occurrence, retention, anomaly,
+# sliding counts, pivot, funnel, RFM, transitions, KWIC, OOV, datacard,
+# splits, quality budget, skew report, histogram, both validators, and
+# bpe_first_merge) — every rotated-out query stays registered right after
+# the prefix, keeps local-oracle coverage, and re-enters in a later
+# rotation per the two-consecutive-rounds policy.  Kept in the prefix:
+# the CDC parity core (S1-S7, R1-R6, A1-A3, F1-F11 via the coercion
+# trio), the e2e write paths, sessionization, grouping-sets/set-ops/
+# window reps, the asof + skew joins, exact dedup, contrastive, ANN,
+# BM25, PageRank, and the multimodal probe — so every component family
+# retains at least one graded row this round.
 _TIER1 = [
+    # -- CDC parity core + e2e write paths ---------------------------------
     "q1_pricing_summary",
     "cdc_flatten",
     "cdc_route",
@@ -146,22 +147,51 @@ _TIER1 = [
     "pipeline_rejects_e2e",
     "pipeline_fanin_rewrite_e2e",
     "pipeline_replay_idempotent_e2e",
+    "pipeline_schema_history_e2e",
+    "pipeline_keyless_append_e2e",
+    "incremental_snapshot_e2e",
     "ivm_incremental_agg_e2e",
-    "scd2_state_as_of",
-    "snapshot_diff_epochs",
-    "scd2_temporal_enrich",
+    "ivm_incremental_join_e2e",
+    # -- sessionization / windows / set ops / joins ------------------------
     "sessionize_events",
-    "session_stats_daily",
+    "session_window_stats",
     "w_running_customer_spend",
     "gsets_returnflag_year_revenue",
     "set_returned_open_orders",
     "asof_purchase_last_view",
     "skew_join_above_user_avg",
+    # -- LLM-pipeline operator families ------------------------------------
     "dedup_exact",
+    "dedup_containment_pairs",
+    "dedup_lsh_recall",
+    "cross_source_dup_matrix",
     "contrastive_triplets",
     "ann_cosine_topk",
     "bm25_search_topk",
     "pagerank_trade_graph",
+    "lm_bigram_topk",
+    "doc_lm_quality_bottomk",
+    "embedding_covariance_upper",
+    "doc_hashed_features",
+    "quality_rank_fusion",
+    "sample_weighted_by_quality",
+    "media_header_probe",
+    "profile_table_columns",
+    # -- statistics / behavioral analytics ---------------------------------
+    "revenue_trend_by_segment",
+    "dau_wau_stickiness",
+    "trimmed_mean_value_by_type",
+    "event_next_prediction_accuracy",
+    "open_orders_over_time",
+    "revenue_weekday_seasonality",
+    "customer_revenue_gini",
+    # -- end of the 50-query graded prefix --------------------------------
+    # Rotated out this round (all carry a passing r6 driver row; re-enter
+    # in a later rotation per the two-consecutive-rounds policy):
+    "scd2_state_as_of",
+    "snapshot_diff_epochs",
+    "scd2_temporal_enrich",
+    "session_stats_daily",
     "supplier_cooccurrence_topk",
     "retention_cohorts",
     "events_volume_anomaly",
@@ -175,28 +205,12 @@ _TIER1 = [
     "dataset_datacard",
     "dataset_splits",
     "select_quality_budget",
-    "media_header_probe",
     "skew_report_lineitem_suppkey",
     "events_value_histogram",
     "validate_referential_integrity",
     "validate_constraints",
     "bpe_first_merge",
-    # -- end of the 50-query graded prefix --------------------------------
-    # Round-7 rotation shortlist — the queries NEW in round 6, none of
-    # which has a driver CORRECTNESS row yet (all pass the local oracle
-    # replica incl. --plain --tz): lm_bigram_topk, doc_lm_quality_bottomk,
-    # embedding_covariance_upper, ivm_incremental_join_e2e,
-    # dedup_lsh_recall, dedup_containment_pairs, session_window_stats,
-    # revenue_trend_by_segment, dau_wau_stickiness,
-    # trimmed_mean_value_by_type, event_next_prediction_accuracy,
-    # doc_hashed_features, quality_rank_fusion, profile_table_columns,
-    # incremental_snapshot_e2e, sample_weighted_by_quality,
-    # open_orders_over_time, revenue_weekday_seasonality,
-    # customer_revenue_gini, cross_source_dup_matrix.  Swap them in next
-    # round for
-    # multiply-covered members, and rotate r5-graded members (below) back
-    # per the two-consecutive-rounds policy.
-    # Rotated out this round (all carry a passing r5 driver row):
+    # Earlier rotations (r5-graded members):
     "scd2_sink_e2e",
     "scd2_user_history",
     "stream_view_purchase_pairs",

@@ -98,6 +98,14 @@ def shingles_sql(n: int = 3) -> str:
 _SHINGLES_SQL = shingles_sql(3)
 
 
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh array<string>) — the one shingle substrate every
+    fuzzy-dedup operator derives from.  Factored out so audit queries that
+    need BOTH the exact index and the LSH bands (dedup_lsh_recall) can
+    build it once, ``persist()`` it, and feed both sides from cache."""
+    return docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+
+
 # --------------------------------------------------------------------------
 # Exact dedup — keep-first by content hash.
 # --------------------------------------------------------------------------
@@ -165,9 +173,13 @@ def minhash_band_table(docs: DataFrame) -> DataFrame:
     partition).  Shared by the self-join dedup below and the incremental
     cross-corpus index (functions/dedup_incremental.py).
     """
-    shingled = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
-    )
+    return minhash_band_table_from(_shingled(docs))
+
+
+def minhash_band_table_from(sh_frame: DataFrame) -> DataFrame:
+    """Band table from an existing (doc_id, sh array) shingle frame —
+    the shareable half of :func:`minhash_band_table`."""
+    shingled = sh_frame.select("doc_id", F.explode("sh").alias("sh"))
     # h1: 60-bit from md5[1:15]; h2: 32-bit from md5[17:24].  seed*h2 stays
     # under 2^36, so h1 + seed*h2 never overflows int64 before the mask.
     md5 = F.md5(F.col("sh"))
@@ -228,7 +240,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose cardinality is ~4 rows/doc regardless of doc size: that is the
     100 TB path."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    bands = minhash_band_table(docs)
+    return _lsh_candidate_pairs(_shingled(docs)).orderBy("doc_a", "doc_b")
+
+
+def _lsh_candidate_pairs(sh_frame: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) LSH candidates from a shingle frame."""
+    bands = minhash_band_table_from(sh_frame)
     # Self-join via shuffle-hash, NOT broadcast: with a broadcast join the
     # two sides have different exchange types, so Catalyst recomputes the
     # whole shingle->md5->minhash pipeline twice (the dominant CPU).  A
@@ -237,7 +254,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once.  Broadcasting the full signature table would also be the wrong
     # plan at scale.
     a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -248,9 +265,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("n_shared_bands"))
-        .orderBy("doc_a", "doc_b")
     )
-    return pairs
 
 
 # Shared CTE chain: text -> shingles -> Broder double hashing -> minhash
@@ -431,7 +446,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mega-hot shingles with a scalable count aggregate before any
     # posting list forms.
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    inv, sizes = stop_shingled_index(docs)
+    return (
+        _jaccard_scored_pairs(_shingled(docs))
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _jaccard_scored_pairs(sh_frame: DataFrame) -> DataFrame:
+    """Threshold-filtered exact-Jaccard pairs from a shingle frame —
+    the shareable body of :func:`dedup_ngram_jaccard` (also the exact
+    ground-truth side of :func:`dedup_lsh_recall`)."""
+    inv, sizes = stop_shingled_index_from(sh_frame)
     shared = shared_shingle_pairs(inv, symmetric=True)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
@@ -447,8 +473,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "n_shared", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -488,8 +512,13 @@ def stop_shingled_index(docs: DataFrame):
     every consumer reuses ONE exchange) and ``sizes`` the per-doc
     filtered shingle counts.  Single source of the index for Jaccard and
     containment — the df-cap/partitioning strategy lives here only."""
-    shingled = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
-    inv_all = shingled.select("doc_id", F.explode("sh").alias("sh")).repartition(
+    return stop_shingled_index_from(_shingled(docs))
+
+
+def stop_shingled_index_from(sh_frame: DataFrame):
+    """Index from an existing (doc_id, sh array) shingle frame — the
+    shareable half of :func:`stop_shingled_index`."""
+    inv_all = sh_frame.select("doc_id", F.explode("sh").alias("sh")).repartition(
         "sh"
     )
     stop = (
@@ -610,12 +639,19 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     before trusting the approximate path; the ann_ivf_recall analog for
     text.
 
-    Scale note: composes the two pair generators verbatim (both already
+    Scale note: composes the two pair generators (both already
     bucketed/df-capped — no new join shape); at corpus scale this is an
     audit query to run over a sampled slice, since the ground-truth side
-    is the expensive exact index."""
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    is the expensive exact index.  Round-7 plan fix: the shingle frame is
+    built ONCE and persisted so the exact-truth index and the LSH bands
+    share one substrate instead of each re-scanning + re-shingling the
+    corpus, and each pair set is persisted because it feeds both its own
+    count and the hit semi-join — this roughly halved the query's
+    exchange/scan counts (see docs/PLAN_SUMMARY.md)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh_frame = _shingled(docs).persist()
+    truth = _jaccard_scored_pairs(sh_frame).select("doc_a", "doc_b").persist()
+    cand = _lsh_candidate_pairs(sh_frame).select("doc_a", "doc_b").persist()
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     return (
         truth.agg(F.count("*").alias("n_truth"))

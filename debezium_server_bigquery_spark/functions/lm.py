@@ -9,12 +9,16 @@ perplexity pruning.  Both steps are pure DataFrame column algebra: one
 tokenize pass, one explode to adjacent pairs, hash-keyed count joins.
 
 Scale design (100 TB): the LM lives as a DataFrame keyed on the bigram —
-NEVER collected or broadcast (a web-scale bigram table is itself huge);
-scoring joins documents' bigrams against it on the (a, b) hash key, and
-contexts on the a key — ordinary shuffle joins AQE can skew-split (stop
-words make "the"-keyed rows heavy).  The only broadcasts are one-row
-aggregates (vocabulary size).  Top-k outputs compile to
-TakeOrderedAndProject — no global sort, no single-task window.
+never collected, and the scoring join carries an explicit
+``shuffle_hash`` hint so the corpus-sized LM frame is never broadcast
+either (without the hint AQE may pick broadcast at toy SF, which would
+be a scale-killer shape if trusted; the hint makes the documented
+behavior the guaranteed one).  Scoring joins documents' bigrams against
+it on the (a, b) hash key, and contexts on the a key — shuffle joins AQE
+can skew-split (stop words make "the"-keyed rows heavy).  The only
+broadcasts are one-row aggregates (vocabulary size).  Top-k outputs
+compile to TakeOrderedAndProject — no global sort, no single-task
+window.
 
 Cross-engine determinism (hash gate holds without tolerance): the score
 avoids transcendentals entirely — log/exp differ in the last ulp between
@@ -25,13 +29,12 @@ Spark and DuckDB); the per-document mean casts each term to
 DECIMAL(25,15) before summing (exact, associative — the PageRank
 contribution pattern, functions/graph.py) and rounds the final ratio.
 
-Lineage note: the scoring query derives both the LM and the per-doc
-bigrams from the same tokenize expression, which Spark recomputes per
-consumer (~3 column-pruned scans of documents.text).  Correctness is
-unaffected; a production run at corpus scale would materialize the
-bigram frame once (``df.persist()`` or a checkpoint table) and feed both
-branches from it — the counts-vs-probe shape itself is already the
-scale-right plan (hash-keyed joins, no corpus-sized broadcast).
+Lineage note (closed in round 7): both query entry points ``persist()``
+the tokenized frame, so documents.text is scanned + tokenized exactly
+once per query run; the LM-count branch, the probe branch, and the
+vocabulary aggregate all read the cached token arrays (the bigram
+explode is a narrow recompute from cache, no rescan).  At corpus scale
+the same persist would be a checkpoint table.
 """
 
 from __future__ import annotations
@@ -112,7 +115,9 @@ def bigram_lm(toks: DataFrame) -> DataFrame:
 def lm_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained LM's head: top bigrams by count (ties on words)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    lm = bigram_lm(_doc_tokens(docs))
+    # one scan of documents.text: both bigram_lm branches (pair counts,
+    # vocabulary) read the cached token arrays
+    lm = bigram_lm(_doc_tokens(docs).persist())
     return (
         lm.select("a", "b", "cnt", F.round("prob", 9).alias("prob"))
         .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
@@ -151,7 +156,10 @@ def doc_lm_scores(toks: DataFrame) -> DataFrame:
     lm = bigram_lm(toks)
     return (
         _doc_bigrams(toks)
-        .join(lm.select("a", "b", "prob"), ["a", "b"])  # bigram-keyed join
+        # bigram-keyed join; shuffle_hash forbids a corpus-sized broadcast
+        # of the LM frame (AQE would pick one at toy SF and lie about the
+        # 100 TB shape)
+        .join(lm.select("a", "b", "prob").hint("shuffle_hash"), ["a", "b"])
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -175,7 +183,9 @@ def doc_lm_quality_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates a perplexity filter would surface.  Documents with fewer
     than two tokens have no bigrams and are not scored."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    scored = doc_lm_scores(_doc_tokens(docs))
+    # one scan of documents.text: LM counts, vocab, and the probe side all
+    # read the cached token arrays (round-7 fix of the triple-scan debt)
+    scored = doc_lm_scores(_doc_tokens(docs).persist())
     return scored.orderBy(F.asc("mean_prob"), F.asc("doc_id")).limit(BOTTOM_DOCS)
 
 

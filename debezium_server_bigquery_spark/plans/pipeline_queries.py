@@ -552,6 +552,107 @@ GROUP BY 1, 2 ORDER BY table_name, __op
 """
 
 
+def pipeline_schema_history_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 under the gate: two schema versions flow through the REAL
+    pipeline with a SchemaHistory store attached (schema_history_path),
+    then the history is recovered via the same replay path the reference
+    uses on startup (recoverRecords, BigquerySchemaHistory.java:150-169).
+    Batch 1 lands the original column set; batch 2 (event-id-parity split)
+    arrives with an added ``value_eur`` column, so every destination must
+    record exactly two schema versions — the original and the evolved one.
+    The output is the recovered history itself (destination, column count,
+    canonical name:type list), sorted deterministically; the oracle derives
+    the destinations from the raw events and pins the two expected landed
+    column sets.  A lost record, a spurious re-record, a coercion change,
+    or a broken replay all shift rows/values."""
+    import json
+
+    from debezium_server_bigquery_spark.streaming.schema_history import (
+        SchemaHistory,
+    )
+
+    events = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    b1 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b2 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1).withColumn(
+        "value_eur", F.round(F.col("value") * 0.9, 4)
+    )
+    target = scratch_dir("dsbq_hist_")
+    hist_path = os.path.join(target, "_schema_history")
+    p = CdcPipeline(spark, target, mode="append", schema_history_path=hist_path)
+    p.run_batch(b1)
+    p.run_batch(b2)
+    rows = []
+    for dest, data in SchemaHistory(spark, hist_path).recover_records():
+        cols = json.loads(data)["columns"]
+        rows.append(
+            (dest, len(cols), ",".join(f"{c['name']}:{c['type']}" for c in cols))
+        )
+    return (
+        spark.createDataFrame(
+            rows, "destination string, n_cols long, cols string"
+        )
+        .orderBy("destination", "n_cols")
+    )
+
+
+_HIST_COLS_V1 = (
+    "__db:string,__deleted:boolean,__op:string,__source_ts_ms:timestamp,"
+    "__source_ts_ns:bigint,__table:string,__ts_ms:timestamp,event_id:bigint,"
+    "event_type:string,props:string,user_id:bigint,value:double"
+)
+_HIST_COLS_V2 = _HIST_COLS_V1 + ",value_eur:double"
+
+PIPELINE_SCHEMA_HISTORY_SQL = f"""{_CDC_CTE}
+, dests AS (
+  SELECT DISTINCT {_TABLE_NAME_SQL} AS destination
+  FROM cdc WHERE {_NOT_HEARTBEAT}
+), vers AS (
+  SELECT CAST(12 AS BIGINT) AS n_cols, '{_HIST_COLS_V1}' AS cols
+  UNION ALL
+  SELECT CAST(13 AS BIGINT), '{_HIST_COLS_V2}'
+)
+SELECT destination, n_cols, cols
+FROM dests CROSS JOIN vers
+ORDER BY destination, n_cols
+"""
+
+
+def pipeline_keyless_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 under the gate: an upsert-CONFIGURED pipeline pointed at a
+    keyless destination must fall back to append semantics — the
+    doUpsert/doTableHasPrimaryKey parity (the reference only MERGEs when
+    the destination exposes a primary key,
+    StreamBigqueryChangeConsumer.java:163-174; pipeline branch:
+    streaming/pipeline.py table_for + the mode/key_cols guard).  With no
+    key columns every change lands as its own row: the read-back must show
+    ALL events per table — deletes included as rows, duplicate keys
+    unreduced — which an accidental MERGE could never reproduce."""
+    p = _run_pipeline(spark, sf_dir, mode="upsert", key_cols=(), n_buckets=8)
+    df = _union_tables(p, ["user_id", "event_id", "__op"])
+    return (
+        df.groupBy("table_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_events"),
+            F.sum(F.when(F.col("__op") == "d", 1).otherwise(0)).alias(
+                "n_delete_rows"
+            ),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .orderBy("table_name")
+    )
+
+
+PIPELINE_KEYLESS_APPEND_SQL = f"""{_CDC_CTE}
+SELECT {_TABLE_NAME_SQL} AS table_name, COUNT(*) AS n_rows,
+  COUNT(DISTINCT event_id) AS n_events,
+  CAST(SUM(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete_rows,
+  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM cdc WHERE {_NOT_HEARTBEAT}
+GROUP BY 1 ORDER BY table_name
+"""
+
+
 def incremental_snapshot_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBLog-style incremental snapshot under the gate: a pre-existing
     database state is read in FOUR key-range chunks interleaved with four
@@ -595,9 +696,12 @@ def incremental_snapshot_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             table, chunk, keep_deletes=True, tiebreak=("event_id",),
             epoch_id=f"snap.{i}",
         )
+        # live ids are all odd, so pmod 8 ∈ {1,3,5,7}: slice i gets the
+        # non-empty disjoint quarter 2i+1 — every loop iteration really
+        # interleaves live changes with a snapshot chunk
         merge_upsert(
             table,
-            live.filter(F.pmod("event_id", F.lit(4)).isin(i, i + 4)),  # slice i
+            live.filter(F.pmod("event_id", F.lit(8)) == 2 * i + 1),
             keep_deletes=True,
             tiebreak=("event_id",),
             epoch_id=f"live.{i}",
@@ -645,6 +749,8 @@ QUERIES = {
     "pipeline_rejects_e2e": pipeline_rejects_e2e,
     "pipeline_metrics_e2e": pipeline_metrics_e2e,
     "pipeline_replay_idempotent_e2e": pipeline_replay_idempotent_e2e,
+    "pipeline_schema_history_e2e": pipeline_schema_history_e2e,
+    "pipeline_keyless_append_e2e": pipeline_keyless_append_e2e,
     "incremental_snapshot_e2e": incremental_snapshot_e2e,
 }
 
@@ -660,5 +766,7 @@ ORACLES = {
     "pipeline_rejects_e2e": PIPELINE_REJECTS_SQL,
     "pipeline_metrics_e2e": PIPELINE_METRICS_SQL,
     "pipeline_replay_idempotent_e2e": PIPELINE_REPLAY_SQL,
+    "pipeline_schema_history_e2e": PIPELINE_SCHEMA_HISTORY_SQL,
+    "pipeline_keyless_append_e2e": PIPELINE_KEYLESS_APPEND_SQL,
     "incremental_snapshot_e2e": INCREMENTAL_SNAPSHOT_SQL,
 }

@@ -130,8 +130,17 @@ class CdcPipeline:
     transforms: dict[str, list[Callable[[DataFrame], DataFrame]]] = field(
         default_factory=dict
     )
+    # S8: when set, every destination's schema versions are recorded to an
+    # append-only SchemaHistory table at this path as they are first seen
+    # (the reference stores DDL events to its history table as the engine
+    # applies them, BigquerySchemaHistory.java:116-141; here the recorded
+    # unit is the landed column set — the parquet-native schema identity).
+    # None = history off, matching the reference's optional history store.
+    schema_history_path: str | None = None
     tables: dict[str, ParquetTable] = field(default_factory=dict)
     _lazy: dict = field(default_factory=dict)
+    _schema_seen: dict = field(default_factory=dict)  # dest -> {col tuples}
+    _schema_lock: threading.Lock = field(default_factory=threading.Lock)
 
     def table_for(self, destination: str) -> ParquetTable:
         # A4 parity: without key columns even an upsert-configured pipeline
@@ -196,6 +205,41 @@ class CdcPipeline:
         ):
             df = df.withColumn("__deleted", F.col("__deleted").cast("boolean"))
         return df
+
+    def _record_schema(self, destination: str, df: DataFrame) -> None:
+        """S8: append this destination's schema to the history table the
+        first time the column set is seen (DDL-rate, not row-rate: one
+        tiny write per schema VERSION per destination, ever).  Upload
+        threads share the seen-set, hence the lock; the store write itself
+        is a one-row parquet append, safe from any thread."""
+        import json
+
+        from debezium_server_bigquery_spark.streaming.schema_history import (
+            SchemaHistory,
+        )
+
+        cols = tuple(sorted(df.columns))
+        with self._schema_lock:
+            # the write stays inside the lock: concurrent appends to ONE
+            # parquet path share a _temporary staging dir and corrupt each
+            # other's commit — and history writes are DDL-rate, so
+            # serializing them costs nothing
+            seen = self._schema_seen.setdefault(destination, set())
+            if cols in seen:
+                return
+            seen.add(cols)
+            SchemaHistory(self.spark, self.schema_history_path).store_record(
+                destination,
+                json.dumps(
+                    {
+                        "columns": [
+                            {"name": f.name, "type": f.dataType.simpleString()}
+                            for f in sorted(df.schema.fields, key=lambda f: f.name)
+                        ]
+                    },
+                    sort_keys=True,
+                ),
+            )
 
     def rejects_table(self) -> ParquetTable:
         """The dead-letter table (append-only, ingest-time partitioned)."""
@@ -312,6 +356,12 @@ class CdcPipeline:
                     sub_epoch = (
                         None if epoch_id is None else f"{epoch_id}.{gi}"
                     )
+                    # S8: record the group's schema before it lands, the
+                    # way the reference stores a DDL event before applying
+                    # it (first-seen per destination, so steady state pays
+                    # one set lookup and zero writes)
+                    if self.schema_history_path is not None:
+                        self._record_schema(dest, group)
                     if self.mode == "upsert" and self.key_cols:
                         merge_upsert(
                             table,

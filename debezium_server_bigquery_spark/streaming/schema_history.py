@@ -20,6 +20,7 @@ the rare case it exists for).
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 
@@ -27,6 +28,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SCHEMA_FP_COL = "__schema_fp"
+
+_TS_LOCK = threading.Lock()
+_LAST_TS_US = 0
+
+
+def _next_ts_us() -> int:
+    """Strictly monotonic microsecond wall-clock: recovery orders by
+    ``record_insert_ts`` (the reference's contract), and two direct file
+    writes can land in the same clock tick — the bump keeps replay order
+    equal to insert order within this process."""
+    global _LAST_TS_US
+    with _TS_LOCK:
+        now = time.time_ns() // 1000
+        if now <= _LAST_TS_US:
+            now = _LAST_TS_US + 1
+        _LAST_TS_US = now
+        return now
 
 
 class SchemaHistory:
@@ -49,20 +67,27 @@ class SchemaHistory:
         """Append one DDL/schema-change record (storeRecord parity).
 
         One tiny file per DDL event — DDL is rare, so the small-file count
-        is bounded by schema-change frequency, not data volume.
+        is bounded by schema-change frequency, not data volume.  Written
+        driver-side with pyarrow, not a Spark job: a one-row append is
+        driver-rate work, and Spark's FileOutputCommitter shares one
+        ``_temporary`` staging dir per target path, so two concurrent
+        appends to the history table can corrupt each other's commit —
+        a uniquely-named direct file write cannot.
         """
-        row = [
-            (
-                str(uuid.uuid4()),
-                destination,
-                schema_json,
-                int(time.time() * 1000),
-            )
-        ]
-        df = self.spark.createDataFrame(
-            row, "id string, destination string, history_data string, record_insert_ts long"
-        ).withColumn("record_insert_ts", F.timestamp_millis(F.col("record_insert_ts")))
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rec_id = str(uuid.uuid4())
+        table = pa.table(
+            {
+                "id": pa.array([rec_id], pa.string()),
+                "destination": pa.array([destination], pa.string()),
+                "history_data": pa.array([schema_json], pa.string()),
+                "record_insert_ts": pa.array([_next_ts_us()], pa.timestamp("us")),
+            }
+        )
+        os.makedirs(self.path, exist_ok=True)
+        pq.write_table(table, os.path.join(self.path, f"part-{rec_id}.parquet"))
 
     def recover_records(self) -> list[tuple[str, str]]:
         """Replay history ordered by insert ts (recoverRecords parity).

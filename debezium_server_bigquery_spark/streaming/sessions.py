@@ -524,13 +524,16 @@ WITH gaps AS (
       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
   FROM events
 ), marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
     CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_MIN * 60 * 1_000_000}
       THEN 1 ELSE 0 END AS is_new
   FROM gaps
 ), seq AS (
+  -- event_id tiebreak matches the gaps CTE (and SESSIONIZE_SQL): with
+  -- duplicate (user_id, ts) rows at a session boundary, ordering by ts
+  -- alone leaves the running SUM(is_new) among ties unspecified
   SELECT user_id, ts, value,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM marked
 )

@@ -84,3 +84,64 @@ def test_pipeline_splits_mixed_schema_batch(spark, tmp_path):
     got = p.read_table("testc_t")
     assert got.count() == 4
     assert SCHEMA_FP_COL not in got.columns
+
+
+def test_pipeline_records_schema_history(spark, tmp_path, sf_dir):
+    """S8 wired into the pipeline: one record per (destination, column
+    set), in evolution order, recovered by a fresh instance (restart)."""
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    ev = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    b1 = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b2 = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1).withColumn(
+        "value_eur", F.round(F.col("value") * 0.9, 4)
+    )
+    hist = str(tmp_path / "hist")
+    p = CdcPipeline(
+        spark, str(tmp_path / "tgt"), mode="append", schema_history_path=hist
+    )
+    p.run_batch(b1)
+    p.run_batch(b2)
+    # replaying an already-seen schema records nothing new
+    p.run_batch(b1.limit(10))
+
+    recs = SchemaHistory(spark, hist).recover_records()
+    assert len(recs) == 6  # 3 destinations x 2 schema versions
+    by_dest: dict[str, list[int]] = {}
+    for dest, data in recs:
+        by_dest.setdefault(dest, []).append(len(json.loads(data)["columns"]))
+    assert sorted(by_dest) == [
+        "testc_inventory_events_p0",
+        "testc_inventory_events_p1",
+        "testc_inventory_events_p2",
+    ]
+    # per destination: original schema recorded BEFORE the evolved one
+    assert all(v == [12, 13] for v in by_dest.values())
+
+
+def test_schema_history_e2e_queries(spark, sf_dir):
+    from debezium_server_bigquery_spark.plans.pipeline_queries import (
+        pipeline_keyless_append_e2e,
+        pipeline_schema_history_e2e,
+    )
+
+    hist = pipeline_schema_history_e2e(spark, sf_dir).collect()
+    assert [(r.destination, r.n_cols) for r in hist] == [
+        ("testc_inventory_events_p0", 12),
+        ("testc_inventory_events_p0", 13),
+        ("testc_inventory_events_p1", 12),
+        ("testc_inventory_events_p1", 13),
+        ("testc_inventory_events_p2", 12),
+        ("testc_inventory_events_p2", 13),
+    ]
+    assert all(
+        ("value_eur:double" in r.cols) == (r.n_cols == 13) for r in hist
+    )
+
+    # A4: upsert-configured but keyless -> append semantics (deletes land
+    # as rows; nothing is deduped away)
+    out = pipeline_keyless_append_e2e(spark, sf_dir).collect()
+    assert len(out) == 3
+    assert all(r.n_rows == r.n_events for r in out)  # every event is a row
+    assert all(r.n_delete_rows > 0 for r in out)
