@@ -45,6 +45,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.operators.scd",),
         ("debezium_server_bigquery_spark.functions.dedup_fuzzy",),
         ("debezium_server_bigquery_spark.functions.dedup_incremental",),
+        ("debezium_server_bigquery_spark.functions.decontamination",),
         ("debezium_server_bigquery_spark.functions.timeseries",),
         ("debezium_server_bigquery_spark.functions.similarity",),
         ("debezium_server_bigquery_spark.functions.pq",),
@@ -186,6 +187,11 @@ _TIER1 = [
     "revenue_weekday_seasonality",
     "customer_revenue_gini",
     # -- end of the 50-query graded prefix --------------------------------
+    # Round-8 rotation shortlist — queries NEW in round 7 with no driver
+    # row yet (all pass the local oracle replica): decontaminate_test_overlap,
+    # split_leakage_matrix.  Swap them in next round for multiply-covered
+    # members and rotate the r6-graded set below back per the
+    # two-consecutive-rounds policy.
     # Rotated out this round (all carry a passing r6 driver row; re-enter
     # in a later rotation per the two-consecutive-rounds policy):
     "scd2_state_as_of",

@@ -293,6 +293,31 @@ SPLIT_BOUNDS = (("train", 0.90), ("val", 0.95), ("test", 1.0))
 _SPLIT_MOD = 1_000_000
 
 
+def split_of(doc_id_col) -> F.Column:
+    """The deterministic split label as a pure COLUMN function of the doc
+    id — no join, no state: any operator (decontamination, leakage audits)
+    can label any doc-id column in place.  Single source of the 90/5/5
+    hash rule shared with :data:`split_case_sql`."""
+    u = F.pmod(hash60(F.concat(F.lit("split:"), doc_id_col)), F.lit(_SPLIT_MOD))
+    split = F.lit(SPLIT_BOUNDS[-1][0])
+    for name, hi in reversed(SPLIT_BOUNDS):
+        split = F.when(u < int(hi * _SPLIT_MOD), F.lit(name)).otherwise(split)
+    return split
+
+
+def split_case_sql(id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`split_of`, parameterized on the id column."""
+    u = f"({_hash60_sql(chr(39) + 'split:' + chr(39) + ' || ' + id_expr)} % {_SPLIT_MOD})"
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {u} < {int(hi * _SPLIT_MOD)} THEN '{name}'"
+            for name, hi in SPLIT_BOUNDS
+        )
+        + f" ELSE '{SPLIT_BOUNDS[-1][0]}' END"
+    )
+
+
 def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment plus the per-(lang, split)
     balance report: each doc's split is a pure function of its id hash
@@ -301,11 +326,9 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline needs to keep eval sets uncontaminated.  One scan,
     one combinable aggregate; the report is O(langs × splits)."""
     docs = load_table(spark, sf_dir, "documents")
-    u = F.pmod(hash60(F.concat(F.lit("split:"), F.col("doc_id"))), F.lit(_SPLIT_MOD))
-    split = F.lit(SPLIT_BOUNDS[-1][0])
-    for name, hi in reversed(SPLIT_BOUNDS):
-        split = F.when(u < int(hi * _SPLIT_MOD), F.lit(name)).otherwise(split)
-    assigned = docs.select("lang", split.alias("split"), "n_chars")
+    assigned = docs.select(
+        "lang", split_of(F.col("doc_id")).alias("split"), "n_chars"
+    )
     totals = assigned.groupBy("lang").agg(F.count("*").alias("lang_docs"))
     return (
         assigned.groupBy("lang", "split")
@@ -324,15 +347,7 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_U = f"({_hash60_sql(chr(39) + 'split:' + chr(39) + ' || doc_id')} % {_SPLIT_MOD})"
-_SPLIT_CASE = (
-    "CASE "
-    + " ".join(
-        f"WHEN {_SPLIT_U} < {int(hi * _SPLIT_MOD)} THEN '{name}'"
-        for name, hi in SPLIT_BOUNDS
-    )
-    + f" ELSE '{SPLIT_BOUNDS[-1][0]}' END"
-)
+_SPLIT_CASE = split_case_sql("doc_id")
 
 DATASET_SPLITS_SQL = f"""
 WITH assigned AS (

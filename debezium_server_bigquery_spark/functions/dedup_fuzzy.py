@@ -99,11 +99,17 @@ _SHINGLES_SQL = shingles_sql(3)
 
 
 def _shingled(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh array<string>) — the one shingle substrate every
-    fuzzy-dedup operator derives from.  Factored out so audit queries that
-    need BOTH the exact index and the LSH bands (dedup_lsh_recall) can
-    build it once, ``persist()`` it, and feed both sides from cache."""
-    return docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    """(doc_id, sh) EXPLODED shingle substrate every fuzzy-dedup operator
+    derives from.  Factored out so audit queries that need BOTH the exact
+    index and the LSH bands (dedup_lsh_recall, split_leakage_matrix) can
+    build it once, ``persist()`` it, and feed both sides from cache.
+
+    The explode is INLINE in one select: measured at sf0.1, projecting
+    the shingle array first and exploding in a second select made the
+    whole LSH query ~3x slower (16.9s vs 5.0s — the extra Project breaks
+    the exchange-reuse/codegen shape), so keep the generator fused with
+    the shingle expression."""
+    return docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
 
 
 # --------------------------------------------------------------------------
@@ -176,10 +182,9 @@ def minhash_band_table(docs: DataFrame) -> DataFrame:
     return minhash_band_table_from(_shingled(docs))
 
 
-def minhash_band_table_from(sh_frame: DataFrame) -> DataFrame:
-    """Band table from an existing (doc_id, sh array) shingle frame —
+def minhash_band_table_from(shingled: DataFrame) -> DataFrame:
+    """Band table from an existing exploded (doc_id, sh) shingle frame —
     the shareable half of :func:`minhash_band_table`."""
-    shingled = sh_frame.select("doc_id", F.explode("sh").alias("sh"))
     # h1: 60-bit from md5[1:15]; h2: 32-bit from md5[17:24].  seed*h2 stays
     # under 2^36, so h1 + seed*h2 never overflows int64 before the mask.
     md5 = F.md5(F.col("sh"))
@@ -516,11 +521,9 @@ def stop_shingled_index(docs: DataFrame):
 
 
 def stop_shingled_index_from(sh_frame: DataFrame):
-    """Index from an existing (doc_id, sh array) shingle frame — the
+    """Index from an existing exploded (doc_id, sh) shingle frame — the
     shareable half of :func:`stop_shingled_index`."""
-    inv_all = sh_frame.select("doc_id", F.explode("sh").alias("sh")).repartition(
-        "sh"
-    )
+    inv_all = sh_frame.repartition("sh")
     stop = (
         inv_all.groupBy("sh")
         .agg(F.count("*").alias("dfreq"))
