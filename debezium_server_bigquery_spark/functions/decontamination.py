@@ -151,12 +151,97 @@ ORDER BY split_a, split_b
 """
 
 
+# A train doc whose shingles cover >= this fraction of some test doc is
+# dropped — same bar as dedup_fuzzy's asymmetric containment threshold.
+CONTAM_CONTAINMENT = 0.8
+
+
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination pass's OUTPUT summary: per source, how many
+    training documents survive the cut (containment >= 0.8 against any
+    test doc = dropped).  This is the number a dataset card reports and
+    the keep-list the exporter consumes.
+
+    Scale: the contaminated id set is the distinct train side of the
+    flagged pairs — bounded by real leakage, tiny by construction — so
+    the explicit broadcast left join against the train slice is
+    O(contaminated) metadata, never corpus-sized; everything upstream is
+    the df-capped posting join documented on
+    :func:`decontaminate_test_overlap`."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.select("doc_id", "source").where(
+        split_of(F.col("doc_id")) == "train"
+    )
+    bad = (
+        decontaminate_test_overlap(spark, sf_dir)
+        .filter(F.col("containment") >= CONTAM_CONTAINMENT)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+        .withColumn("c", F.lit(1))
+    )
+    return (
+        train.join(F.broadcast(bad), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            "source",
+            "n_train",
+            "n_contaminated",
+            (F.col("n_train") - F.col("n_contaminated")).alias("n_kept"),
+            F.round(
+                (F.col("n_train") - F.col("n_contaminated")).cast("double")
+                / F.col("n_train"),
+                6,
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+DECONTAMINATION_REPORT_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+{_INV_CTES},
+lab AS (SELECT doc_id, sh, {split_case_sql("doc_id")} AS split FROM inv),
+pairs AS (
+  SELECT a.doc_id AS train_doc, b.doc_id AS test_doc, COUNT(*) AS n_shared
+  FROM lab a JOIN lab b ON a.sh = b.sh
+  WHERE a.split = 'train' AND b.split = 'test'
+  GROUP BY 1, 2
+),
+contaminated AS (
+  SELECT DISTINCT train_doc AS doc_id
+  FROM pairs JOIN sizes sz ON sz.doc_id = test_doc
+  WHERE round(n_shared::DOUBLE / sz.n_sh, 6) >= {CONTAM_CONTAINMENT}
+),
+train AS (
+  SELECT doc_id, source FROM documents
+  WHERE {split_case_sql("doc_id")} = 'train'
+)
+SELECT source, COUNT(*) AS n_train,
+  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated,
+  COUNT(*) - CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_kept,
+  round((COUNT(*) - SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END))
+    / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
+FROM train t LEFT JOIN contaminated c USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "decontaminate_test_overlap": decontaminate_test_overlap,
     "split_leakage_matrix": split_leakage_matrix,
+    "decontamination_report": decontamination_report,
 }
 
 ORACLES = {
     "decontaminate_test_overlap": DECONTAMINATE_SQL,
     "split_leakage_matrix": SPLIT_LEAKAGE_SQL,
+    "decontamination_report": DECONTAMINATION_REPORT_SQL,
 }

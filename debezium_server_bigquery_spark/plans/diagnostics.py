@@ -171,13 +171,82 @@ FROM kept GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift check between the stream's first and second time halves:
+    per event type, the event-count growth ratio and the mean-value shift.
+    The monitoring query a pipeline team alerts on (a type whose volume
+    doubles or whose mean value jumps signals an upstream schema/meaning
+    change before it corrupts training data).
+
+    Scale: the time midpoint is a one-row (min, max) broadcast; the halves
+    label is a pure comparison against it, so the whole report is one
+    conditional-aggregation scan — no self-join of the table against its
+    own history.  Means ride exact DECIMAL sums (one IEEE division each,
+    cross-engine deterministic); the midpoint uses integer arithmetic on
+    the loader's exact ``ts_ns``."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts_ns")
+    bounds = ev.agg(F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi"))
+    lab = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "h2", F.col("ts_ns") >= F.expr("(lo + hi) div 2")
+    )
+    agg = lab.groupBy("event_type").agg(
+        F.sum(F.when(~F.col("h2"), 1).otherwise(0)).alias("n_h1"),
+        F.sum(F.when(F.col("h2"), 1).otherwise(0)).alias("n_h2"),
+        F.sum(F.when(~F.col("h2"), F.col("value").cast("decimal(18,2)"))).alias(
+            "s1"
+        ),
+        F.sum(F.when(F.col("h2"), F.col("value").cast("decimal(18,2)"))).alias(
+            "s2"
+        ),
+    )
+    mean1 = F.try_divide(F.col("s1").cast("double"), F.col("n_h1"))
+    mean2 = F.try_divide(F.col("s2").cast("double"), F.col("n_h2"))
+    return agg.select(
+        "event_type",
+        "n_h1",
+        "n_h2",
+        F.round(
+            F.try_divide(F.col("n_h2").cast("double"), F.col("n_h1")), 6
+        ).alias("growth_ratio"),
+        F.round(mean1, 6).alias("mean_value_h1"),
+        F.round(mean2, 6).alias("mean_value_h2"),
+        F.round(mean2 - mean1, 6).alias("mean_drift"),
+    ).orderBy("event_type")
+
+
+EVENTS_DRIFT_SQL = """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) * 1000 AS ts_ns FROM events
+), b AS (SELECT MIN(ts_ns) AS lo, MAX(ts_ns) AS hi FROM ev),
+lab AS (
+  SELECT event_type, value, ts_ns >= (lo + hi) // 2 AS h2 FROM ev, b
+), agg AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN NOT h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_h1,
+    CAST(SUM(CASE WHEN h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_h2,
+    SUM(CASE WHEN NOT h2 THEN CAST(value AS DECIMAL(18,2)) END) AS s1,
+    SUM(CASE WHEN h2 THEN CAST(value AS DECIMAL(18,2)) END) AS s2
+  FROM lab GROUP BY event_type
+)
+SELECT event_type, n_h1, n_h2,
+  round(CAST(n_h2 AS DOUBLE) / NULLIF(n_h1, 0), 6) AS growth_ratio,
+  round(CAST(s1 AS DOUBLE) / NULLIF(n_h1, 0), 6) AS mean_value_h1,
+  round(CAST(s2 AS DOUBLE) / NULLIF(n_h2, 0), 6) AS mean_value_h2,
+  round(CAST(s2 AS DOUBLE) / NULLIF(n_h2, 0)
+      - CAST(s1 AS DOUBLE) / NULLIF(n_h1, 0), 6) AS mean_drift
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "skew_report_lineitem_suppkey": skew_report_lineitem_suppkey,
     "events_value_histogram": events_value_histogram,
     "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
+    "events_drift_report": events_drift_report,
 }
 ORACLES = {
     "skew_report_lineitem_suppkey": SKEW_REPORT_SQL,
     "events_value_histogram": HISTOGRAM_SQL,
     "trimmed_mean_value_by_type": TRIMMED_MEAN_SQL,
+    "events_drift_report": EVENTS_DRIFT_SQL,
 }

@@ -85,3 +85,40 @@ def test_split_leakage_matrix_partitions_candidates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents", spread=True)
     n_cand = _lsh_candidate_pairs(_shingled(docs)).count()
     assert total == n_cand  # exact partition of the candidate set
+
+
+def test_decontamination_report_accounting(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.decontamination import (
+        CONTAM_CONTAINMENT,
+        decontamination_report,
+    )
+
+    out = decontamination_report(spark, sf_dir).collect()
+    assert all(r.n_kept == r.n_train - r.n_contaminated for r in out)
+    assert all(0.0 <= r.kept_frac <= 1.0 for r in out)
+    # totals reconcile with the raw train-split count
+    docs = load_table(spark, sf_dir, "documents")
+    n_train = docs.where(split_of(F.col("doc_id")) == "train").count()
+    assert sum(r.n_train for r in out) == n_train
+    # contaminated total == distinct flagged train docs over the threshold
+    flagged = (
+        decontaminate_test_overlap(spark, sf_dir)
+        .filter(F.col("containment") >= CONTAM_CONTAINMENT)
+        .select("train_doc")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_contaminated for r in out) == flagged
+
+
+def test_events_drift_report_halves_partition(spark, sf_dir):
+    from debezium_server_bigquery_spark.plans.diagnostics import (
+        events_drift_report,
+    )
+
+    out = events_drift_report(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_h1 + r.n_h2 for r in out) == ev.count()
+    # the time split is near the middle: both halves non-empty overall
+    assert sum(r.n_h1 for r in out) > 0 and sum(r.n_h2 for r in out) > 0
+    assert out == sorted(out, key=lambda r: r.event_type)
