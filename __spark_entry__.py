@@ -189,7 +189,8 @@ _TIER1 = [
     # -- end of the 50-query graded prefix --------------------------------
     # Round-8 rotation shortlist — queries NEW in round 7 with no driver
     # row yet (all pass the local oracle replica): decontaminate_test_overlap,
-    # split_leakage_matrix, decontamination_report, events_drift_report.
+    # split_leakage_matrix, decontamination_report, events_drift_report,
+    # lang_id_confusion, user_recency_weighted_value.
     # Swap them in next round for multiply-covered
     # members and rotate the r6-graded set below back per the
     # two-consecutive-rounds policy.

@@ -190,8 +190,14 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = with_norm(load_table(spark, sf_dir, "embeddings", spread=True))
     assigned = lloyd_kmeans(emb).select("vec_id", "cluster_id")
-    sided = emb.join(assigned, "vec_id").select(
-        "vec_id", "cluster_id", F.col("embedding").alias("e"), "norm"
+    # persist: both sides of the within-cell pair join read this frame —
+    # without the cache the unrolled Lloyd iteration chain executes twice
+    # (O(rows x d) each).  At corpus scale the assignment would be a
+    # checkpoint table between the clustering job and the pair scan.
+    sided = (
+        emb.join(assigned, "vec_id")
+        .select("vec_id", "cluster_id", F.col("embedding").alias("e"), "norm")
+        .persist()
     )
     a = sided.select(
         F.col("vec_id").alias("keep_id"),

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from debezium_server_bigquery_spark.sources.tables import load_table
 
@@ -254,6 +255,52 @@ WITH toks AS (
 SELECT doc_id, lang AS labeled_lang, {_PRED_SQL} AS predicted_lang,
        CAST({_BEST_SQL} AS BIGINT) AS best_score
 FROM scored ORDER BY doc_id
+"""
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language ID against the stored
+    labels: (labeled, predicted, count, fraction-of-labeled) — the
+    model-eval readout that tells a curation team WHERE the heuristic
+    fails (which languages bleed into 'und', which pairs confuse) before
+    they trust it to route documents.  One scan + one O(langs²) aggregate;
+    the per-label fraction is a window over the tiny aggregate keyed by
+    label (never a single global partition)."""
+    pred = text_lang_id(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    conf = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return (
+        conf.withColumn(
+            "frac_of_labeled",
+            F.round(
+                F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+            ),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS wl
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+  {_LANG_SCORE_SQL}
+  FROM toks
+), pred AS (
+  SELECT lang AS labeled_lang, {_PRED_SQL} AS predicted_lang FROM scored
+), conf AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT labeled_lang, predicted_lang, n_docs,
+  round(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang)
+    AS DOUBLE), 6) AS frac_of_labeled
+FROM conf ORDER BY labeled_lang, predicted_lang
 """
 
 
@@ -546,6 +593,7 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
+    "lang_id_confusion": lang_id_confusion,
     "text_fingerprint": text_fingerprint,
     "docs_by_lang_summary": docs_by_lang_summary,
     "text_repetition_score": text_repetition_score,
@@ -558,6 +606,7 @@ ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
+    "lang_id_confusion": LANG_CONFUSION_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "docs_by_lang_summary": DOCS_BY_LANG_SQL,
     "text_repetition_score": TEXT_REPETITION_SQL,

@@ -346,15 +346,79 @@ FROM dau JOIN wau ON day = wday ORDER BY day
 """
 
 
+# Recency decay: half-life of one week, exponent capped so the exact
+# integer encoding below never overflows (weight 2^-20 < 1e-6 ~ zero).
+DECAY_CAP_WEEKS = 20
+_DECAY_DENOM = float(100 * (1 << DECAY_CAP_WEEKS))  # cents scale x 2^cap
+
+
+def user_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement score with exponential recency decay: each
+    event contributes ``value x 2^-age_weeks`` (half-life = 1 week,
+    measured back from the stream's max timestamp) — the feature a churn
+    model or ranking pipeline derives from raw events.
+
+    Exact cross-engine arithmetic: floats can't sum 2^-k terms
+    deterministically (order-dependent) and pow() is transcendental, so
+    each term is encoded as the INTEGER ``value_cents x 2^(cap - k)``
+    (k = capped age in weeks) and summed as DECIMAL(38,0) — exact and
+    associative; one final IEEE division by ``100 x 2^cap`` rescales.
+    Scale: one-row max-ts broadcast + one user-keyed combinable aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts_ns")
+    bounds = ev.agg(F.max("ts_ns").alias("hi"))
+    week_ns = 7 * 86400 * 1_000_000_000
+    term = F.expr(
+        f"cast(cast(round(value * 100) as bigint)"
+        f" * shiftleft(cast(1 as bigint), {DECAY_CAP_WEEKS}"
+        f"     - cast(least((hi - ts_ns) div {week_ns}, {DECAY_CAP_WEEKS}) as int))"
+        f" as decimal(38,0))"
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("term").alias("wsum"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("wsum").cast("double") / F.lit(_DECAY_DENOM), 6
+            ).alias("recency_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+RECENCY_VALUE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, value, epoch_us(ts) * 1000 AS ts_ns FROM events
+), b AS (SELECT MAX(ts_ns) AS hi FROM ev),
+terms AS (
+  SELECT user_id,
+    CAST(CAST(round(value * 100) AS BIGINT)
+      * (1::BIGINT << ({DECAY_CAP_WEEKS} - least(
+          (hi - ts_ns) // {7 * 86400 * 1_000_000_000}, {DECAY_CAP_WEEKS})))
+      AS DECIMAL(38,0)) AS term
+  FROM ev, b
+)
+SELECT user_id, COUNT(*) AS n_events,
+  round(CAST(SUM(term) AS DOUBLE) / {_DECAY_DENOM}, 6) AS recency_value
+FROM terms GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "events_volume_anomaly": events_volume_anomaly,
     "funnel_conversion_window": funnel_conversion_window,
     "dau_wau_stickiness": dau_wau_stickiness,
+    "user_recency_weighted_value": user_recency_weighted_value,
 }
 ORACLES = {
     "retention_cohorts": RETENTION_SQL,
     "events_volume_anomaly": ANOMALY_SQL,
     "funnel_conversion_window": CONV_FUNNEL_SQL,
     "dau_wau_stickiness": DAU_WAU_SQL,
+    "user_recency_weighted_value": RECENCY_VALUE_SQL,
 }

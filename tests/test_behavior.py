@@ -134,3 +134,44 @@ def test_gini_hand_cases(spark):
         [(k, 0.01, None) for k in range(9)] + [(9, 100000.0, None)]
     )
     assert concentrated.gini > 0.85
+
+
+def test_user_recency_weighted_value_exact_decay(spark, sf_dir):
+    """Hand-computed decay: score == sum(value * 2^-age_weeks) with the
+    week age measured from the stream max, capped at DECAY_CAP_WEEKS."""
+    from debezium_server_bigquery_spark.plans.behavior import (
+        DECAY_CAP_WEEKS,
+        user_recency_weighted_value,
+    )
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    out = {r.user_id: r for r in user_recency_weighted_value(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts_ns").collect()
+    hi = max(r.ts_ns for r in ev)
+    week = 7 * 86400 * 10**9
+    expect: dict[int, float] = {}
+    counts: dict[int, int] = {}
+    for r in ev:
+        k = min((hi - r.ts_ns) // week, DECAY_CAP_WEEKS)
+        expect[r.user_id] = expect.get(r.user_id, 0) + round(r.value * 100) * (1 << (DECAY_CAP_WEEKS - k))
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+    assert set(out) == set(expect)
+    for uid, num in expect.items():
+        assert out[uid].n_events == counts[uid]
+        assert out[uid].recency_value == round(num / (100 * (1 << DECAY_CAP_WEEKS)), 6)
+
+
+def test_lang_id_confusion_reconciles(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.text import (
+        lang_id_confusion,
+        text_lang_id,
+    )
+
+    conf = lang_id_confusion(spark, sf_dir).collect()
+    docs = text_lang_id(spark, sf_dir).count()
+    assert sum(r.n_docs for r in conf) == docs
+    # per-label fractions sum to 1
+    by_label: dict[str, float] = {}
+    for r in conf:
+        by_label[r.labeled_lang] = by_label.get(r.labeled_lang, 0.0) + r.frac_of_labeled
+    assert all(abs(v - 1.0) < 1e-4 for v in by_label.values())
