@@ -115,10 +115,12 @@ def _collect(attr: str) -> dict:
 # next-event accuracy, feature hashing, RRF quality fusion, the column
 # profiler, the DBLog incremental snapshot, quality-weighted sampling,
 # open-order backlog, weekday seasonality, and the revenue Gini — enter
-# the graded prefix, plus TWO queries new this round closing the last
+# the graded prefix, plus THREE queries new this round closing the last
 # never-graded components: pipeline_schema_history_e2e (S8 store/recover
-# through the real pipeline, ask #5) and pipeline_keyless_append_e2e (A4
-# doUpsert/doTableHasPrimaryKey append fallback, ask #6).  They displace
+# through the real pipeline, ask #5), pipeline_keyless_append_e2e (A4
+# doUpsert/doTableHasPrimaryKey append fallback, ask #6), and cli_run_e2e
+# (S10: the application.properties launcher driving an eager-upsert
+# replication through cli.run + ParquetTable.open).  They displace
 # 22 multiply-covered members that all carry a passing r6 driver row (the
 # SCD2 trio, session daily stats, co-occurrence, retention, anomaly,
 # sliding counts, pivot, funnel, RFM, transitions, KWIC, OOV, datacard,
@@ -129,8 +131,7 @@ def _collect(attr: str) -> dict:
 # the CDC parity core (S1-S7, R1-R6, A1-A3, F1-F11 via the coercion
 # trio), the e2e write paths, sessionization, grouping-sets/set-ops/
 # window reps, the asof + skew joins, exact dedup, contrastive, ANN,
-# BM25, PageRank, and the multimodal probe — so every component family
-# retains at least one graded row this round.
+# BM25, and the multimodal probe.
 _TIER1 = [
     # -- CDC parity core + e2e write paths ---------------------------------
     "q1_pricing_summary",
@@ -148,6 +149,7 @@ _TIER1 = [
     "pipeline_rejects_e2e",
     "pipeline_fanin_rewrite_e2e",
     "pipeline_replay_idempotent_e2e",
+    "cli_run_e2e",
     "pipeline_schema_history_e2e",
     "pipeline_keyless_append_e2e",
     "incremental_snapshot_e2e",
@@ -169,7 +171,6 @@ _TIER1 = [
     "contrastive_triplets",
     "ann_cosine_topk",
     "bm25_search_topk",
-    "pagerank_trade_graph",
     "lm_bigram_topk",
     "doc_lm_quality_bottomk",
     "embedding_covariance_upper",
@@ -195,7 +196,10 @@ _TIER1 = [
     # members and rotate the r6-graded set below back per the
     # two-consecutive-rounds policy.
     # Rotated out this round (all carry a passing r6 driver row; re-enter
-    # in a later rotation per the two-consecutive-rounds policy):
+    # in a later rotation per the two-consecutive-rounds policy).
+    # pagerank_trade_graph (r6-green) yields its slot to cli_run_e2e so
+    # S10 — the launcher, never graded before — gets a driver row:
+    "pagerank_trade_graph",
     "scd2_state_as_of",
     "snapshot_diff_epochs",
     "scd2_temporal_enrich",

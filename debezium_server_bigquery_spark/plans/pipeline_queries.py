@@ -552,6 +552,57 @@ GROUP BY 1, 2 ORDER BY table_name, __op
 """
 
 
+def cli_run_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 under the gate: the FULL launcher path — an
+    ``application.properties`` file parsed by the CLI (`cli.run`), mapped
+    through the reference's ``debezium.sink.*`` key surface
+    (DebeziumConfig/BatchConsumerConfig parity) into an eager-upsert
+    pipeline, executed, and read back via ``ParquetTable.open`` (the
+    metadata-restoring reopen).  The read-back state must equal the
+    destructive replication the oracle recomputes from raw events — the
+    same contract as pipeline_upsert_e2e, but proven through properties
+    parsing, sink-type dispatch, key/tiebreak mapping, and table-metadata
+    persistence instead of direct constructor calls."""
+    from debezium_server_bigquery_spark.cli import run
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    target = scratch_dir("dsbq_cli_")
+    conf = os.path.join(target, "application.properties")
+    tables_root = os.path.join(target, "tables")
+    with open(conf, "w", encoding="utf-8") as fh:
+        fh.write(
+            "debezium.sink.type=bigquerystream\n"
+            "debezium.sink.bigquerystream.upsert=true\n"
+            "debezium.sink.bigquerystream.upsert-keep-deletes=false\n"
+            f"engine.target-root={tables_root}\n"
+            "engine.key-columns=user_id\n"
+            "engine.n-buckets=8\n"
+            "engine.dedup-tiebreak=event_id\n"
+            "engine.source=synthetic\n"
+            f"engine.source.sf-dir={sf_dir}\n"
+        )
+    summary = run(conf, spark=spark)
+    dfs = []
+    for dest in sorted(summary["tables"]):
+        t = ParquetTable.open(spark, os.path.join(tables_root, dest))
+        dfs.append(
+            t.read()
+            .withColumn("table_name", F.lit(dest))
+            .select(
+                "table_name", "user_id", "event_id", "event_type", "value", "__op"
+            )
+        )
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("table_name", "user_id")
+
+
+# same expected state as the eager upsert path — the CLI must not change
+# replication semantics, only how the pipeline is constructed
+CLI_RUN_SQL = PIPELINE_UPSERT_SQL
+
+
 def pipeline_schema_history_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 under the gate: two schema versions flow through the REAL
     pipeline with a SchemaHistory store attached (schema_history_path),
@@ -749,6 +800,7 @@ QUERIES = {
     "pipeline_rejects_e2e": pipeline_rejects_e2e,
     "pipeline_metrics_e2e": pipeline_metrics_e2e,
     "pipeline_replay_idempotent_e2e": pipeline_replay_idempotent_e2e,
+    "cli_run_e2e": cli_run_e2e,
     "pipeline_schema_history_e2e": pipeline_schema_history_e2e,
     "pipeline_keyless_append_e2e": pipeline_keyless_append_e2e,
     "incremental_snapshot_e2e": incremental_snapshot_e2e,
@@ -766,6 +818,7 @@ ORACLES = {
     "pipeline_rejects_e2e": PIPELINE_REJECTS_SQL,
     "pipeline_metrics_e2e": PIPELINE_METRICS_SQL,
     "pipeline_replay_idempotent_e2e": PIPELINE_REPLAY_SQL,
+    "cli_run_e2e": CLI_RUN_SQL,
     "pipeline_schema_history_e2e": PIPELINE_SCHEMA_HISTORY_SQL,
     "pipeline_keyless_append_e2e": PIPELINE_KEYLESS_APPEND_SQL,
     "incremental_snapshot_e2e": INCREMENTAL_SNAPSHOT_SQL,
