@@ -121,6 +121,47 @@ GROUP BY 1, 2 ORDER BY table_name, __op
 """
 
 
+# Debezium wire-envelope schema node for the synthesized CDC columns —
+# shared by every query that round-trips events through NDJSON lines.
+_WIRE_SCHEMA_HINT = {
+    "type": "struct",
+    "fields": [
+        {"type": "string", "field": "destination"},
+        {"type": "int64", "field": "event_id"},
+        {"type": "int64", "optional": True, "field": "user_id"},
+        {"type": "string", "optional": True, "field": "event_type"},
+        {"type": "double", "optional": True, "field": "value"},
+        {"type": "string", "optional": True, "field": "props"},
+        {"type": "string", "optional": True, "field": "__op"},
+        {"type": "string", "optional": True, "field": "__table"},
+        {"type": "string", "optional": True, "field": "__db"},
+        {"type": "int64", "optional": True, "field": "__ts_ms"},
+        {"type": "int64", "optional": True, "field": "__source_ts_ms"},
+        {"type": "int64", "optional": True, "field": "__source_ts_ns"},
+        {"type": "string", "optional": True, "field": "__deleted"},
+    ],
+}
+
+
+def _write_wire_ndjson(synth: DataFrame, src_dir: str, corrupt_every: int = 0) -> None:
+    """Serialize synthesized CDC rows to schema+payload Debezium NDJSON
+    lines at ``src_dir``; ``corrupt_every`` > 0 poisons every Nth line."""
+    import json as _json
+
+    envelope = F.concat(
+        F.lit('{"schema":' + _json.dumps(_WIRE_SCHEMA_HINT) + ',"payload":'),
+        F.to_json(F.struct(*synth.columns)),
+        F.lit("}"),
+    )
+    line = envelope
+    if corrupt_every:
+        line = F.when(
+            F.col("event_id") % corrupt_every == 0,
+            F.concat(F.lit("CORRUPT "), F.col("event_id").cast("string")),
+        ).otherwise(envelope)
+    synth.select(line.alias("value")).write.mode("overwrite").text(src_dir)
+
+
 def pipeline_rejects_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter routing end-to-end: CDC events serialized to Debezium
     NDJSON wire lines with every 97th corrupted, read back with
@@ -128,41 +169,14 @@ def pipeline_rejects_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole split — poisoned lines land (only) in the DLQ, every clean
     non-heartbeat event reaches its destination (beyond-reference: the
     Java pipeline dies on the first unconvertible event)."""
-    import json as _json
     from functools import reduce
 
     from debezium_server_bigquery_spark.sources.cdc import read_cdc_ndjson
 
     synth = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
-    schema_hint = {
-        "type": "struct",
-        "fields": [
-            {"type": "string", "field": "destination"},
-            {"type": "int64", "field": "event_id"},
-            {"type": "int64", "optional": True, "field": "user_id"},
-            {"type": "string", "optional": True, "field": "event_type"},
-            {"type": "double", "optional": True, "field": "value"},
-            {"type": "string", "optional": True, "field": "props"},
-            {"type": "string", "optional": True, "field": "__op"},
-            {"type": "string", "optional": True, "field": "__table"},
-            {"type": "string", "optional": True, "field": "__db"},
-            {"type": "int64", "optional": True, "field": "__ts_ms"},
-            {"type": "int64", "optional": True, "field": "__source_ts_ms"},
-            {"type": "int64", "optional": True, "field": "__source_ts_ns"},
-            {"type": "string", "optional": True, "field": "__deleted"},
-        ],
-    }
-    envelope = F.concat(
-        F.lit('{"schema":' + _json.dumps(schema_hint) + ',"payload":'),
-        F.to_json(F.struct(*synth.columns)),
-        F.lit("}"),
-    )
-    line = F.when(
-        F.col("event_id") % 97 == 0,
-        F.concat(F.lit("CORRUPT "), F.col("event_id").cast("string")),
-    ).otherwise(envelope)
+    schema_hint = _WIRE_SCHEMA_HINT
     src_dir = scratch_dir("dsbq_rejects_src_")
-    synth.select(line.alias("value")).write.mode("overwrite").text(src_dir)
+    _write_wire_ndjson(synth, src_dir, corrupt_every=97)
 
     batch = read_cdc_ndjson(spark, src_dir, schema_hint=schema_hint, on_error="route")
     p = CdcPipeline(
@@ -603,6 +617,117 @@ def cli_run_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLI_RUN_SQL = PIPELINE_UPSERT_SQL
 
 
+def pipeline_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/T3 under the gate through REAL Structured Streaming: events
+    round-trip the Debezium NDJSON wire format, are consumed with
+    ``readStream`` + an ``availableNow`` drain trigger (the
+    MaxBatchSizeWait analog — batch everything available, SURVEY §2.7)
+    checkpointed to disk, MERGEd per micro-batch via foreachBatch, and
+    read back.  ``repartition(4)`` scatters events into files in arbitrary
+    order and maxFilesPerTrigger=1 forces one micro-batch per file, so the
+    cross-batch MERGE really sees OUT-OF-ORDER arrivals; keep_deletes=True
+    is then load-bearing, not a flavor: a physically-removed tombstone
+    carries no timestamp, so a later batch delivering an OLDER version of
+    the key would resurrect it (observed: 428 rows instead of 372 with
+    destructive deletes under this shuffle).  With stored tombstones the
+    A2 comparator makes the newest (ts, op-priority, event_id) version win
+    regardless of arrival batch, and the final state equals the one-batch
+    oracle including flagged deletes."""
+    from debezium_server_bigquery_spark.sources.cdc import read_cdc_ndjson
+
+    synth = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
+    # several source files -> several micro-batches under maxFilesPerTrigger
+    src_dir = scratch_dir("dsbq_stream_src_")
+    _write_wire_ndjson(synth.repartition(4), src_dir)
+    target = scratch_dir("dsbq_stream_tgt_")
+    source = read_cdc_ndjson(
+        spark,
+        src_dir,
+        schema_hint=_WIRE_SCHEMA_HINT,
+        streaming=True,
+        max_files_per_trigger=1,
+    )
+    p = CdcPipeline(
+        spark,
+        target,
+        mode="upsert",
+        key_cols=("user_id",),
+        n_buckets=8,
+        keep_deletes=True,
+        dedup_tiebreak=("event_id",),
+    )
+    q = p.run_stream(source, os.path.join(target, "_ckpt"), available_now=True)
+    q.awaitTermination()
+    return _union_tables(
+        p, ["user_id", "event_id", "event_type", "value", "__op"]
+    ).orderBy("table_name", "user_id")
+
+
+PIPELINE_STREAM_SQL = f"""{_CDC_CTE}
+SELECT {_TABLE_NAME_SQL} AS table_name, user_id, event_id, event_type, value, __op
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY destination, user_id
+      ORDER BY __source_ts_ns DESC, {_OP_PRI} DESC, event_id DESC) AS rn
+  FROM cdc WHERE {_NOT_HEARTBEAT}
+)
+WHERE rn = 1
+ORDER BY table_name, user_id
+"""
+
+
+def pipeline_transform_hook_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 (SMT-chain analog) under the gate: a GLOBAL transform and a
+    DESTINATION-scoped transform registered on the pipeline's ``transforms``
+    hook — the engine's counterpart of Debezium's ``debezium.transforms*``
+    chain (DebeziumConfig.java:62-80) — applied in order to each
+    destination's slice before dedup/MERGE.  The global hook derives a
+    ``value_eur`` column (row shaping); the p0-scoped hook masks ``props``
+    (the classic field-redaction SMT).  The read-back must show both
+    effects exactly where configured, recomputed independently by the
+    oracle."""
+    target = scratch_dir("dsbq_smt_")
+    p = CdcPipeline(
+        spark,
+        target,
+        mode="upsert",
+        key_cols=("user_id",),
+        n_buckets=8,
+        dedup_tiebreak=("event_id",),
+        transforms={
+            "*": [
+                lambda df: df.withColumn(
+                    "value_eur", F.round(F.col("value") * 0.9, 4)
+                )
+            ],
+            "testc_inventory_events_p0": [
+                lambda df: df.withColumn("props", F.lit("<redacted>"))
+            ],
+        },
+    )
+    p.run_batch(synthesize_cdc_events(load_table(spark, sf_dir, "events")))
+    return _union_tables(
+        p, ["user_id", "event_id", "value", "value_eur", "props", "__op"]
+    ).orderBy("table_name", "user_id")
+
+
+PIPELINE_TRANSFORM_SQL = f"""{_CDC_CTE}
+SELECT {_TABLE_NAME_SQL} AS table_name, user_id, event_id, value,
+  round(value * 0.9, 4) AS value_eur,
+  CASE WHEN {_TABLE_NAME_SQL} = 'testc_inventory_events_p0'
+       THEN '<redacted>' ELSE props END AS props,
+  __op
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY destination, user_id
+      ORDER BY __source_ts_ns DESC, {_OP_PRI} DESC, event_id DESC) AS rn
+  FROM cdc WHERE {_NOT_HEARTBEAT}
+)
+WHERE rn = 1 AND __op <> 'd'
+ORDER BY table_name, user_id
+"""
+
+
 def pipeline_schema_history_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 under the gate: two schema versions flow through the REAL
     pipeline with a SchemaHistory store attached (schema_history_path),
@@ -801,6 +926,8 @@ QUERIES = {
     "pipeline_metrics_e2e": pipeline_metrics_e2e,
     "pipeline_replay_idempotent_e2e": pipeline_replay_idempotent_e2e,
     "cli_run_e2e": cli_run_e2e,
+    "pipeline_stream_e2e": pipeline_stream_e2e,
+    "pipeline_transform_hook_e2e": pipeline_transform_hook_e2e,
     "pipeline_schema_history_e2e": pipeline_schema_history_e2e,
     "pipeline_keyless_append_e2e": pipeline_keyless_append_e2e,
     "incremental_snapshot_e2e": incremental_snapshot_e2e,
@@ -819,6 +946,8 @@ ORACLES = {
     "pipeline_metrics_e2e": PIPELINE_METRICS_SQL,
     "pipeline_replay_idempotent_e2e": PIPELINE_REPLAY_SQL,
     "cli_run_e2e": CLI_RUN_SQL,
+    "pipeline_stream_e2e": PIPELINE_STREAM_SQL,
+    "pipeline_transform_hook_e2e": PIPELINE_TRANSFORM_SQL,
     "pipeline_schema_history_e2e": PIPELINE_SCHEMA_HISTORY_SQL,
     "pipeline_keyless_append_e2e": PIPELINE_KEYLESS_APPEND_SQL,
     "incremental_snapshot_e2e": INCREMENTAL_SNAPSHOT_SQL,

@@ -320,6 +320,7 @@ def read_cdc_ndjson(
     nested_as_json: bool = False,
     ignore_unknown_fields: bool = True,
     on_error: str = "fail",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Read newline-delimited Debezium change events.
 
@@ -376,6 +377,10 @@ def read_cdc_ndjson(
         raise ValueError(f"on_error must be 'fail' or 'route', got {on_error!r}")
     struct = debezium_schema_to_struct(schema_hint, nested_as_json=nested_as_json)
     reader = spark.readStream if streaming else spark.read
+    if streaming and max_files_per_trigger:
+        # bound each micro-batch by source files — the file-source analog
+        # of MaxBatchSizeWait's batch-size cap (SURVEY §2.7 T3)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.text(path)
     parsed = raw.select(
         F.from_json(F.col("value"), "struct<payload:string,schema:string>").alias("env"),

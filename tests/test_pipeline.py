@@ -242,3 +242,38 @@ def test_heartbeat_skip_consuming_false_replicates_heartbeats(
     assert "__debezium-heartbeat_testc" in dests
     n_hb = cdc.filter(F.col("destination").startswith("__debezium")).count()
     assert p.read_table("__debezium-heartbeat_testc").count() == n_hb
+
+
+def test_pipeline_stream_e2e_converges_out_of_order(spark, sf_dir):
+    """The streaming drain (multiple out-of-order micro-batches via
+    maxFilesPerTrigger=1) must reach the same final state as the one-batch
+    destructive path plus flagged tombstones."""
+    from debezium_server_bigquery_spark.plans.pipeline_queries import (
+        pipeline_stream_e2e,
+        pipeline_upsert_e2e,
+    )
+
+    stream_rows = pipeline_stream_e2e(spark, sf_dir).collect()
+    live = [
+        (r.table_name, r.user_id, r.event_id) for r in stream_rows if r["__op"] != "d"
+    ]
+    batch = [
+        (r.table_name, r.user_id, r.event_id)
+        for r in pipeline_upsert_e2e(spark, sf_dir).collect()
+    ]
+    assert live == batch  # stream live rows == eager one-batch winners
+    assert any(r["__op"] == "d" for r in stream_rows)  # tombstones retained
+
+
+def test_pipeline_transform_hook_order_and_scope(spark, sf_dir):
+    from debezium_server_bigquery_spark.plans.pipeline_queries import (
+        pipeline_transform_hook_e2e,
+    )
+
+    rows = pipeline_transform_hook_e2e(spark, sf_dir).collect()
+    assert all(r.value_eur == round(r.value * 0.9, 4) for r in rows)  # global
+    for r in rows:  # destination-scoped redaction hits exactly p0
+        if r.table_name == "testc_inventory_events_p0":
+            assert r.props == "<redacted>"
+        else:
+            assert r.props != "<redacted>"
