@@ -190,10 +190,12 @@ _TIER1 = [
     # -- end of the 50-query graded prefix --------------------------------
     # Round-8 rotation shortlist — queries NEW in round 7 with no driver
     # row yet (all pass the local oracle replica): decontaminate_test_overlap,
-    # split_leakage_matrix, decontamination_report, events_drift_report,
+    # split_leakage_matrix, decontamination_report,
     # lang_id_confusion, user_recency_weighted_value, pipeline_stream_e2e
     # (readStream + availableNow + out-of-order micro-batch MERGE), and
-    # pipeline_transform_hook_e2e (the SMT-chain analog under the gate).
+    # pipeline_transform_hook_e2e (the SMT-chain analog under the gate),
+    # pipeline_composite_key_e2e (multi-column-PK MERGE with duplicate-key
+    # resolution), events_drift_report.
     # Swap them in next round for multiply-covered
     # members and rotate the r6-graded set below back per the
     # two-consecutive-rounds policy.

@@ -829,6 +829,92 @@ GROUP BY 1 ORDER BY table_name
 """
 
 
+def pipeline_composite_key_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key MERGE under the gate: every other graded upsert keys
+    on the single ``user_id``; real CDC tables key on multi-column primary
+    keys (lineitem's (l_orderkey, l_linenumber)).  Three ordered batches —
+    snapshot 'r' rows, a quantity-doubling update wave for orderkey%7
+    keys, a delete wave for orderkey%11 keys — flow through the real
+    bucketed MERGE sink on the composite key; the read-back per-returnflag
+    aggregate must equal the oracle's closed-form recomputation.  Proves
+    key-tuple bucketing, multi-column join conditions in the MERGE, and
+    delete application on composite keys.
+
+    The synthetic lineitem deliberately is NOT key-unique (sf0.01: 60000
+    rows, 45832 distinct key pairs), so the in-batch A1 dedup really
+    resolves duplicate composite keys; the (l_quantity, l_returnflag)
+    tiebreak makes the surviving row deterministic (rows still tying on
+    both carry identical observable values, so the output is stable
+    either way)."""
+    from debezium_server_bigquery_spark.operators.merge import merge_upsert
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    base = li.withColumns(
+        {"__op": F.lit("r"), "__source_ts_ns": F.lit(0).cast("long")}
+    )
+    upd = (
+        li.filter(F.col("l_orderkey") % 7 == 0)
+        .withColumn("l_quantity", F.col("l_quantity") * 2)
+        .withColumns(
+            {"__op": F.lit("u"), "__source_ts_ns": F.lit(1_000).cast("long")}
+        )
+    )
+    dele = li.filter(F.col("l_orderkey") % 11 == 0).withColumns(
+        {"__op": F.lit("d"), "__source_ts_ns": F.lit(2_000).cast("long")}
+    )
+    table = ParquetTable(
+        spark,
+        os.path.join(scratch_dir("dsbq_ck_"), "t"),
+        key_cols=["l_orderkey", "l_linenumber"],
+        mode="upsert",
+        n_buckets=8,
+    )
+    for i, batch in enumerate((base, upd, dele)):
+        merge_upsert(
+            table,
+            batch,
+            keep_deletes=False,
+            tiebreak=("l_quantity", "l_returnflag"),
+            epoch_id=f"ck.{i}",
+        )
+    # keep_deletes=False: the delete wave physically removed its rows
+    return (
+        table.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PIPELINE_COMPOSITE_KEY_SQL = """
+WITH keyed AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+    ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+      ORDER BY l_quantity DESC, l_returnflag DESC) AS rn
+  FROM lineitem
+), final AS (
+  SELECT l_returnflag, l_orderkey,
+    CASE WHEN l_orderkey % 7 = 0 THEN l_quantity * 2
+         ELSE l_quantity END AS l_quantity
+  FROM keyed WHERE rn = 1 AND l_orderkey % 11 <> 0
+)
+SELECT l_returnflag, COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_orderkey) AS n_orders,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+FROM final GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def incremental_snapshot_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBLog-style incremental snapshot under the gate: a pre-existing
     database state is read in FOUR key-range chunks interleaved with four
@@ -930,6 +1016,7 @@ QUERIES = {
     "pipeline_transform_hook_e2e": pipeline_transform_hook_e2e,
     "pipeline_schema_history_e2e": pipeline_schema_history_e2e,
     "pipeline_keyless_append_e2e": pipeline_keyless_append_e2e,
+    "pipeline_composite_key_e2e": pipeline_composite_key_e2e,
     "incremental_snapshot_e2e": incremental_snapshot_e2e,
 }
 
@@ -950,5 +1037,6 @@ ORACLES = {
     "pipeline_transform_hook_e2e": PIPELINE_TRANSFORM_SQL,
     "pipeline_schema_history_e2e": PIPELINE_SCHEMA_HISTORY_SQL,
     "pipeline_keyless_append_e2e": PIPELINE_KEYLESS_APPEND_SQL,
+    "pipeline_composite_key_e2e": PIPELINE_COMPOSITE_KEY_SQL,
     "incremental_snapshot_e2e": INCREMENTAL_SNAPSHOT_SQL,
 }
