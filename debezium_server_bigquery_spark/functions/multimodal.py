@@ -228,19 +228,39 @@ def _bmp_header(width: int, height: int) -> bytes:
     )
 
 
+def _jpeg_header(width: int, height: int) -> bytes:
+    """Minimal real JPEG: SOI + APP0/JFIF + SOF0 carrying the frame
+    dimensions — the same segment layout every camera JPEG starts with."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = (
+        b"\x08"  # precision
+        + struct.pack(">HH", height, width)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"  # 3 components
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+    )
+
+
 def _synth_payload(i: int) -> bytes:
-    if i % 4 == 0:
+    if i % 5 == 0:
         return _png_header(i % 512 + 1, (i * 7) % 512 + 1)
-    if i % 4 == 1:
+    if i % 5 == 1:
         return _wav_header(8000 + (i % 8) * 1000)
-    if i % 4 == 2:
+    if i % 5 == 2:
         return _gif_header(i % 256 + 1, (i * 3) % 256 + 1)
-    return _bmp_header(i % 128 + 1, (i * 5) % 128 + 1)
+    if i % 5 == 3:
+        return _bmp_header(i % 128 + 1, (i * 5) % 128 + 1)
+    return _jpeg_header(i % 300 + 1, (i * 11) % 300 + 1)
 
 
 def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """doc_id % 4 cycles PNG / WAV / GIF / BMP payloads — dimensions and
-    rate derive from doc_id, mirrored by the oracle's arithmetic."""
+    """doc_id % 5 cycles PNG / WAV / GIF / BMP / JPEG payloads — dimensions
+    and rate derive from doc_id, mirrored by the oracle's arithmetic."""
     for pdf in batches:
         ids = pdf["doc_id"]
         yield pd.DataFrame(
@@ -285,6 +305,22 @@ def _parse_media_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 kind = "bmp"
                 width, height = struct.unpack("<ii", data[18:26])
                 height = abs(height)  # negative height = top-down rows
+            elif data[:2] == b"\xff\xd8":
+                # JPEG: walk marker segments to the first SOF frame header
+                # (C0-C3, C5-C7, C9-CB, CD-CF carry dimensions); a stream
+                # that ends before any SOF stays 'unknown'
+                pos = 2
+                while pos + 4 <= len(data) and data[pos] == 0xFF:
+                    marker = data[pos + 1]
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        if pos + 9 <= len(data):
+                            kind = "jpeg"
+                            height, width = struct.unpack(
+                                ">HH", data[pos + 5 : pos + 9]
+                            )
+                        break
+                    (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+                    pos += 2 + seglen
             out["doc_id"].append(doc_id)
             out["kind"].append(kind)
             out["width"].append(width)
@@ -313,15 +349,17 @@ def media_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_PROBE_SQL = """
 SELECT doc_id,
-  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
-                  WHEN 2 THEN 'gif' ELSE 'bmp' END AS kind,
-  CASE doc_id % 4 WHEN 0 THEN doc_id % 512 + 1
+  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                  WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'jpeg' END AS kind,
+  CASE doc_id % 5 WHEN 0 THEN doc_id % 512 + 1
                   WHEN 2 THEN doc_id % 256 + 1
-                  WHEN 3 THEN doc_id % 128 + 1 END AS width,
-  CASE doc_id % 4 WHEN 0 THEN (doc_id * 7) % 512 + 1
+                  WHEN 3 THEN doc_id % 128 + 1
+                  WHEN 4 THEN doc_id % 300 + 1 END AS width,
+  CASE doc_id % 5 WHEN 0 THEN (doc_id * 7) % 512 + 1
                   WHEN 2 THEN (doc_id * 3) % 256 + 1
-                  WHEN 3 THEN (doc_id * 5) % 128 + 1 END AS height,
-  CASE WHEN doc_id % 4 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS sample_rate
+                  WHEN 3 THEN (doc_id * 5) % 128 + 1
+                  WHEN 4 THEN (doc_id * 11) % 300 + 1 END AS height,
+  CASE WHEN doc_id % 5 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS sample_rate
 FROM documents ORDER BY doc_id
 """
 

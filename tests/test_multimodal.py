@@ -51,3 +51,26 @@ def test_media_header_truncated_payloads_are_unknown():
     )
     (out,) = list(_parse_media_header(iter([pdf])))
     assert list(out["kind"]) == ["unknown", "unknown", "unknown"]
+
+
+def test_jpeg_sof_marker_walk():
+    """The JPEG parser walks real marker segments to SOF0 and survives
+    truncation (classifies unknown, never crashes)."""
+    import pandas as pd
+
+    from debezium_server_bigquery_spark.functions.multimodal import (
+        _jpeg_header,
+        _parse_media_header,
+    )
+
+    good = _jpeg_header(640, 480)
+    truncated = good[:6]  # ends inside APP0 — no SOF reachable
+    no_sof = good[: good.index(b"\xff\xc0")]  # SOI + APP0 only
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [good, truncated, no_sof]}
+    )
+    (out,) = list(_parse_media_header(iter([pdf])))
+    rows = {r.doc_id: r for r in out.itertuples()}
+    assert rows[1].kind == "jpeg" and (rows[1].width, rows[1].height) == (640, 480)
+    assert rows[2].kind == "unknown"
+    assert rows[3].kind == "unknown"
