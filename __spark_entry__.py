@@ -195,7 +195,8 @@ _TIER1 = [
     # (readStream + availableNow + out-of-order micro-batch MERGE), and
     # pipeline_transform_hook_e2e (the SMT-chain analog under the gate),
     # pipeline_composite_key_e2e (multi-column-PK MERGE with duplicate-key
-    # resolution), events_drift_report.
+    # resolution), events_drift_report, pipeline_backfill_e2e
+    # (partition-scoped corrective rewrite).
     # Swap them in next round for multiply-covered
     # members and rotate the r6-graded set below back per the
     # two-consecutive-rounds policy.

@@ -517,6 +517,27 @@ class ParquetTable:
                 expired.append(value)
         return expired
 
+    def backfill_time_partitions(
+        self, df: DataFrame, partitions: Sequence[str]
+    ) -> None:
+        """Corrective rewrite of the named TIME partitions — the BigQuery
+        partition-replacement (load with a partition decorator) analog for
+        reprocessing: late corrections land by replacing whole partitions,
+        untouched partitions never move.  ``df`` carries the table's
+        logical columns; rows falling outside ``partitions`` are ignored
+        (a correction feed may span more history than is being refilled).
+        Upsert tables refuse — their partitions are key buckets, and the
+        corrective path there is MERGE."""
+        if self.mode == "upsert":
+            raise ValueError(
+                "backfill_time_partitions applies to time-partitioned tables"
+            )
+        part_col = self.partition_col()
+        out = self.with_partition_col(df).filter(
+            F.col(part_col).isin(list(partitions))
+        )
+        self.overwrite_partitions(out, expected_partitions=partitions)
+
     def overwrite_partitions(
         self, df: DataFrame, expected_partitions: Sequence[object] = ()
     ) -> None:

@@ -829,6 +829,69 @@ GROUP BY 1 ORDER BY table_name
 """
 
 
+def pipeline_backfill_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped backfill under the gate: after a full append
+    replication, a correction feed doubles the value of every
+    ``event_id % 13 == 0`` row; each destination rewrites ONLY the time
+    partitions containing corrected rows via
+    ``ParquetTable.backfill_time_partitions`` (staged copy-on-write swap,
+    untouched months never move) — the reprocess-one-partition operation
+    every warehouse runs when an upstream bug is fixed.
+
+    The corrected-row set is a tz-free event_id predicate, so the
+    read-back aggregate is identical under ANY session time zone even
+    though partition VALUES themselves render in session time; the
+    touched-partition list is an O(months) driver collect (the same
+    metadata class as MERGE's bucket list).  sum_event_id pins row
+    identity (no loss, no duplication across the swap)."""
+    p = _run_pipeline(spark, sf_dir, mode="append")
+    for dest in sorted(p.tables):
+        t = p.tables[dest]
+        raw = t.read_raw()
+        part_col = t.partition_col()
+        touched = [
+            r[0]
+            for r in raw.filter(F.pmod("event_id", F.lit(13)) == 0)
+            .select(part_col)
+            .distinct()
+            .collect()
+        ]
+        corrected = (
+            raw.filter(F.col(part_col).isin(touched))
+            .withColumn(
+                "value",
+                F.when(
+                    F.pmod("event_id", F.lit(13)) == 0, F.col("value") * 2
+                ).otherwise(F.col("value")),
+            )
+            .drop(part_col)
+        )
+        t.backfill_time_partitions(corrected, touched)
+    df = _union_tables(p, ["event_id", "value"])
+    return (
+        df.groupBy("table_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .orderBy("table_name")
+    )
+
+
+PIPELINE_BACKFILL_SQL = f"""{_CDC_CTE}
+SELECT {_TABLE_NAME_SQL} AS table_name, COUNT(*) AS n_rows,
+  round(CAST(SUM(CAST(CASE WHEN event_id % 13 = 0 THEN value * 2
+                           ELSE value END AS DECIMAL(18,6))) AS DOUBLE), 4)
+    AS sum_value,
+  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM cdc WHERE {_NOT_HEARTBEAT}
+GROUP BY 1 ORDER BY table_name
+"""
+
+
 def pipeline_composite_key_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-key MERGE under the gate: every other graded upsert keys
     on the single ``user_id``; real CDC tables key on multi-column primary
@@ -1016,6 +1079,7 @@ QUERIES = {
     "pipeline_transform_hook_e2e": pipeline_transform_hook_e2e,
     "pipeline_schema_history_e2e": pipeline_schema_history_e2e,
     "pipeline_keyless_append_e2e": pipeline_keyless_append_e2e,
+    "pipeline_backfill_e2e": pipeline_backfill_e2e,
     "pipeline_composite_key_e2e": pipeline_composite_key_e2e,
     "incremental_snapshot_e2e": incremental_snapshot_e2e,
 }
@@ -1037,6 +1101,7 @@ ORACLES = {
     "pipeline_transform_hook_e2e": PIPELINE_TRANSFORM_SQL,
     "pipeline_schema_history_e2e": PIPELINE_SCHEMA_HISTORY_SQL,
     "pipeline_keyless_append_e2e": PIPELINE_KEYLESS_APPEND_SQL,
+    "pipeline_backfill_e2e": PIPELINE_BACKFILL_SQL,
     "pipeline_composite_key_e2e": PIPELINE_COMPOSITE_KEY_SQL,
     "incremental_snapshot_e2e": INCREMENTAL_SNAPSHOT_SQL,
 }

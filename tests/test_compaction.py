@@ -96,3 +96,71 @@ def test_pipeline_auto_compact_off_by_default(spark, tmp_path):
         pipe.process_batch(batch(ids), epoch_id=epoch)
     counts = pipe.table_for("t1").partition_file_counts()
     assert counts and max(counts.values()) >= 4  # fragmentation untouched
+
+
+def test_backfill_time_partitions_rewrites_only_named(spark, sf_dir, tmp_path):
+    """Corrective backfill swaps exactly the named month partitions; the
+    untouched partition's data files are bit-identical afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.operators.table import ParquetTable
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    ev = synthesize_cdc_events(load_table(spark, sf_dir, "events")).filter(
+        ~F.col("destination").startswith("__debezium-heartbeat")
+    )
+    t = ParquetTable(
+        spark, str(tmp_path / "t"), mode="append", partition_type="DAY"
+    )
+    t.append(ev, epoch_id="e0")
+    part_col = t.partition_col()
+    months = sorted(
+        r[0] for r in t.read_raw().select(part_col).distinct().collect()
+    )
+    assert len(months) >= 2
+    target, untouched = months[0], months[1]
+
+    def files_of(month):
+        d = os.path.join(str(tmp_path / "t"), f"{part_col}={month}")
+        return sorted(
+            (n, os.path.getmtime(os.path.join(d, n)))
+            for n in os.listdir(d)
+            if n.endswith(".parquet")
+        )
+
+    before = files_of(untouched)
+    raw = t.read_raw()
+    # expected sum computed BEFORE the swap invalidates raw's file listing
+    want = (
+        raw.filter(F.col(part_col) == target)
+        .agg(F.sum((F.col("value") * 2).cast("decimal(18,6)")).alias("s"))
+        .first()
+        .s
+    )
+    corrected = (
+        raw.filter(F.col(part_col) == target)
+        .withColumn("value", F.col("value") * 2)
+        .drop(part_col)
+    )
+    t.backfill_time_partitions(corrected, [target])
+    assert files_of(untouched) == before  # never moved
+    # target partition really carries the corrected values
+    got = (
+        t.read_raw()
+        .filter(F.col(part_col) == target)
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+        .first()
+        .s
+    )
+    assert got == want
+    # upsert tables refuse
+    tu = ParquetTable(
+        spark, str(tmp_path / "u"), key_cols=["user_id"], mode="upsert"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tu.backfill_time_partitions(corrected, [target])
