@@ -196,7 +196,9 @@ _TIER1 = [
     # pipeline_transform_hook_e2e (the SMT-chain analog under the gate),
     # pipeline_composite_key_e2e (multi-column-PK MERGE with duplicate-key
     # resolution), events_drift_report, pipeline_backfill_e2e
-    # (partition-scoped corrective rewrite).
+    # (partition-scoped corrective rewrite), corpus_curation_funnel (the
+    # one-row dataset-card attrition table: raw -> exact -> near-dup ->
+    # quality -> decontaminated).
     # Swap them in next round for multiply-covered
     # members and rotate the r6-graded set below back per the
     # two-consecutive-rounds policy.

@@ -100,3 +100,27 @@ def test_weighted_sampling_tilts_quality_upward(spark, sf_dir):
     ).collect()[0]
     assert 0 < total_sel < corpus.n  # a genuine subset
     assert overall_sel_mean >= corpus.m  # quality-weighted tilt
+
+
+def test_corpus_curation_funnel_monotone(spark, sf_dir):
+    """Funnel counts are cumulative: each stage can only shrink the set,
+    and each stage's count reconciles with its standalone feeder."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.functions.recipe import (
+        corpus_curation_funnel,
+    )
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    r = corpus_curation_funnel(spark, sf_dir).first()
+    docs = load_table(spark, sf_dir, "documents")
+    assert r.n_raw == docs.count()
+    assert (
+        r.n_raw
+        >= r.n_after_exact
+        >= r.n_after_neardup
+        >= r.n_after_quality
+        >= r.n_after_decontam
+    )
+    # exact stage reconciles with distinct content hashes
+    assert r.n_after_exact == docs.select(F.md5("text")).distinct().count()
