@@ -198,7 +198,8 @@ _TIER1 = [
     # resolution), events_drift_report, pipeline_backfill_e2e
     # (partition-scoped corrective rewrite), corpus_curation_funnel (the
     # one-row dataset-card attrition table: raw -> exact -> near-dup ->
-    # quality -> decontaminated).
+    # quality -> decontaminated), paragraph_dup_rate (non-overlapping
+    # block-hash boilerplate detector).
     # Swap them in next round for multiply-covered
     # members and rotate the r6-graded set below back per the
     # two-consecutive-rounds policy.

@@ -109,6 +109,94 @@ ORDER BY doc_id, chunk_id
 """
 
 
+BLOCK_WIN = 64  # non-overlapping token window for block-level dedup
+
+
+def paragraph_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level inter-document duplication: split each document into
+    NON-overlapping ``BLOCK_WIN``-token windows, hash each, and report per
+    document the share of its blocks that also occur in at least one
+    OTHER document — the fine-grained boilerplate detector between
+    whole-document dedup (misses partial copies) and shingle containment
+    (pairwise; this is the per-document rollup a quality filter thresholds
+    on).
+
+    Scale: one scan + block explode (narrow), one hash-keyed doc-frequency
+    aggregate (map-side combinable), one shuffle-hash join back on the
+    block hash — the inverted-index shape without posting-list joins,
+    since only the block's document COUNT matters, never the pairs."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(TOKEN_REGEX), 0
+            ).alias("t"),
+        )
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    blocks = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(BLOCK_WIN))
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("start") + 1, BLOCK_WIN))
+        ).alias("h"),
+    )
+    dfreq = blocks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_block")
+    )
+    return (
+        blocks.join(dfreq.hint("shuffle_hash"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(
+                F.when(F.col("n_docs_with_block") >= 2, 1).otherwise(0)
+            ).alias("n_shared_blocks"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_shared_blocks",
+            F.round(
+                F.col("n_shared_blocks").cast("double") / F.col("n_blocks"), 6
+            ).alias("dup_block_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PARAGRAPH_DUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+    regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0) AS t
+  FROM documents
+),
+sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+blocks AS (
+  SELECT doc_id,
+    md5(array_to_string(list_slice(t, start + 1, start + {BLOCK_WIN}), ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(range(0, n, {BLOCK_WIN})) AS start FROM sized)
+),
+dfreq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs_with_block FROM blocks GROUP BY h
+)
+SELECT doc_id, COUNT(*) AS n_blocks,
+  CAST(SUM(CASE WHEN n_docs_with_block >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_shared_blocks,
+  round(SUM(CASE WHEN n_docs_with_block >= 2 THEN 1 ELSE 0 END)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_block_rate
+FROM blocks JOIN dfreq USING (h)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # Patterns chosen from the Java-regex ∩ RE2 common subset: character
 # classes, bounded quantifiers, alternation — no backrefs, no lookaround.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
@@ -166,10 +254,12 @@ ORDER BY doc_id
 
 QUERIES = {
     "chunk_documents": chunk_documents,
+    "paragraph_dup_rate": paragraph_dup_rate,
     "text_pii_scrub": text_pii_scrub,
 }
 
 ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "paragraph_dup_rate": PARAGRAPH_DUP_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
 }

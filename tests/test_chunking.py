@@ -69,3 +69,35 @@ def test_pii_scrub_counts(spark, docs_dir):
     assert r[4]["n_phones"] == 1
     assert r[1]["n_emails"] == r[1]["n_ipv4"] == r[1]["n_phones"] == 0
     assert r[4]["scrubbed_hash"] != r[1]["scrubbed_hash"]
+
+
+def test_paragraph_dup_rate_detects_planted_block(spark, sf_dir, tmp_path):
+    """Two docs sharing one identical 64-token block must both show a
+    non-zero dup_block_rate; unique docs stay at 0 (modulo corpus dups)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.functions.chunking import (
+        BLOCK_WIN,
+        paragraph_dup_rate,
+    )
+
+    words = " ".join(f"w{i}" for i in range(BLOCK_WIN))
+    rows = [
+        (1, words + " unique tail one " + "x " * BLOCK_WIN),
+        (2, words + " different tail two " + "y " * BLOCK_WIN),
+        (3, "entirely distinct text " + "z " * (2 * BLOCK_WIN)),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = {r.doc_id: r for r in paragraph_dup_rate(spark, str(tmp_path)).collect()}
+    assert out[1].n_shared_blocks >= 1 and out[2].n_shared_blocks >= 1
+    assert out[1].dup_block_rate > 0 and out[2].dup_block_rate > 0
+    assert out[3].n_shared_blocks == 0 and out[3].dup_block_rate == 0.0
+    # rate is shared/total for every doc
+    assert all(
+        r.dup_block_rate == round(r.n_shared_blocks / r.n_blocks, 6)
+        for r in out.values()
+    )
