@@ -199,7 +199,8 @@ _TIER1 = [
     # (partition-scoped corrective rewrite), corpus_curation_funnel (the
     # one-row dataset-card attrition table: raw -> exact -> near-dup ->
     # quality -> decontaminated), paragraph_dup_rate (non-overlapping
-    # block-hash boilerplate detector).
+    # block-hash boilerplate detector), value_outliers_mad (exact
+    # rank-median/MAD robust outlier report).
     # Swap them in next round for multiply-covered
     # members and rotate the r6-graded set below back per the
     # two-consecutive-rounds policy.

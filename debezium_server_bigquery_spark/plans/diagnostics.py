@@ -171,6 +171,117 @@ FROM kept GROUP BY event_type ORDER BY event_type
 """
 
 
+MAD_K = 5  # outlier = |value - median| > MAD_K x MAD
+
+
+def _rank_median(df: DataFrame, val_col: str, out: str) -> DataFrame:
+    """Exact per-event_type median of ``val_col`` by RANK arithmetic — no
+    interpolation (engines disagree in the last ulp), no transcendentals:
+    the median is the middle value (odd n) or one IEEE half-sum of the two
+    middle values (even n), both bit-identical cross-engine.  The window
+    is PARTITIONED on the group key — never a global sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+    ranked = df.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.ceil((F.col("n") + 1) / 2)
+    return ranked.groupBy("event_type").agg(
+        (
+            (
+                F.sum(F.when(F.col("r") == lo, F.col(val_col)))
+                + F.sum(F.when(F.col("r") == hi, F.col(val_col)))
+            )
+            / 2
+        ).alias(out)
+    )
+
+
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: median / MAD (median absolute
+    deviation) instead of mean / stddev — a handful of corrupt extremes
+    inflates a z-score's own yardstick and hides itself; the MAD rule
+    (|value - median| > 5xMAD) does not.  The report a pipeline runs on a
+    numeric column before trusting it.
+
+    Two exact rank-median passes (value, then absolute deviation), each a
+    group-keyed window + rank arithmetic; medians join back as O(types)
+    broadcasts.  Everything is IEEE-deterministic: middle-value selection
+    plus one half-sum — no percentile interpolation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    med = _rank_median(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = _rank_median(dev, "adev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.round(F.col("n_outliers") / F.col("n_events").cast("double"), 6),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_OUTLIERS_SQL = f"""
+WITH ev AS (SELECT event_type, value, event_id FROM events),
+r1 AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+med AS (
+  SELECT event_type,
+    (SUM(CASE WHEN r = (n + 1) // 2 THEN value END)
+     + SUM(CASE WHEN r = CAST(ceil((n + 1) / 2.0) AS BIGINT) THEN value END)
+    ) / 2 AS med
+  FROM r1 GROUP BY event_type
+),
+dev AS (
+  SELECT ev.event_type, ev.value, ev.event_id, med.med,
+    abs(ev.value - med.med) AS adev
+  FROM ev JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT event_type, adev,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS r,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+    (SUM(CASE WHEN r = (n + 1) // 2 THEN adev END)
+     + SUM(CASE WHEN r = CAST(ceil((n + 1) / 2.0) AS BIGINT) THEN adev END)
+    ) / 2 AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT dev.event_type, COUNT(*) AS n_events,
+  round(ANY_VALUE(dev.med), 6) AS median_value,
+  round(ANY_VALUE(mad.mad), 6) AS mad,
+  CAST(SUM(CASE WHEN dev.adev > {MAD_K} * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  round(SUM(CASE WHEN dev.adev > {MAD_K} * mad.mad THEN 1 ELSE 0 END)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type ORDER BY dev.event_type
+"""
+
+
 def events_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-drift check between the stream's first and second time halves:
     per event type, the event-count growth ratio and the mean-value shift.
@@ -243,10 +354,12 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
     "events_drift_report": events_drift_report,
+    "value_outliers_mad": value_outliers_mad,
 }
 ORACLES = {
     "skew_report_lineitem_suppkey": SKEW_REPORT_SQL,
     "events_value_histogram": HISTOGRAM_SQL,
     "trimmed_mean_value_by_type": TRIMMED_MEAN_SQL,
     "events_drift_report": EVENTS_DRIFT_SQL,
+    "value_outliers_mad": VALUE_OUTLIERS_SQL,
 }

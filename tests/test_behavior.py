@@ -175,3 +175,33 @@ def test_lang_id_confusion_reconciles(spark, sf_dir):
     for r in conf:
         by_label[r.labeled_lang] = by_label.get(r.labeled_lang, 0.0) + r.frac_of_labeled
     assert all(abs(v - 1.0) < 1e-4 for v in by_label.values())
+
+
+def test_value_outliers_mad_python_model(spark, sf_dir):
+    """MAD medians and outlier counts match a literal python recompute."""
+    import statistics
+
+    from debezium_server_bigquery_spark.plans.diagnostics import (
+        MAD_K,
+        value_outliers_mad,
+    )
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    out = {r.event_type: r for r in value_outliers_mad(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vals in by_type.items():
+        med = statistics.median(vals)
+        devs = [abs(v - med) for v in vals]
+        mad = statistics.median(devs)
+        n_out = sum(1 for d in devs if d > MAD_K * mad)
+        assert out[t].n_events == len(vals)
+        assert out[t].median_value == round(med, 6)
+        assert out[t].mad == round(mad, 6)
+        assert out[t].n_outliers == n_out
