@@ -200,7 +200,8 @@ _TIER1 = [
     # one-row dataset-card attrition table: raw -> exact -> near-dup ->
     # quality -> decontaminated), paragraph_dup_rate (non-overlapping
     # block-hash boilerplate detector), value_outliers_mad (exact
-    # rank-median/MAD robust outlier report).
+    # rank-median/MAD robust outlier report), split_balance_chisq (the
+    # split-hash goodness-of-fit alarm).
     # Swap them in next round for multiply-covered
     # members and rotate the r6-graded set below back per the
     # two-consecutive-rounds policy.

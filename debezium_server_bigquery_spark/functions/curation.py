@@ -435,6 +435,65 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def split_balance_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit audit of the split hash: per language, Pearson's
+    chi-square of the observed train/val/test counts against the nominal
+    90/5/5 — the alarm that fires if the split function is ever changed,
+    mis-seeded, or applied to correlated ids.  One conditional-count scan;
+    the statistic is an EXPLICIT three-term expression over integer counts
+    (fixed evaluation order, no float aggregation), so it hash-compares
+    exactly cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select("lang", split_of(F.col("doc_id")).alias("split"))
+    counts = labeled.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    fracs = []
+    prev = 0.0
+    for _name, hi in SPLIT_BOUNDS:
+        fracs.append(hi - prev)
+        prev = hi
+    f_train, f_val, f_test = fracs
+
+    def term(obs, frac):
+        e = F.col("n") * frac
+        return (obs - e) * (obs - e) / e
+
+    chisq = (
+        term(F.col("n_train"), f_train)
+        + term(F.col("n_val"), f_val)
+        + term(F.col("n_test"), f_test)
+    )
+    return counts.select(
+        "lang", "n", "n_train", "n_val", "n_test",
+        F.round(chisq, 6).alias("chisq"),
+    ).orderBy("lang")
+
+
+_CHISQ_TERMS = " + ".join(
+    f"(n_{name} - n * {frac}) * (n_{name} - n * {frac}) / (n * {frac})"
+    for name, frac in (("train", 0.90), ("val", 0.05), ("test", 0.05))
+)
+
+SPLIT_CHISQ_SQL = f"""
+WITH labeled AS (
+  SELECT lang, {_SPLIT_CASE} AS split FROM documents
+), counts AS (
+  SELECT lang, COUNT(*) AS n,
+    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM labeled GROUP BY lang
+)
+SELECT lang, n, n_train, n_val, n_test,
+  round({_CHISQ_TERMS}, 6) AS chisq
+FROM counts ORDER BY lang
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_weighted_by_quality": sample_weighted_by_quality,
@@ -443,6 +502,7 @@ QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "vocab_oov_rate": vocab_oov_rate,
     "dataset_splits": dataset_splits,
+    "split_balance_chisq": split_balance_chisq,
 }
 
 ORACLES = {
@@ -453,4 +513,5 @@ ORACLES = {
     "text_tfidf_top_terms": TFIDF_SQL,
     "vocab_oov_rate": VOCAB_OOV_SQL,
     "dataset_splits": DATASET_SPLITS_SQL,
+    "split_balance_chisq": SPLIT_CHISQ_SQL,
 }

@@ -124,3 +124,31 @@ def test_corpus_curation_funnel_monotone(spark, sf_dir):
     )
     # exact stage reconciles with distinct content hashes
     assert r.n_after_exact == docs.select(F.md5("text")).distinct().count()
+
+
+def test_split_balance_chisq_reconciles(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.curation import (
+        dataset_splits,
+        split_balance_chisq,
+    )
+
+    chis = {r.lang: r for r in split_balance_chisq(spark, sf_dir).collect()}
+    splits = dataset_splits(spark, sf_dir).collect()
+    by = {}
+    for r in splits:
+        by.setdefault(r.lang, {})[r.split] = r.n_docs
+    for lang, row in chis.items():
+        assert row.n_train == by[lang].get("train", 0)
+        assert row.n_val == by[lang].get("val", 0)
+        assert row.n_test == by[lang].get("test", 0)
+        assert row.n == row.n_train + row.n_val + row.n_test
+        # literal recompute of the three-term statistic
+        want = sum(
+            (obs - row.n * f) ** 2 / (row.n * f)
+            for obs, f in (
+                (row.n_train, 0.90),
+                (row.n_val, 0.05),
+                (row.n_test, 0.05),
+            )
+        )
+        assert row.chisq == round(want, 6)
