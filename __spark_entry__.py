@@ -201,7 +201,8 @@ _TIER1 = [
     # quality -> decontaminated), paragraph_dup_rate (non-overlapping
     # block-hash boilerplate detector), value_outliers_mad (exact
     # rank-median/MAD robust outlier report), split_balance_chisq (the
-    # split-hash goodness-of-fit alarm).
+    # split-hash goodness-of-fit alarm), term_collocations_lift (log-free
+    # PMI collocation mining over the broadcast vocabulary head).
     # Swap them in next round for multiply-covered
     # members and rotate the r6-graded set below back per the
     # two-consecutive-rounds policy.

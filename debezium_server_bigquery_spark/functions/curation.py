@@ -435,6 +435,100 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+COLLOC_TOP = 30
+COLLOC_MIN_SUPPORT = 5
+
+
+def term_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over the vocabulary head: top term pairs by
+    LIFT = P(a,b) / (P(a)·P(b)) over document co-occurrence — the
+    log-free PMI ranking (log is monotone, so the ordering is PMI's; the
+    statistic stays one exact integer-ratio division, bit-identical
+    cross-engine where log would differ in the last ulp).
+
+    Scale guard: pairs form ONLY within the broadcast top-K vocabulary
+    (each document contributes at most C(K,2) pairs regardless of its
+    length), so the per-doc self-join is constant-bounded — the df-cap
+    idea applied to collocations.  One scan, one broadcast semi-join, one
+    doc-keyed pair join, one pair aggregate, TakeOrderedAndProject."""
+    vocab = vocab_top_terms(spark, sf_dir)  # (term, doc_freq), K rows
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    n_docs = docs.count()  # O(1) driver scalar, folded into the lift literal
+    doc_terms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(words(F.lower(F.col("text"))))).alias(
+                "term"
+            ),
+        )
+        .join(F.broadcast(vocab), "term")
+        .select("doc_id", "term", "doc_freq")
+    )
+    a = doc_terms.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("doc_freq").alias("df_a")
+    )
+    b = doc_terms.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("doc_freq").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.count("*").alias("n_ab"),
+            F.first("df_a").alias("df_a"),
+            F.first("df_b").alias("df_b"),
+        )
+        .filter(F.col("n_ab") >= COLLOC_MIN_SUPPORT)
+    )
+    return (
+        pairs.select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            "df_a",
+            "df_b",
+            F.round(
+                (F.col("n_ab") * F.lit(n_docs)).cast("double")
+                / (F.col("df_a") * F.col("df_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("term_a"), F.asc("term_b"))
+        .limit(COLLOC_TOP)
+    )
+
+
+TERM_COLLOCATIONS_SQL = rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term, doc_freq FROM (
+    SELECT term, COUNT(*) AS doc_freq FROM terms GROUP BY term
+    ORDER BY doc_freq DESC, term ASC LIMIT {VOCAB_TOP_K}
+  )
+),
+dt AS (
+  SELECT t.doc_id, t.term, v.doc_freq FROM terms t JOIN vocab v USING (term)
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab,
+    ANY_VALUE(a.doc_freq) AS df_a, ANY_VALUE(b.doc_freq) AS df_b
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COLLOC_MIN_SUPPORT}
+)
+SELECT term_a, term_b, n_ab, df_a, df_b,
+  round(CAST(n_ab * n_docs AS DOUBLE) / (df_a * df_b), 6) AS lift
+FROM pairs, n
+ORDER BY lift DESC, term_a ASC, term_b ASC LIMIT {COLLOC_TOP}
+"""
+
+
 def split_balance_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Goodness-of-fit audit of the split hash: per language, Pearson's
     chi-square of the observed train/val/test counts against the nominal
@@ -503,6 +597,7 @@ QUERIES = {
     "vocab_oov_rate": vocab_oov_rate,
     "dataset_splits": dataset_splits,
     "split_balance_chisq": split_balance_chisq,
+    "term_collocations_lift": term_collocations_lift,
 }
 
 ORACLES = {
@@ -514,4 +609,5 @@ ORACLES = {
     "vocab_oov_rate": VOCAB_OOV_SQL,
     "dataset_splits": DATASET_SPLITS_SQL,
     "split_balance_chisq": SPLIT_CHISQ_SQL,
+    "term_collocations_lift": TERM_COLLOCATIONS_SQL,
 }

@@ -152,3 +152,23 @@ def test_split_balance_chisq_reconciles(spark, sf_dir):
             )
         )
         assert row.chisq == round(want, 6)
+
+
+def test_term_collocations_lift_bounds(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.curation import (
+        COLLOC_MIN_SUPPORT,
+        term_collocations_lift,
+        vocab_top_terms,
+    )
+
+    rows = term_collocations_lift(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 30
+    vocab = {r.term for r in vocab_top_terms(spark, sf_dir).collect()}
+    for r in rows:
+        assert r.term_a < r.term_b  # canonical pair order
+        assert r.term_a in vocab and r.term_b in vocab  # head-bounded
+        assert r.n_ab >= COLLOC_MIN_SUPPORT
+        # co-occurrence can't exceed either marginal
+        assert r.n_ab <= min(r.df_a, r.df_b)
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
