@@ -107,35 +107,102 @@ def _collect(attr: str) -> dict:
 # a driver that grades a prefix of the dict still sees each component; the
 # remaining members and the TPC-H-shaped tail follow.
 #
-# Round-7 rotation (per the r6 verdict's ask #1): the 20 round-6-new
-# queries that have never had a driver CORRECTNESS row — the bigram-LM
-# pair, embedding covariance, the IVM join view, LSH recall/precision,
-# containment pairs, the cross-source dup matrix, built-in session_window
-# stats, OLS revenue trend, DAU/WAU stickiness, trimmed means, Markov
-# next-event accuracy, feature hashing, RRF quality fusion, the column
-# profiler, the DBLog incremental snapshot, quality-weighted sampling,
-# open-order backlog, weekday seasonality, and the revenue Gini — enter
-# the graded prefix, plus THREE queries new this round closing the last
-# never-graded components: pipeline_schema_history_e2e (S8 store/recover
-# through the real pipeline, ask #5), pipeline_keyless_append_e2e (A4
-# doUpsert/doTableHasPrimaryKey append fallback, ask #6), and cli_run_e2e
-# (S10: the application.properties launcher driving an eager-upsert
-# replication through cli.run + ParquetTable.open).  They displace
-# 22 multiply-covered members that all carry a passing r6 driver row (the
-# SCD2 trio, session daily stats, co-occurrence, retention, anomaly,
-# sliding counts, pivot, funnel, RFM, transitions, KWIC, OOV, datacard,
-# splits, quality budget, skew report, histogram, both validators, and
-# bpe_first_merge) — every rotated-out query stays registered right after
-# the prefix, keeps local-oracle coverage, and re-enters in a later
-# rotation per the two-consecutive-rounds policy.  Kept in the prefix:
-# the CDC parity core (S1-S7, R1-R6, A1-A3, F1-F11 via the coercion
-# trio), the e2e write paths, sessionization, grouping-sets/set-ops/
-# window reps, the asof + skew joins, exact dedup, contrastive, ANN,
-# BM25, and the multimodal probe.
+# Round-8 rotation (per the r7 verdict's asks #1, #2, #7):
+#
+# ROTATION POLICY (amended in round 8 per the r7 verdict): a query whose
+# MOST RECENT driver row is red (err/fail) re-enters the next graded
+# prefix automatically, ahead of never-graded queries — the round-7 board
+# looked all-green only because three round-1 reds were never re-queued.
+# Otherwise: never-graded queries enter first; members green in the TWO
+# most recent consecutive rounds rotate out (they stay registered and
+# locally oracle-checked; they re-enter in later rotations).
+#
+# This round's prefix (50) = 6 kept both-green anchors (flagship q1, the
+# CDC flatten rep, the replay-idempotency e2e, sessionization, exact
+# dedup, brute-force ANN) + the 23 first-row-r7 members (each needs a
+# second consecutive green before rotating out) + 21 new entries:
+#   - the 3 stale-red re-grades: q_events_props, q12_priority_class,
+#     w_moving_avg_events (latest driver row is a round-1 red; all three
+#     fixed long ago and green on the local oracle replica),
+#   - the 17-query round-7 shortlist (streaming/transform/backfill/
+#     composite-key e2e, the decontamination trio, lang-ID confusion,
+#     recency-weighted value, drift/MAD/chi-squared diagnostics,
+#     curation funnel, paragraph dup rate, collocations, WKT decode,
+#     and rows-only bpe_train_merges),
+#   - pipeline_retry_e2e, NEW this round: T7 fault-injected retry
+#     convergence — the last reference component without a gate row.
+# Displaced (all carry passing r6 AND r7 driver rows, re-enter later):
+# the CDC coercion trio + route/dedup/upsert/append/nested-envelope, the
+# schema-evolution / keep-deletes / metrics / rejects / fanin e2e rows,
+# the IVM agg view, running-spend / grouping-sets / set-ops windows,
+# asof + skew joins, contrastive triplets, BM25, and the media probe.
 _TIER1 = [
-    # -- CDC parity core + e2e write paths ---------------------------------
+    # -- CDC parity core reps + e2e write paths ----------------------------
     "q1_pricing_summary",
     "cdc_flatten",
+    "pipeline_replay_idempotent_e2e",
+    "cli_run_e2e",
+    "pipeline_schema_history_e2e",
+    "pipeline_keyless_append_e2e",
+    "pipeline_retry_e2e",
+    "pipeline_stream_e2e",
+    "pipeline_transform_hook_e2e",
+    "pipeline_backfill_e2e",
+    "pipeline_composite_key_e2e",
+    "incremental_snapshot_e2e",
+    "ivm_incremental_join_e2e",
+    # -- stale-red re-grades (amended-policy fast lane) ---------------------
+    "q_events_props",
+    "q12_priority_class",
+    "w_moving_avg_events",
+    # -- sessionization / windows -------------------------------------------
+    "sessionize_events",
+    "session_window_stats",
+    # -- LLM-pipeline operator families --------------------------------------
+    "dedup_exact",
+    "dedup_containment_pairs",
+    "dedup_lsh_recall",
+    "cross_source_dup_matrix",
+    "decontaminate_test_overlap",
+    "split_leakage_matrix",
+    "decontamination_report",
+    "ann_cosine_topk",
+    "lm_bigram_topk",
+    "doc_lm_quality_bottomk",
+    "embedding_covariance_upper",
+    "doc_hashed_features",
+    "quality_rank_fusion",
+    "sample_weighted_by_quality",
+    "profile_table_columns",
+    "lang_id_confusion",
+    "corpus_curation_funnel",
+    "paragraph_dup_rate",
+    "term_collocations_lift",
+    "split_balance_chisq",
+    "geometry_wkt_decode",
+    "bpe_train_merges",
+    # -- statistics / behavioral analytics ----------------------------------
+    "revenue_trend_by_segment",
+    "dau_wau_stickiness",
+    "trimmed_mean_value_by_type",
+    "event_next_prediction_accuracy",
+    "open_orders_over_time",
+    "revenue_weekday_seasonality",
+    "customer_revenue_gini",
+    "user_recency_weighted_value",
+    "events_drift_report",
+    "value_outliers_mad",
+    # -- end of the 50-query graded prefix ----------------------------------
+    # Round-9 rotation shortlist: the 23 first-row-r7 members above earn
+    # their second consecutive green this round and rotate out next round;
+    # their slots go to the longest-ungraded-green tail members (the r1-r4
+    # cohort at the bottom of this list: q3_shipping_priority,
+    # pipeline_lazy_upsert_e2e, windowed_event_counts, rollup/range/
+    # minhash/simhash/ivf/pq/kmeans/sketch/lang-id/span/recipe/stratified/
+    # checksum members...) so every registered query keeps a reasonably
+    # fresh driver row.  Apply the amended policy first: any new red in
+    # CORRECTNESS_r08 re-enters the round-9 prefix automatically.
+    # Rotated out THIS round (green r6+r7 driver rows; re-enter later):
     "cdc_route",
     "cdc_dedup_last_writer",
     "cdc_upsert_final_state",
@@ -148,68 +215,16 @@ _TIER1 = [
     "pipeline_metrics_e2e",
     "pipeline_rejects_e2e",
     "pipeline_fanin_rewrite_e2e",
-    "pipeline_replay_idempotent_e2e",
-    "cli_run_e2e",
-    "pipeline_schema_history_e2e",
-    "pipeline_keyless_append_e2e",
-    "incremental_snapshot_e2e",
     "ivm_incremental_agg_e2e",
-    "ivm_incremental_join_e2e",
-    # -- sessionization / windows / set ops / joins ------------------------
-    "sessionize_events",
-    "session_window_stats",
     "w_running_customer_spend",
     "gsets_returnflag_year_revenue",
     "set_returned_open_orders",
     "asof_purchase_last_view",
     "skew_join_above_user_avg",
-    # -- LLM-pipeline operator families ------------------------------------
-    "dedup_exact",
-    "dedup_containment_pairs",
-    "dedup_lsh_recall",
-    "cross_source_dup_matrix",
     "contrastive_triplets",
-    "ann_cosine_topk",
     "bm25_search_topk",
-    "lm_bigram_topk",
-    "doc_lm_quality_bottomk",
-    "embedding_covariance_upper",
-    "doc_hashed_features",
-    "quality_rank_fusion",
-    "sample_weighted_by_quality",
     "media_header_probe",
-    "profile_table_columns",
-    # -- statistics / behavioral analytics ---------------------------------
-    "revenue_trend_by_segment",
-    "dau_wau_stickiness",
-    "trimmed_mean_value_by_type",
-    "event_next_prediction_accuracy",
-    "open_orders_over_time",
-    "revenue_weekday_seasonality",
-    "customer_revenue_gini",
-    # -- end of the 50-query graded prefix --------------------------------
-    # Round-8 rotation shortlist — queries NEW in round 7 with no driver
-    # row yet (all pass the local oracle replica): decontaminate_test_overlap,
-    # split_leakage_matrix, decontamination_report,
-    # lang_id_confusion, user_recency_weighted_value, pipeline_stream_e2e
-    # (readStream + availableNow + out-of-order micro-batch MERGE), and
-    # pipeline_transform_hook_e2e (the SMT-chain analog under the gate),
-    # pipeline_composite_key_e2e (multi-column-PK MERGE with duplicate-key
-    # resolution), events_drift_report, pipeline_backfill_e2e
-    # (partition-scoped corrective rewrite), corpus_curation_funnel (the
-    # one-row dataset-card attrition table: raw -> exact -> near-dup ->
-    # quality -> decontaminated), paragraph_dup_rate (non-overlapping
-    # block-hash boilerplate detector), value_outliers_mad (exact
-    # rank-median/MAD robust outlier report), split_balance_chisq (the
-    # split-hash goodness-of-fit alarm), term_collocations_lift (log-free
-    # PMI collocation mining over the broadcast vocabulary head).
-    # Swap them in next round for multiply-covered
-    # members and rotate the r6-graded set below back per the
-    # two-consecutive-rounds policy.
-    # Rotated out this round (all carry a passing r6 driver row; re-enter
-    # in a later rotation per the two-consecutive-rounds policy).
-    # pagerank_trade_graph (r6-green) yields its slot to cli_run_e2e so
-    # S10 — the launcher, never graded before — gets a driver row:
+    # Rotated out in round 7 (passing r6 driver rows):
     "pagerank_trade_graph",
     "scd2_state_as_of",
     "snapshot_diff_epochs",

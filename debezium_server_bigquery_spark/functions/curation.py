@@ -450,10 +450,17 @@ def term_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each document contributes at most C(K,2) pairs regardless of its
     length), so the per-doc self-join is constant-bounded — the df-cap
     idea applied to collocations.  One scan, one broadcast semi-join, one
-    doc-keyed pair join, one pair aggregate, TakeOrderedAndProject."""
+    doc-keyed pair join, one pair aggregate, TakeOrderedAndProject.
+
+    Both pair sides are the SAME doc_terms subtree (aliased self-join, no
+    per-side reprojection), so Catalyst's exchange-reuse turns the second
+    side into a ReusedExchange — doc_terms is scanned and tokenized once,
+    not per side.  The corpus size joins in as a one-row broadcast
+    aggregate (the events_drift_report bounds pattern) instead of a
+    ``docs.count()`` driver action, keeping the whole query one plan."""
     vocab = vocab_top_terms(spark, sf_dir)  # (term, doc_freq), K rows
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    n_docs = docs.count()  # O(1) driver scalar, folded into the lift literal
+    n = docs.agg(F.count("*").alias("n_docs"))  # one-row bounds broadcast
     doc_terms = (
         docs.select(
             "doc_id",
@@ -464,32 +471,33 @@ def term_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(vocab), "term")
         .select("doc_id", "term", "doc_freq")
     )
-    a = doc_terms.select(
-        "doc_id", F.col("term").alias("term_a"), F.col("doc_freq").alias("df_a")
-    )
-    b = doc_terms.select(
-        "doc_id", F.col("term").alias("term_b"), F.col("doc_freq").alias("df_b")
-    )
+    a, b = doc_terms.alias("a"), doc_terms.alias("b")
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("term_a") < F.col("term_b"))
-        .groupBy("term_a", "term_b")
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
         .agg(
             F.count("*").alias("n_ab"),
-            F.first("df_a").alias("df_a"),
-            F.first("df_b").alias("df_b"),
+            F.first(F.col("a.doc_freq")).alias("df_a"),
+            F.first(F.col("b.doc_freq")).alias("df_b"),
         )
         .filter(F.col("n_ab") >= COLLOC_MIN_SUPPORT)
     )
     return (
-        pairs.select(
+        pairs.crossJoin(F.broadcast(n))
+        .select(
             "term_a",
             "term_b",
             "n_ab",
             "df_a",
             "df_b",
             F.round(
-                (F.col("n_ab") * F.lit(n_docs)).cast("double")
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
                 / (F.col("df_a") * F.col("df_b")),
                 6,
             ).alias("lift"),

@@ -54,11 +54,16 @@ def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_bigquery_spark.operators.rank import global_row_number
 
     q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    # persist: the LM scorer's three consumers (pair counts, vocab, probe)
-    # read the cached token arrays — one documents.text scan, same fix as
-    # doc_lm_quality_bottomk
+    # checkpoint: the LM scorer's three consumers (pair counts, vocab,
+    # probe) scan the materialized token arrays — one documents.text scan
+    # and no lingering InMemoryRelation, same fix as doc_lm_quality_bottomk
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
     lmscore = doc_lm_scores(
-        _doc_tokens(load_table(spark, sf_dir, "documents", spread=True)).persist()
+        checkpoint_parquet(
+            _doc_tokens(load_table(spark, sf_dir, "documents", spread=True)),
+            "dsbq_lm_toks_",
+        )
     ).select("doc_id", "mean_prob")
     r1 = global_row_number(
         q, [F.desc("quality_score"), F.asc("doc_id")], out="rank_q"

@@ -29,12 +29,17 @@ Spark and DuckDB); the per-document mean casts each term to
 DECIMAL(25,15) before summing (exact, associative — the PageRank
 contribution pattern, functions/graph.py) and rounds the final ratio.
 
-Lineage note (closed in round 7): both query entry points ``persist()``
-the tokenized frame, so documents.text is scanned + tokenized exactly
-once per query run; the LM-count branch, the probe branch, and the
-vocabulary aggregate all read the cached token arrays (the bigram
-explode is a narrow recompute from cache, no rescan).  At corpus scale
-the same persist would be a checkpoint table.
+Lineage note (round 7 closed the triple scan; round 8 closed the cache
+lifetime): both query entry points materialize the tokenized frame ONCE
+through ``checkpoint_parquet`` — documents.text is scanned + tokenized
+exactly once per query run, and the LM-count branch, the probe branch,
+and the vocabulary aggregate all scan the materialized token arrays.
+Round 7 used ``persist()`` here, which stranded a corpus-sized
+``InMemoryRelation`` per invocation (no safe in-function unpersist point:
+the caller materializes the returned frame outside the function); the
+scratch-parquet checkpoint leaves nothing in executor memory and is the
+shape a 100 TB run needs anyway — a token corpus does not fit a memory
+cache, a checkpoint table is the real-world substrate.
 """
 
 from __future__ import annotations
@@ -43,7 +48,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from debezium_server_bigquery_spark.sources.tables import load_table
+from debezium_server_bigquery_spark.sources.tables import (
+    checkpoint_parquet,
+    load_table,
+)
 
 TOP_BIGRAMS = 30
 BOTTOM_DOCS = 25
@@ -116,8 +124,8 @@ def lm_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained LM's head: top bigrams by count (ties on words)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     # one scan of documents.text: both bigram_lm branches (pair counts,
-    # vocabulary) read the cached token arrays
-    lm = bigram_lm(_doc_tokens(docs).persist())
+    # vocabulary) scan the checkpointed token arrays — no lingering cache
+    lm = bigram_lm(checkpoint_parquet(_doc_tokens(docs), "dsbq_lm_toks_"))
     return (
         lm.select("a", "b", "cnt", F.round("prob", 9).alias("prob"))
         .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
@@ -184,8 +192,11 @@ def doc_lm_quality_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     than two tokens have no bigrams and are not scored."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     # one scan of documents.text: LM counts, vocab, and the probe side all
-    # read the cached token arrays (round-7 fix of the triple-scan debt)
-    scored = doc_lm_scores(_doc_tokens(docs).persist())
+    # scan the checkpointed token arrays (round-7 fixed the triple scan;
+    # round-8 swaps the leaky persist for the scratch-parquet checkpoint)
+    scored = doc_lm_scores(
+        checkpoint_parquet(_doc_tokens(docs), "dsbq_lm_toks_")
+    )
     return scored.orderBy(F.asc("mean_prob"), F.asc("doc_id")).limit(BOTTOM_DOCS)
 
 

@@ -310,8 +310,22 @@ def _parse_media_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 # (C0-C3, C5-C7, C9-CB, CD-CF carry dimensions); a stream
                 # that ends before any SOF stays 'unknown'
                 pos = 2
-                while pos + 4 <= len(data) and data[pos] == 0xFF:
+                while pos + 2 <= len(data) and data[pos] == 0xFF:
                     marker = data[pos + 1]
+                    if marker == 0xFF:  # fill byte: resync to next 0xFF
+                        pos += 1
+                        continue
+                    # Standalone markers carry NO length field (ITU T.81
+                    # B.1.1.3): RST0-7 (D0-D7), TEM (01), and a stray SOI
+                    # (D8).  Reading their next two bytes as a segment
+                    # length mis-skips into arbitrary bytes.
+                    if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                        pos += 2
+                        continue
+                    if marker in (0xD9, 0xDA):
+                        # EOI, or SOS: entropy-coded data follows — every
+                        # SOF precedes SOS, so no dimensions remain ahead
+                        break
                     if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                         if pos + 9 <= len(data):
                             kind = "jpeg"
@@ -319,7 +333,11 @@ def _parse_media_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                                 ">HH", data[pos + 5 : pos + 9]
                             )
                         break
+                    if pos + 4 > len(data):
+                        break  # truncated before the length field
                     (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+                    if seglen < 2:
+                        break  # malformed length cannot advance the walk
                     pos += 2 + seglen
             out["doc_id"].append(doc_id)
             out["kind"].append(kind)

@@ -829,6 +829,80 @@ GROUP BY 1 ORDER BY table_name
 """
 
 
+def pipeline_retry_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 under the gate: every destination's FIRST physical write attempt
+    raises a deterministic transient fault, and the bounded-retry budget
+    (operators/retry.py — the reference retries client writes 5 attempts
+    within 5 minutes, ConsumerUtil.java:134-147, and stream appends
+    500 ms x1.1 for 5 retries, StreamDataWriter.java:73-79) must converge
+    to the EXACT no-fault final state.
+
+    The injection point is ``ParquetTable._write_append`` — the separable
+    raw write action with_retry wraps.  Retrying it is semantics-preserving
+    because Spark's output committer publishes files only at job commit: a
+    failed attempt leaves nothing visible, so the retried job lands
+    exactly-once and the oracle is the plain append oracle, unchanged.
+    The fault counter is in-process closure state (no filesystem markers,
+    no wall clock), so the query is deterministic under any number of gate
+    re-runs; if injection never fires the query raises instead of passing
+    vacuously."""
+    from debezium_server_bigquery_spark.operators.retry import NO_WAIT_POLICY
+
+    injected: list[str] = []
+
+    class _FlakyWritePipeline(CdcPipeline):
+        """Tables whose first physical append attempt fails transiently."""
+
+        def table_for(self, destination: str):
+            fresh = destination not in self.tables
+            t = super().table_for(destination)
+            if fresh:
+                t.retry_policy = NO_WAIT_POLICY  # keep the gate fast
+                orig = t._write_append
+                state = {"tripped": False}
+
+                def flaky_write(out, _orig=orig, _state=state, _dest=destination):
+                    if not _state["tripped"]:
+                        _state["tripped"] = True
+                        injected.append(_dest)
+                        raise RuntimeError(
+                            f"injected transient write failure for {_dest}"
+                        )
+                    _orig(out)
+
+                t._write_append = flaky_write
+            return t
+
+    target = scratch_dir("dsbq_e2e_")
+    p = _FlakyWritePipeline(spark, target, mode="append")
+    p.run_batch(synthesize_cdc_events(load_table(spark, sf_dir, "events")))
+    if not injected:
+        raise RuntimeError(
+            "fault injection never fired — the retry path went untested"
+        )
+    df = _union_tables(p, ["user_id", "event_id", "__op"])
+    return (
+        df.groupBy("table_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.countDistinct("__op").alias("n_ops"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .orderBy("table_name")
+    )
+
+
+PIPELINE_RETRY_SQL = f"""{_CDC_CTE}
+SELECT {_TABLE_NAME_SQL} AS table_name, COUNT(*) AS n_rows,
+  COUNT(DISTINCT user_id) AS n_keys,
+  COUNT(DISTINCT __op) AS n_ops,
+  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM cdc WHERE {_NOT_HEARTBEAT}
+GROUP BY 1 ORDER BY table_name
+"""
+
+
 def pipeline_backfill_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-scoped backfill under the gate: after a full append
     replication, a correction feed doubles the value of every
@@ -1079,6 +1153,7 @@ QUERIES = {
     "pipeline_transform_hook_e2e": pipeline_transform_hook_e2e,
     "pipeline_schema_history_e2e": pipeline_schema_history_e2e,
     "pipeline_keyless_append_e2e": pipeline_keyless_append_e2e,
+    "pipeline_retry_e2e": pipeline_retry_e2e,
     "pipeline_backfill_e2e": pipeline_backfill_e2e,
     "pipeline_composite_key_e2e": pipeline_composite_key_e2e,
     "incremental_snapshot_e2e": incremental_snapshot_e2e,
@@ -1101,6 +1176,7 @@ ORACLES = {
     "pipeline_transform_hook_e2e": PIPELINE_TRANSFORM_SQL,
     "pipeline_schema_history_e2e": PIPELINE_SCHEMA_HISTORY_SQL,
     "pipeline_keyless_append_e2e": PIPELINE_KEYLESS_APPEND_SQL,
+    "pipeline_retry_e2e": PIPELINE_RETRY_SQL,
     "pipeline_backfill_e2e": PIPELINE_BACKFILL_SQL,
     "pipeline_composite_key_e2e": PIPELINE_COMPOSITE_KEY_SQL,
     "incremental_snapshot_e2e": INCREMENTAL_SNAPSHOT_SQL,

@@ -74,3 +74,45 @@ def test_jpeg_sof_marker_walk():
     assert rows[1].kind == "jpeg" and (rows[1].width, rows[1].height) == (640, 480)
     assert rows[2].kind == "unknown"
     assert rows[3].kind == "unknown"
+
+
+def test_jpeg_standalone_markers_have_no_length_field():
+    """RST0-7 and TEM markers are standalone (ITU T.81 B.1.1.3) — the walk
+    must skip exactly two bytes for them instead of reading a bogus
+    segment length, or a stream with a restart marker before SOF mis-skips
+    past the frame header (round-7 verdict nit)."""
+    import struct
+
+    import pandas as pd
+
+    from debezium_server_bigquery_spark.functions.multimodal import (
+        _jpeg_header,
+        _parse_media_header,
+    )
+
+    good = _jpeg_header(640, 480)
+    sof_at = good.index(b"\xff\xc0")
+    # splice standalone markers between APP0 and SOF0: TEM, RST0, RST7.
+    # The old walk read RST0's next two bytes (\xff\xd7 = 65495) as a
+    # length and skipped past the whole stream -> kind stayed 'unknown'.
+    spliced = (
+        good[:sof_at] + b"\xff\x01" + b"\xff\xd0" + b"\xff\xd7" + good[sof_at:]
+    )
+    # fill bytes (0xFF padding) before a marker are legal too
+    padded = good[:sof_at] + b"\xff\xff\xff" + good[sof_at:]
+    # a zero segment length must not loop forever / go backwards
+    malformed = good[:sof_at] + b"\xff\xe1" + struct.pack(">H", 0)
+    # SOS before any SOF: dimensions unreachable, walk must stop cleanly
+    sos_first = good[:sof_at] + b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "payload": [spliced, padded, malformed, sos_first],
+        }
+    )
+    (out,) = list(_parse_media_header(iter([pdf])))
+    rows = {r.doc_id: r for r in out.itertuples()}
+    assert rows[1].kind == "jpeg" and (rows[1].width, rows[1].height) == (640, 480)
+    assert rows[2].kind == "jpeg" and (rows[2].width, rows[2].height) == (640, 480)
+    assert rows[3].kind == "unknown"
+    assert rows[4].kind == "unknown"

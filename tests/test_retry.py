@@ -165,3 +165,27 @@ def test_merge_swap_retry_is_idempotent(spark, tmp_path, monkeypatch):
     rows = sorted(set(tuple(r) for r in t.read().collect()))
     assert rows == before
     assert state["calls"] >= 2  # the swap actually retried
+
+
+def test_pipeline_retry_e2e_converges_to_no_fault_state(spark):
+    """The gate query itself: every destination's first physical append
+    attempt fails, the bounded retry re-runs it, and the final state is
+    byte-identical to a fault-free append replication."""
+    from debezium_server_bigquery_spark.plans.pipeline_queries import (
+        pipeline_retry_e2e,
+    )
+
+    rows = pipeline_retry_e2e(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    # destination tables are intact and complete: totals match the raw feed
+    from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
+    from debezium_server_bigquery_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    synth = synthesize_cdc_events(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).filter(~F.col("destination").startswith("__debezium-heartbeat"))
+    assert sum(r.n_rows for r in rows) == synth.count()
+    assert sum(r.sum_event_id for r in rows) == (
+        synth.agg(F.sum("event_id")).collect()[0][0]
+    )
