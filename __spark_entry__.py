@@ -193,10 +193,12 @@ _TIER1 = [
     "events_drift_report",
     "value_outliers_mad",
     # -- end of the 50-query graded prefix ----------------------------------
-    # Round-9 rotation shortlist: the 23 first-row-r7 members above earn
-    # their second consecutive green this round and rotate out next round;
-    # their slots go to the longest-ungraded-green tail members (the r1-r4
-    # cohort at the bottom of this list: q3_shipping_priority,
+    # Round-9 rotation shortlist: FIRST the never-graded round-8-new
+    # queries (tokenizer_fertility_by_lang, term_ppmi_similarity,
+    # longest_shared_span_pairs), THEN the 23 first-row-r7 members above
+    # earn their second consecutive green this round and rotate out next
+    # round; remaining slots go to the longest-ungraded-green tail members
+    # (the r1-r4 cohort at the bottom of this list: q3_shipping_priority,
     # pipeline_lazy_upsert_e2e, windowed_event_counts, rollup/range/
     # minhash/simhash/ivf/pq/kmeans/sketch/lang-id/span/recipe/stratified/
     # checksum members...) so every registered query keeps a reasonably

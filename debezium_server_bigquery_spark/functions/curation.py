@@ -537,6 +537,168 @@ ORDER BY lift DESC, term_a ASC, term_b ASC LIMIT {COLLOC_TOP}
 """
 
 
+PPMI_TOP = 30
+
+
+def term_ppmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional term similarity (count-based embeddings): cosine
+    between vocabulary-head terms' document-co-occurrence LIFT vectors —
+    the log-free PPMI-vector analog (PPMI = max(log lift, 0); the vector
+    here holds the lift itself with the same support floor, keeping every
+    component one exact integer-ratio division instead of a transcendental
+    that differs in the last ulp cross-engine).  Two terms are similar
+    when they co-occur with the SAME context terms — the classic
+    distributional-hypothesis signal used to audit a vocabulary or seed
+    synonym sets before any neural embedding exists.
+
+    Scale design (100 TB): after the single corpus pass that builds
+    doc_terms (vocab-head semi-join, exchange-reused self-join — the
+    term_collocations_lift substrate), EVERYTHING is vocabulary-bounded:
+    co-occurrence rows <= K^2, vectors are <= K-dimensional, the cosine
+    self-join is over a K^2-row frame — constant work independent of
+    corpus size.  The corpus count enters as a one-row broadcast
+    aggregate.
+
+    Determinism: lift components are rounded IEEE divisions of exact
+    integers; dot products and norms sum DECIMAL(30,12)-cast products
+    (each product of two 6-dp values has exactly 12 decimal digits, so
+    the cast is exact and the sum associative — the graph.py pattern);
+    the final cosine is one division over two correctly-rounded sqrts."""
+    vocab = vocab_top_terms(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    n = docs.agg(F.count("*").alias("n_docs"))  # one-row bounds broadcast
+    doc_terms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(words(F.lower(F.col("text"))))).alias(
+                "term"
+            ),
+        )
+        .join(F.broadcast(vocab), "term")
+        .select("doc_id", "term", "doc_freq")
+    )
+    a, b = doc_terms.alias("a"), doc_terms.alias("b")
+    upper = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("t"), F.col("b.term").alias("c"))
+        .agg(
+            F.count("*").alias("n_tc"),
+            F.first(F.col("a.doc_freq")).alias("df_t"),
+            F.first(F.col("b.doc_freq")).alias("df_c"),
+        )
+        .filter(F.col("n_tc") >= COLLOC_MIN_SUPPORT)
+    )
+    # symmetrize: each undirected co-occurrence feeds both terms' vectors
+    sym = upper.unionByName(
+        upper.select(
+            F.col("c").alias("t"),
+            F.col("t").alias("c"),
+            "n_tc",
+            F.col("df_c").alias("df_t"),
+            F.col("df_t").alias("df_c"),
+        )
+    )
+    vecs = sym.crossJoin(F.broadcast(n)).select(
+        "t",
+        "c",
+        F.round(
+            (F.col("n_tc") * F.col("n_docs")).cast("double")
+            / (F.col("df_t") * F.col("df_c")),
+            6,
+        ).alias("w"),
+    )
+    norms = vecs.groupBy("t").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(30,12)")).alias("sq")
+    )
+    x, y = vecs.alias("x"), vecs.alias("y")
+    dots = (
+        x.join(
+            y,
+            (F.col("x.c") == F.col("y.c")) & (F.col("x.t") < F.col("y.t")),
+        )
+        .groupBy(F.col("x.t").alias("term_a"), F.col("y.t").alias("term_b"))
+        .agg(
+            F.count("*").alias("n_shared_ctx"),
+            F.sum((F.col("x.w") * F.col("y.w")).cast("decimal(30,12)")).alias(
+                "dot"
+            ),
+        )
+    )
+    na = norms.select(F.col("t").alias("term_a"), F.col("sq").alias("sq_a"))
+    nb = norms.select(F.col("t").alias("term_b"), F.col("sq").alias("sq_b"))
+    return (
+        dots.join(F.broadcast(na), "term_a")
+        .join(F.broadcast(nb), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "n_shared_ctx",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("sq_a").cast("double"))
+                    * F.sqrt(F.col("sq_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("term_a"), F.asc("term_b"))
+        .limit(PPMI_TOP)
+    )
+
+
+TERM_PPMI_SQL = rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term, doc_freq FROM (
+    SELECT term, COUNT(*) AS doc_freq FROM terms GROUP BY term
+    ORDER BY doc_freq DESC, term ASC LIMIT {VOCAB_TOP_K}
+  )
+),
+dt AS (SELECT t.doc_id, t.term, v.doc_freq FROM terms t JOIN vocab v USING (term)),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+upper_pairs AS (
+  SELECT a.term AS t, b.term AS c, COUNT(*) AS n_tc,
+    ANY_VALUE(a.doc_freq) AS df_t, ANY_VALUE(b.doc_freq) AS df_c
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING COUNT(*) >= {COLLOC_MIN_SUPPORT}
+),
+sym AS (
+  SELECT t, c, n_tc, df_t, df_c FROM upper_pairs
+  UNION ALL
+  SELECT c AS t, t AS c, n_tc, df_c AS df_t, df_t AS df_c FROM upper_pairs
+),
+vecs AS (
+  SELECT t, c, round(CAST(n_tc * n_docs AS DOUBLE) / (df_t * df_c), 6) AS w
+  FROM sym, n
+),
+norms AS (
+  SELECT t, SUM(CAST(w * w AS DECIMAL(30,12))) AS sq FROM vecs GROUP BY t
+),
+dots AS (
+  SELECT x.t AS term_a, y.t AS term_b, COUNT(*) AS n_shared_ctx,
+    SUM(CAST(x.w * y.w AS DECIMAL(30,12))) AS dot
+  FROM vecs x JOIN vecs y ON x.c = y.c AND x.t < y.t
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_shared_ctx,
+  round(CAST(dot AS DOUBLE)
+    / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))), 6) AS cosine
+FROM dots
+JOIN norms na ON na.t = term_a
+JOIN norms nb ON nb.t = term_b
+ORDER BY cosine DESC, term_a ASC, term_b ASC LIMIT {PPMI_TOP}
+"""
+
+
 def split_balance_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Goodness-of-fit audit of the split hash: per language, Pearson's
     chi-square of the observed train/val/test counts against the nominal
@@ -606,6 +768,7 @@ QUERIES = {
     "dataset_splits": dataset_splits,
     "split_balance_chisq": split_balance_chisq,
     "term_collocations_lift": term_collocations_lift,
+    "term_ppmi_similarity": term_ppmi_similarity,
 }
 
 ORACLES = {
@@ -618,4 +781,5 @@ ORACLES = {
     "dataset_splits": DATASET_SPLITS_SQL,
     "split_balance_chisq": SPLIT_CHISQ_SQL,
     "term_collocations_lift": TERM_COLLOCATIONS_SQL,
+    "term_ppmi_similarity": TERM_PPMI_SQL,
 }

@@ -28,8 +28,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from debezium_server_bigquery_spark.functions.dedup_fuzzy import shingles, shingles_sql
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+    _hash60_sql,
+    hash60,
+    shingles,
+    shingles_sql,
+    words,
+)
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 SPAN_WORDS = 8  # minimum span length to count as duplication
@@ -121,11 +128,137 @@ ORDER BY s.doc_id
 """
 
 
+LSS_DF_CAP = 50  # windows with more postings than this are boilerplate
+LSS_TOP = 50
+
+
+def _positional_windows_sql(n: int) -> str:
+    """DuckDB twin of the positional window build: (doc_id, pos, h) for
+    every stride-1 length-n word window, 60-bit hashed.  range(a, b) is
+    half-open, so stop = len(w) - (n - 2) yields pos in [1, len-n+1] and
+    an empty set for short docs — no WHERE guard needed."""
+    join = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return rf"""
+  SELECT doc_id, i AS pos, {_hash60_sql(join)} AS h
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        FROM documents), UNNEST(range(1, len(w) - {n - 2})) AS r(i)
+"""
+
+
+def longest_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL shared substring per document pair — the per-pair form of
+    the suffix-array dedup signal (Lee et al. 2022): for every pair of
+    documents sharing at least one length-N word window, the length in
+    words of their longest CONTIGUOUS shared run.  ``text_common_spans``
+    lists the infected windows; this ranks the worst offending PAIRS by
+    how much verbatim text they actually share — the triage view before
+    deciding trim-vs-drop.
+
+    Suffix arrays do not distribute; the Spark-native equivalent chains
+    matched windows along match DIAGONALS: a shared run of L consecutive
+    windows between doc A and doc B sits at constant (pos_a - pos_b), so
+    the longest run is a gaps-and-islands pass (pos_a - row_number) over
+    each (pair, diagonal) group — thousands of small window partitions,
+    never a single-partition window.
+
+    Scale design (100 TB): the positional window build is one narrow
+    explode; the posting self-join is bounded by the same df-cap
+    discipline as the Jaccard index (windows with > LSS_DF_CAP postings
+    are mega-boilerplate and are dropped, which can only SPLIT a run
+    through them — a conservative under-estimate, documented); every
+    later stage is keyed on (pair, diagonal) hashes.  No document meets
+    another document except through a shared-window posting list."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    n = SPAN_WORDS
+    toks = words(F.col("text"))
+    win = (
+        docs.filter(F.size(words(F.col("text"))) >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        hash60(
+                            F.concat_ws(
+                                " ",
+                                *[F.element_at(toks, i + j) for j in range(n)],
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    hot = (
+        win.groupBy("h")
+        .agg(F.count("*").alias("dfreq"))
+        .filter(F.col("dfreq") > LSS_DF_CAP)
+        .select("h")
+    )
+    kept = win.join(hot.hint("shuffle_hash"), "h", "left_anti")
+    a, b = kept.alias("a"), kept.hint("shuffle_hash").alias("b")
+    m = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = m.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+    rl = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count("*").alias("n_win")
+    )
+    return (
+        rl.groupBy("doc_a", "doc_b")
+        .agg((F.max("n_win") + (n - 1)).cast("long").alias("span_words"))
+        .orderBy(F.desc("span_words"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(LSS_TOP)
+    )
+
+
+LONGEST_SHARED_SPAN_SQL = f"""
+WITH win AS ({_positional_windows_sql(SPAN_WORDS)}),
+hot AS (
+  SELECT h FROM win GROUP BY h HAVING COUNT(*) > {LSS_DF_CAP}
+),
+kept AS (
+  SELECT * FROM win WHERE h NOT IN (SELECT h FROM hot)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+    a.pos - b.pos AS diag
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag,
+    pos_a - ROW_NUMBER() OVER (
+      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+  FROM m
+),
+rl AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_win
+  FROM runs GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b, CAST(MAX(n_win) + {SPAN_WORDS - 1} AS BIGINT) AS span_words
+FROM rl GROUP BY doc_a, doc_b
+ORDER BY span_words DESC, doc_a ASC, doc_b ASC LIMIT {LSS_TOP}
+"""
+
+
 QUERIES = {
     "text_common_spans": text_common_spans,
     "text_span_dup_ratio": text_span_dup_ratio,
+    "longest_shared_span_pairs": longest_shared_span_pairs,
 }
 ORACLES = {
     "text_common_spans": TEXT_COMMON_SPANS_SQL,
     "text_span_dup_ratio": TEXT_SPAN_DUP_RATIO_SQL,
+    "longest_shared_span_pairs": LONGEST_SHARED_SPAN_SQL,
 }

@@ -115,6 +115,76 @@ FROM documents ORDER BY doc_id
 """
 
 
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: per language, subword-pretoken count per
+    whitespace word (fertility) and characters per pretoken (compression)
+    — THE per-language cost metrics when budgeting a multilingual LLM
+    training mix: a language with fertility 2x pays 2x the sequence
+    length for the same words, so mixture weights set on document counts
+    alone silently under-train it.
+
+    Scale design (100 TB): one scan, per-row token counting fused into
+    whole-stage codegen (size of split / regexp_extract_all — no explode,
+    no intermediate token rows), then a tiny per-lang hash aggregate.
+    Each ratio is a single IEEE division of exact BIGINT sums, rounded —
+    bit-identical cross-engine, no float accumulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.col("n_chars"),
+        word_count(F.col("text")).alias("n_words"),
+        token_count_bpeish(F.col("text")).alias("n_bpe"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_bpe").alias("total_pretokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_pretokens",
+        F.when(
+            F.col("total_words") > 0,
+            F.round(
+                F.col("total_pretokens").cast("double") / F.col("total_words"), 6
+            ),
+        ).alias("fertility"),
+        F.when(
+            F.col("total_pretokens") > 0,
+            F.round(
+                F.col("total_chars").cast("double") / F.col("total_pretokens"), 6
+            ),
+        ).alias("chars_per_pretoken"),
+    ).orderBy("lang")
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH per AS (
+  SELECT lang, n_chars,
+    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_words,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe
+  FROM documents
+), agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+    CAST(SUM(n_words) AS BIGINT) AS total_words,
+    CAST(SUM(n_bpe) AS BIGINT) AS total_pretokens,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, total_words, total_pretokens,
+  CASE WHEN total_words > 0
+    THEN round(CAST(total_pretokens AS DOUBLE) / total_words, 6) END
+    AS fertility,
+  CASE WHEN total_pretokens > 0
+    THEN round(CAST(total_chars AS DOUBLE) / total_pretokens, 6) END
+    AS chars_per_pretoken
+FROM agg ORDER BY lang
+"""
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, stopword ratio, punctuation ratio, mean word
     length folded into one [0,1] score (heuristic quality filter of the
@@ -591,6 +661,7 @@ QUERIES = {
     "text_kwic_contexts": text_kwic_contexts,
     "text_bigram_perplexity": text_bigram_perplexity,
     "text_token_stats": text_token_stats,
+    "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "lang_id_confusion": lang_id_confusion,
@@ -604,6 +675,7 @@ ORACLES = {
     "text_kwic_contexts": TEXT_KWIC_SQL,
     "text_bigram_perplexity": TEXT_PERPLEXITY_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "tokenizer_fertility_by_lang": TOKENIZER_FERTILITY_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "lang_id_confusion": LANG_CONFUSION_SQL,

@@ -172,3 +172,22 @@ def test_term_collocations_lift_bounds(spark, sf_dir):
         assert r.n_ab <= min(r.df_a, r.df_b)
     lifts = [r.lift for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_term_ppmi_similarity_bounds(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.curation import (
+        term_ppmi_similarity,
+        vocab_top_terms,
+    )
+
+    rows = term_ppmi_similarity(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 30
+    vocab = {r.term for r in vocab_top_terms(spark, sf_dir).collect()}
+    for r in rows:
+        assert r.term_a < r.term_b  # canonical pair order
+        assert r.term_a in vocab and r.term_b in vocab  # head-bounded
+        assert r.n_shared_ctx >= 1
+        # cosine of nonnegative vectors lives in [0, 1] (+rounding slack)
+        assert 0.0 <= r.cosine <= 1.000001
+    cos = [r.cosine for r in rows]
+    assert cos == sorted(cos, reverse=True)

@@ -260,3 +260,21 @@ def test_trimmed_mean_resists_outliers(spark):
     assert out.n_kept == 90
     assert 50.0 <= out.trimmed_mean <= 61.0
     assert out.kept_lo >= 50.0 and out.kept_hi <= 61.0
+
+
+def test_tokenizer_fertility_by_lang(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.text import (
+        tokenizer_fertility_by_lang,
+    )
+
+    rows = tokenizer_fertility_by_lang(spark, sf_dir).collect()
+    assert rows and [r.lang for r in rows] == sorted({r.lang for r in rows})
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs > 0
+    for r in rows:
+        # the BPE-ish pre-tokenizer only ever SPLITS whitespace words
+        # (letter runs / digit runs / single punctuation), so pretokens
+        # per word can never drop below 1
+        assert r.total_pretokens >= r.total_words
+        assert r.fertility >= 1.0
+        assert r.chars_per_pretoken > 0

@@ -46,3 +46,38 @@ def test_span_dup_ratio_per_document(spark, docs_dir):
     # doc 3 has no shared window; doc 4 has no windows at all
     assert r[3]["n_shared"] == 0 and r[3]["dup_ratio"] == 0.0
     assert 4 not in r
+
+
+@pytest.fixture()
+def span_pair_dir(spark, tmp_path):
+    """Two pairs with known maximal overlaps: (1,2) share exactly 12
+    consecutive words, (3,4) share exactly SPAN_WORDS; doc 5 overlaps
+    nothing.  All other tokens are unique so no accidental windows."""
+    shared12 = " ".join(f"t{i}" for i in range(12))
+    shared8 = " ".join(f"u{i}" for i in range(SPAN_WORDS))
+    rows = [
+        (1, f"lone1 lone2 {shared12} lone3 lone4", "en", "web", 0),
+        (2, f"{shared12} lone5 lone6", "en", "web", 0),
+        (3, f"lone7 lone8 {shared8} lone9", "en", "web", 0),
+        (4, shared8, "en", "web", 0),
+        (5, "entirely separate vocabulary with no repeats anywhere at all", "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_longest_shared_span_chains_diagonal_runs(spark, span_pair_dir):
+    from debezium_server_bigquery_spark.functions.spans import (
+        longest_shared_span_pairs,
+    )
+
+    out = [
+        (r.doc_a, r.doc_b, r.span_words)
+        for r in longest_shared_span_pairs(spark, span_pair_dir).collect()
+    ]
+    # a 12-word overlap is 5 consecutive 8-word windows on one diagonal;
+    # the single shared window of (3,4) reports the window length itself
+    assert out == [(1, 2, 12), (3, 4, SPAN_WORDS)]
