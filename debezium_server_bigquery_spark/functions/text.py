@@ -115,6 +115,66 @@ FROM documents ORDER BY doc_id
 """
 
 
+def char_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signal: per document, the Gini
+    impurity of its character distribution, 1 - sum_c (n_c / N)^2 — the
+    transcendental-free stand-in for character entropy (same ordering for
+    the decisions that matter: near-0 flags degenerate repetition like
+    "aaaa..." padding, unusually LOW values at normal length flag mangled
+    encodings and binary-in-text junk; entropy's log would differ in the
+    last ulp between libm implementations, the impurity is pure integer
+    ratios).
+
+    Scale design (100 TB): zero shuffle — the distribution is computed
+    ROW-LOCALLY with array algebra (distinct chars -> per-char counts ->
+    exact integer sum of squares), so the whole query is one codegen scan
+    plus the output sort; no explode, no per-char rows ever leave the
+    row."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    chars = F.split(F.col("text"), "")
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    n = F.size(chars).cast("long")
+    sumsq = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long") * x,
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars_counted"),
+        F.size(F.array_distinct(chars)).cast("long").alias("n_distinct_chars"),
+        F.when(
+            n > 0,
+            F.round(
+                F.lit(1.0) - sumsq.cast("double") / (n * n).cast("double"), 6
+            ),
+        ).alias("char_gini"),
+    ).orderBy("doc_id")
+
+
+CHAR_DIVERSITY_SQL = r"""
+WITH k AS (
+  SELECT doc_id, len(chars) AS n,
+    list_transform(list_distinct(chars),
+                   c -> len(list_filter(chars, x -> x = c))) AS cnts
+  FROM (
+    SELECT doc_id,
+      list_transform(range(1, length(text) + 1), i -> text[i]) AS chars
+    FROM documents)
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+  CAST(len(cnts) AS BIGINT) AS n_distinct_chars,
+  CASE WHEN n > 0 THEN
+    round(1.0 - CAST(list_sum(list_transform(cnts, x -> CAST(x AS BIGINT) * x))
+                     AS DOUBLE)
+              / (CAST(n AS BIGINT) * n), 6) END AS char_gini
+FROM k ORDER BY doc_id
+"""
+
+
 def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility audit: per language, subword-pretoken count per
     whitespace word (fertility) and characters per pretoken (compression)
@@ -662,6 +722,7 @@ QUERIES = {
     "text_bigram_perplexity": text_bigram_perplexity,
     "text_token_stats": text_token_stats,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
+    "char_diversity_gini": char_diversity_gini,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "lang_id_confusion": lang_id_confusion,
@@ -676,6 +737,7 @@ ORACLES = {
     "text_bigram_perplexity": TEXT_PERPLEXITY_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "tokenizer_fertility_by_lang": TOKENIZER_FERTILITY_SQL,
+    "char_diversity_gini": CHAR_DIVERSITY_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "lang_id_confusion": LANG_CONFUSION_SQL,

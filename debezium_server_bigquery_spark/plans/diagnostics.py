@@ -349,12 +349,68 @@ FROM agg ORDER BY event_type
 """
 
 
+K_ANON = 5  # groups smaller than this are re-identification risks
+K_ANON_TOP = 100
+K_ANON_VALUE_BUCKET = 50  # value coarsened to this granularity
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit: the quasi-identifier combinations
+    (event_type, epoch day, coarsened value bucket) backed by FEWER than
+    K distinct users — the k-anonymity failures that make an "aggregate"
+    release re-identifiable (Sweeney's k-anonymity, applied the way a
+    data-release review board applies it to an analytics cut before it
+    leaves the fence).  A combo with 1-4 users is a fingerprint, not a
+    statistic.
+
+    Scale design (100 TB): one scan, one hash aggregate on the QI key
+    (COUNT(DISTINCT user_id) is the standard two-phase distinct
+    aggregate — partial sets per partition, merged on the QI key);
+    the output is top-bounded by rarity.  The day is integer epoch-day
+    arithmetic on the loader's exact ts_ns (tz-free on both engines);
+    the value bucket is one IEEE division + floor, deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 86400000000000").alias("epoch_day"),
+        F.floor(F.col("value") / K_ANON_VALUE_BUCKET).alias("value_bucket"),
+        "user_id",
+    )
+    return (
+        ev.groupBy("event_type", "epoch_day", "value_bucket")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_rows"),
+        )
+        .filter(F.col("n_users") < K_ANON)
+        .orderBy("n_users", "event_type", "epoch_day", "value_bucket")
+        .limit(K_ANON_TOP)
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+    CAST(epoch_us(ts) * 1000 AS BIGINT) // 86400000000000 AS epoch_day,
+    CAST(floor(value / {K_ANON_VALUE_BUCKET}) AS BIGINT) AS value_bucket,
+    user_id
+  FROM events
+)
+SELECT event_type, epoch_day, value_bucket,
+  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_rows
+FROM ev GROUP BY 1, 2, 3
+HAVING COUNT(DISTINCT user_id) < {K_ANON}
+ORDER BY n_users, event_type, epoch_day, value_bucket
+LIMIT {K_ANON_TOP}
+"""
+
+
 QUERIES = {
     "skew_report_lineitem_suppkey": skew_report_lineitem_suppkey,
     "events_value_histogram": events_value_histogram,
     "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
     "events_drift_report": events_drift_report,
     "value_outliers_mad": value_outliers_mad,
+    "k_anonymity_report": k_anonymity_report,
 }
 ORACLES = {
     "skew_report_lineitem_suppkey": SKEW_REPORT_SQL,
@@ -362,4 +418,5 @@ ORACLES = {
     "trimmed_mean_value_by_type": TRIMMED_MEAN_SQL,
     "events_drift_report": EVENTS_DRIFT_SQL,
     "value_outliers_mad": VALUE_OUTLIERS_SQL,
+    "k_anonymity_report": K_ANONYMITY_SQL,
 }

@@ -278,3 +278,36 @@ def test_tokenizer_fertility_by_lang(spark, sf_dir):
         assert r.total_pretokens >= r.total_words
         assert r.fertility >= 1.0
         assert r.chars_per_pretoken > 0
+
+
+def test_char_diversity_gini_known_values(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.text import char_diversity_gini
+
+    rows = [
+        (1, "aaaa", "en", "web", 4),          # one symbol -> impurity 0
+        (2, "ab", "en", "web", 2),            # two equiprobable -> 0.5
+        (3, "abcd", "en", "web", 4),          # uniform over 4 -> 0.75
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in char_diversity_gini(spark, str(tmp_path)).collect()}
+    assert out[1].char_gini == 0.0 and out[1].n_distinct_chars == 1
+    assert out[2].char_gini == 0.5
+    assert out[3].char_gini == 0.75 and out[3].n_chars_counted == 4
+
+
+def test_k_anonymity_report_flags_small_groups(spark, sf_dir):
+    from debezium_server_bigquery_spark.plans.diagnostics import (
+        K_ANON,
+        k_anonymity_report,
+    )
+
+    rows = k_anonymity_report(spark, sf_dir).collect()
+    assert rows  # the synthetic feed always has rare QI combos
+    for r in rows:
+        assert 0 < r.n_users < K_ANON
+        assert r.n_rows >= r.n_users
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts)
