@@ -168,26 +168,41 @@ def main() -> None:
     # round (BENCH_r*.json with the highest round number).  A query above
     # 1.5x its recorded time is flagged loudly on stderr and in the JSON so
     # feature work cannot silently re-regress a tuned plan (the r3 q8
-    # regression went unnoticed for a round).  Exit stays 0 — the driver
-    # must still record the one JSON line.
+    # regression went unnoticed for a round).  When BOTH rounds carry a
+    # calibration sample, the comparison is CALIBRATION-NORMALIZED
+    # ((now/cal_now) vs (was/cal_was)) so the documented +-25% host jitter
+    # cannot trip the guard on an untouched plan — nor mask a real
+    # regression on a lightly loaded host (docs/BENCH_NOTES_r08.md shows
+    # identical-commit raw totals swinging 16% minutes apart while the
+    # normalized ratios stay within 4%).  Exit stays 0 — the driver must
+    # still record the one JSON line.
     baseline = _last_recorded_round()
     if baseline:
         # recorded rounds wrap the bench JSON line under "parsed"
-        ref = (baseline.get("parsed") or baseline).get("queries", {})
+        parsed = baseline.get("parsed") or baseline
+        ref = parsed.get("queries", {})
+        ref_cal = parsed.get("calibration_sec") or 0.0
+        scale = (cal_best / ref_cal) if ref_cal > 0 and cal_best > 0 else 1.0
         regressions = {
-            name: {"now": t, "was": ref[name]}
+            name: {
+                "now": t,
+                "was": ref[name],
+                "threshold": round(1.5 * ref[name] * scale, 3),
+            }
             for name, t in timings.items()
-            if name in ref and ref[name] > 0 and t > 1.5 * ref[name]
+            if name in ref and ref[name] > 0 and t > 1.5 * ref[name] * scale
         }
         if regressions:
             out["regressions"] = regressions
+            norm = "calibration-normalized " if scale != 1.0 else ""
             print(
-                "bench: REGRESSION GUARD TRIPPED (>1.5x last recorded round):",
+                f"bench: REGRESSION GUARD TRIPPED (>1.5x {norm}last recorded round):",
                 file=sys.stderr,
             )
             for name, r in sorted(regressions.items()):
                 print(
-                    f"bench:   {name}: {r['now']:.3f}s vs {r['was']:.3f}s recorded",
+                    f"bench:   {name}: {r['now']:.3f}s vs {r['was']:.3f}s "
+                    f"recorded (threshold {r['threshold']:.3f}s)",
                     file=sys.stderr,
                 )
 

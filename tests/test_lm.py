@@ -63,3 +63,15 @@ def test_topk_bigrams_ordered_and_bounded(spark, sf_dir):
     assert 0 < len(out) <= 30
     cnts = [r.cnt for r in out]
     assert cnts == sorted(cnts, reverse=True)
+
+
+def test_lm_queries_leave_no_persistent_rdds(spark, sf_dir):
+    """The round-7 verdict's cache-lifetime criterion: after either LM
+    entry point materializes, no InMemoryRelation may remain registered —
+    the token substrate is a scratch-parquet checkpoint, not a persist(),
+    so repeated grading/serving invocations cannot strand executor
+    memory."""
+    spark.catalog.clearCache()
+    lm_bigram_topk(spark, sf_dir).collect()
+    doc_lm_quality_bottomk(spark, sf_dir).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
