@@ -31,7 +31,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from debezium_server_bigquery_spark.sources.tables import load_table
+from debezium_server_bigquery_spark.sources.tables import (
+    checkpoint_parquet,
+    load_table,
+)
 
 MINHASH_K = 12  # minhashes per doc
 BAND_R = 3  # rows per band -> 4 bands
@@ -646,15 +649,22 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed/df-capped — no new join shape); at corpus scale this is an
     audit query to run over a sampled slice, since the ground-truth side
     is the expensive exact index.  Round-7 plan fix: the shingle frame is
-    built ONCE and persisted so the exact-truth index and the LSH bands
-    share one substrate instead of each re-scanning + re-shingling the
-    corpus, and each pair set is persisted because it feeds both its own
-    count and the hit semi-join — this roughly halved the query's
-    exchange/scan counts (see docs/PLAN_SUMMARY.md)."""
+    built ONCE so the exact-truth index and the LSH bands share one
+    substrate instead of each re-scanning + re-shingling the corpus, and
+    each pair set is shared because it feeds both its own count and the
+    hit semi-join — this roughly halved the query's exchange/scan counts
+    (see docs/PLAN_SUMMARY.md).  Round 8 swapped the sharing mechanism
+    from ``persist()`` to scratch-parquet checkpoints: same single-build
+    guarantee, but nothing is left in the session cache after the query
+    materializes (the LM queries' cache-lifetime fix, applied family-wide)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sh_frame = _shingled(docs).persist()
-    truth = _jaccard_scored_pairs(sh_frame).select("doc_a", "doc_b").persist()
-    cand = _lsh_candidate_pairs(sh_frame).select("doc_a", "doc_b").persist()
+    sh_frame = checkpoint_parquet(_shingled(docs), "dsbq_lsh_sh_")
+    truth = checkpoint_parquet(
+        _jaccard_scored_pairs(sh_frame).select("doc_a", "doc_b"), "dsbq_lsh_truth_"
+    )
+    cand = checkpoint_parquet(
+        _lsh_candidate_pairs(sh_frame).select("doc_a", "doc_b"), "dsbq_lsh_cand_"
+    )
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     return (
         truth.agg(F.count("*").alias("n_truth"))

@@ -190,14 +190,19 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = with_norm(load_table(spark, sf_dir, "embeddings", spread=True))
     assigned = lloyd_kmeans(emb).select("vec_id", "cluster_id")
-    # persist: both sides of the within-cell pair join read this frame —
-    # without the cache the unrolled Lloyd iteration chain executes twice
-    # (O(rows x d) each).  At corpus scale the assignment would be a
-    # checkpoint table between the clustering job and the pair scan.
-    sided = (
-        emb.join(assigned, "vec_id")
-        .select("vec_id", "cluster_id", F.col("embedding").alias("e"), "norm")
-        .persist()
+    # checkpoint: both sides of the within-cell pair join read this frame —
+    # without sharing, the unrolled Lloyd iteration chain executes twice
+    # (O(rows x d) each).  This IS the "checkpoint table between the
+    # clustering job and the pair scan" a corpus-scale run uses; a
+    # scratch-parquet write also leaves nothing in the session cache after
+    # the query materializes (the LM cache-lifetime fix).
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
+    sided = checkpoint_parquet(
+        emb.join(assigned, "vec_id").select(
+            "vec_id", "cluster_id", F.col("embedding").alias("e"), "norm"
+        ),
+        "dsbq_semdedup_",
     )
     a = sided.select(
         F.col("vec_id").alias("keep_id"),

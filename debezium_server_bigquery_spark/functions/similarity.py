@@ -493,10 +493,16 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank.  The output is per-query hit count and recall, so the metric
     itself is hash-checkable cross-engine.
     """
-    # persist: the candidate list (O(queries x k) rows, tiny) feeds both
-    # the hit semi-join and the per-query distinct — without it the whole
-    # IVF pipeline (centroid assign + probe + rank) executes twice
-    ivf = ann_ivf(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    # checkpoint: the candidate list (O(queries x k) rows, tiny) feeds both
+    # the hit semi-join and the per-query distinct — without sharing, the
+    # whole IVF pipeline (centroid assign + probe + rank) executes twice;
+    # a scratch-parquet checkpoint shares it WITHOUT stranding a cache
+    # after the query materializes (the LM cache-lifetime fix)
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
+    ivf = checkpoint_parquet(
+        ann_ivf(spark, sf_dir).select("query_id", "neighbor_id"), "dsbq_ivf_"
+    )
     emb = with_norm(load_table(spark, sf_dir, "embeddings", spread=True))
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),

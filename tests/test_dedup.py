@@ -92,3 +92,24 @@ def test_cross_source_matrix_counts_match_pairs(spark, sf_dir):
     n_pairs = dedup_minhash_lsh(spark, sf_dir).count()
     assert sum(r.n_pairs for r in matrix) == n_pairs
     assert all(r.source_a <= r.source_b for r in matrix)
+
+
+def test_substrate_queries_leave_no_persistent_rdds(spark, sf_dir):
+    """Round-8 family-wide cache-lifetime sweep: every registered query
+    that shares a substrate does it via scratch-parquet checkpoints, so
+    nothing survives in the session cache after materialization."""
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+        dedup_lsh_recall,
+    )
+    from debezium_server_bigquery_spark.functions.kmeans import (
+        semantic_dedup_pairs,
+    )
+    from debezium_server_bigquery_spark.functions.similarity import (
+        ann_ivf_recall,
+    )
+
+    spark.catalog.clearCache()
+    dedup_lsh_recall(spark, sf_dir).collect()
+    ann_ivf_recall(spark, sf_dir).collect()
+    semantic_dedup_pairs(spark, sf_dir).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -157,10 +157,11 @@ def test_ngram_jaccard_single_shingle_pass(spark, sf_dir):
         dedup_ngram_jaccard,
     )
 
-    # hermetic plan shape: another test (or a prior registry build) may
-    # have persist()-marked the shared shingle substrate (dedup_lsh_recall
-    # does), in which case this plan would read InMemoryTableScan instead
-    # of showing the exchange-reuse nodes asserted below
+    # hermetic plan shape: another test may have persist()-marked a shared
+    # substrate (registered queries no longer do — round 8 moved them all
+    # to scratch-parquet checkpoints — but streaming ingest still persists
+    # per batch), in which case this plan would read InMemoryTableScan
+    # instead of showing the exchange-reuse nodes asserted below
     spark.catalog.clearCache()
     df = dedup_ngram_jaccard(spark, sf_dir)
     df.collect()  # AQE finalizes reuse only at execution
