@@ -537,6 +537,69 @@ ORDER BY lift DESC, term_a ASC, term_b ASC LIMIT {COLLOC_TOP}
 """
 
 
+def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-language EXACT quality percentile for every document — the
+    normalization step before mixing: a raw quality threshold of, say,
+    0.6 keeps wildly different fractions of each language (quality
+    heuristics are language-biased), while "keep each language's top 40%"
+    needs the per-language percentile this query computes.
+
+    Scale design (100 TB): a naive
+    ``ROW_NUMBER() OVER (PARTITION BY lang ...)`` funnels each language
+    through ONE task — with ~10 languages that is a 10-task cluster.
+    Instead the total order (lang, score, doc_id) goes through the
+    two-level distributed rank (operators/rank.py: range partition +
+    local row_number + O(partitions) offsets), and each language's local
+    rank is recovered by subtracting the language's minimum global rank —
+    a LANG-cardinality broadcast join.  Exact, deterministic, and every
+    stage is parallel over the full cluster."""
+    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.operators.rank import global_row_number
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = docs.join(q, "doc_id")
+    ranked = global_row_number(
+        scored,
+        [F.asc("lang"), F.asc("quality_score"), F.asc("doc_id")],
+        out="grank",
+    )
+    lang_stats = ranked.groupBy("lang").agg(
+        F.min("grank").alias("first_rank"), F.count("*").alias("n_lang")
+    )
+    return (
+        ranked.join(F.broadcast(lang_stats), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            (F.col("grank") - F.col("first_rank") + 1).alias("lang_rank"),
+            F.round(
+                (F.col("grank") - F.col("first_rank") + 1).cast("double")
+                / F.col("n_lang"),
+                6,
+            ).alias("pct_rank"),
+        )
+        .orderBy("lang", "lang_rank")
+    )
+
+
+QUALITY_PERCENTILE_SQL = f"""
+WITH quality AS ({_QUALITY_CTE}),
+scored AS (
+  SELECT d.doc_id, d.lang, q.quality_score
+  FROM documents d JOIN quality q USING (doc_id)
+)
+SELECT doc_id, lang, quality_score,
+  ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY quality_score, doc_id) AS lang_rank,
+  round(CAST(ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY quality_score, doc_id) AS DOUBLE)
+    / COUNT(*) OVER (PARTITION BY lang), 6) AS pct_rank
+FROM scored ORDER BY lang, lang_rank
+"""
+
+
 PPMI_TOP = 30
 
 
@@ -769,6 +832,7 @@ QUERIES = {
     "split_balance_chisq": split_balance_chisq,
     "term_collocations_lift": term_collocations_lift,
     "term_ppmi_similarity": term_ppmi_similarity,
+    "quality_percentile_by_lang": quality_percentile_by_lang,
 }
 
 ORACLES = {
@@ -782,4 +846,5 @@ ORACLES = {
     "split_balance_chisq": SPLIT_CHISQ_SQL,
     "term_collocations_lift": TERM_COLLOCATIONS_SQL,
     "term_ppmi_similarity": TERM_PPMI_SQL,
+    "quality_percentile_by_lang": QUALITY_PERCENTILE_SQL,
 }

@@ -191,3 +191,23 @@ def test_term_ppmi_similarity_bounds(spark, sf_dir):
         assert 0.0 <= r.cosine <= 1.000001
     cos = [r.cosine for r in rows]
     assert cos == sorted(cos, reverse=True)
+
+
+def test_quality_percentile_by_lang_exact_ranks(spark, sf_dir):
+    from collections import defaultdict
+
+    from debezium_server_bigquery_spark.functions.curation import (
+        quality_percentile_by_lang,
+    )
+
+    rows = quality_percentile_by_lang(spark, sf_dir).collect()
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, members in by_lang.items():
+        ranks = [m.lang_rank for m in members]
+        assert ranks == list(range(1, len(members) + 1))  # contiguous, 1-based
+        assert members[-1].pct_rank == 1.0  # the top doc is the 100th pctile
+        scores = [m.quality_score for m in members]
+        assert scores == sorted(scores)  # rank follows score within lang
