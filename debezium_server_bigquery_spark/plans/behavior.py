@@ -408,12 +408,92 @@ FROM terms GROUP BY user_id ORDER BY user_id
 """
 
 
+BURST_MIN_GAPS = 20  # users with fewer inter-event gaps are not scored
+BURST_TOP = 50
+
+
+def user_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-traffic detector: per user, the coefficient of variation
+    (CV = std/mean) of inter-event time gaps.  Human activity is bursty
+    (CV around or above 1); schedulers, monitors, and scripted bots are
+    metronomic (CV near 0) — the top of this report is the drop list a
+    behavioral-training-data curation pass applies before machine streams
+    dominate the corpus.
+
+    Scale design (100 TB): one lag window partitioned by user_id
+    (key-cardinality partitions — never a single-task window), then exact
+    integer moments per user: gap sums as BIGINT, squared gaps as
+    DECIMAL(19,0) x DECIMAL(19,0) products summed at DECIMAL(38,0) (ns^2
+    reaches 1e30 — no double accumulation anywhere).  Variance and CV are
+    formed from the exact moments with a fixed expression tree (two
+    divisions, one sqrt), so the output hash-compares cross-engine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_ns", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gaps = ev.withColumn("gap", F.col("ts_ns") - F.lag("ts_ns").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    agg = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap").alias("s1"),
+            F.sum(
+                F.col("gap").cast("decimal(19,0)")
+                * F.col("gap").cast("decimal(19,0)")
+            ).alias("s2"),
+        )
+        .filter((F.col("n_gaps") >= BURST_MIN_GAPS) & (F.col("s1") > 0))
+    )
+    s1d = F.col("s1").cast("double")
+    mean = s1d / F.col("n_gaps")
+    var = (F.col("s2").cast("double") - s1d * F.col("s1") / F.col("n_gaps")) / F.col(
+        "n_gaps"
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_gaps",
+            F.round(mean / 1000000, 6).alias("mean_gap_ms"),
+            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        )
+        .orderBy("cv", "user_id")
+        .limit(BURST_TOP)
+    )
+
+
+BURSTINESS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(epoch_us(ts) * 1000 AS BIGINT) AS ts_ns, event_id
+  FROM events
+), g AS (
+  SELECT user_id,
+    ts_ns - LAG(ts_ns) OVER (
+      PARTITION BY user_id ORDER BY ts_ns, event_id) AS gap
+  FROM ev
+), agg AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+    CAST(SUM(gap) AS BIGINT) AS s1,
+    SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+  HAVING COUNT(*) >= {BURST_MIN_GAPS} AND SUM(gap) > 0
+)
+SELECT user_id, n_gaps,
+  round(CAST(s1 AS DOUBLE) / n_gaps / 1000000, 6) AS mean_gap_ms,
+  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_gaps) / n_gaps)
+        / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
+FROM agg ORDER BY cv, user_id LIMIT {BURST_TOP}
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "events_volume_anomaly": events_volume_anomaly,
     "funnel_conversion_window": funnel_conversion_window,
     "dau_wau_stickiness": dau_wau_stickiness,
     "user_recency_weighted_value": user_recency_weighted_value,
+    "user_interarrival_burstiness": user_interarrival_burstiness,
 }
 ORACLES = {
     "retention_cohorts": RETENTION_SQL,
@@ -421,4 +501,5 @@ ORACLES = {
     "funnel_conversion_window": CONV_FUNNEL_SQL,
     "dau_wau_stickiness": DAU_WAU_SQL,
     "user_recency_weighted_value": RECENCY_VALUE_SQL,
+    "user_interarrival_burstiness": BURSTINESS_SQL,
 }

@@ -205,3 +205,47 @@ def test_value_outliers_mad_python_model(spark, sf_dir):
         assert out[t].median_value == round(med, 6)
         assert out[t].mad == round(mad, 6)
         assert out[t].n_outliers == n_out
+
+
+def test_burstiness_flags_metronomic_users(spark, tmp_path):
+    """A perfectly regular (bot-like) stream must rank ahead of a bursty
+    one, with CV 0 for constant gaps and the documented exact moments."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from debezium_server_bigquery_spark.plans.behavior import (
+        BURST_MIN_GAPS,
+        user_interarrival_burstiness,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(BURST_MIN_GAPS + 1):  # bot: constant 60s cadence
+        rows.append((eid, base + timedelta(seconds=60 * i), 1))
+        eid += 1
+    gap = 1
+    t = base
+    for i in range(BURST_MIN_GAPS + 1):  # human: geometric burst pattern
+        rows.append((eid, t, 2))
+        eid += 1
+        t = t + timedelta(seconds=gap)
+        gap = gap * 2 if gap < 4096 else 1
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    out = user_interarrival_burstiness(spark, str(tmp_path)).collect()
+    assert [r.user_id for r in out] == [1, 2]  # metronome first
+    bot, human = out[0], out[1]
+    assert bot.cv == 0.0 and bot.mean_gap_ms == 60000.0
+    assert human.cv > 0.5
+    assert bot.n_gaps == BURST_MIN_GAPS
