@@ -129,7 +129,11 @@ def char_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW-LOCALLY with array algebra (distinct chars -> per-char counts ->
     exact integer sum of squares), so the whole query is one codegen scan
     plus the output sort; no explode, no per-char rows ever leave the
-    row."""
+    row.  Per-row cost is O(alphabet x length): fine for ASCII-dominant
+    corpora (alphabet <~ 100); a CJK-heavy corpus (alphabet in the
+    thousands) should swap the count step for array_sort + a run-length
+    fold (O(length log length)) — same exact result, the distribution
+    never leaves the row either way."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     chars = F.split(F.col("text"), "")
     counts = F.transform(

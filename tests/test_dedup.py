@@ -112,4 +112,7 @@ def test_substrate_queries_leave_no_persistent_rdds(spark, sf_dir):
     dedup_lsh_recall(spark, sf_dir).collect()
     ann_ivf_recall(spark, sf_dir).collect()
     semantic_dedup_pairs(spark, sf_dir).collect()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # the CacheManager holds exactly the persist()/cache() registrations
+    # (localCheckpoint blocks from OTHER tests' rank primitives live in
+    # getPersistentRDDs until GC and are not session-lifetime leaks)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
