@@ -676,6 +676,75 @@ ORDER BY table_name, user_id
 """
 
 
+def stream_dedup_watermark_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup under the gate: documents flow
+    through REAL Structured Streaming (4 source files drained with
+    maxFilesPerTrigger=1 -> 4 micro-batches under an availableNow
+    trigger), and ``dropDuplicatesWithinWatermark`` keys first-writer-wins
+    state by the content hash — the streaming form of exact dedup whose
+    state store holds only the watermark horizon, not the corpus
+    (functions/dedup_fuzzy.py dedup_exact_stream).
+
+    Determinism contract: WHICH copy of a duplicated text survives is
+    arrival-order dependent — legitimate streaming nondeterminism — so
+    the graded output is the survivor-AGNOSTIC summary.  The keep-COUNT
+    is exact because event time is a pure function of the content hash
+    (all copies of a text share one instant) and the whole event-time
+    spread (<= 1000 s) sits far inside the 2 h watermark, so no state
+    eviction can ever re-admit a duplicate: exactly one survivor per
+    distinct text, every run, any batch order.  The batch oracle
+    recomputes the same summary as COUNT(DISTINCT md5(text))."""
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+        dedup_exact_stream,
+        hash60,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = scratch_dir("dsbq_sdw_src_")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn(
+            "ts",
+            F.timestamp_millis(
+                F.lit(1_700_000_000_000)
+                + F.pmod(hash60(F.col("text")), F.lit(1000)) * 1000
+            ),
+        )
+    )
+    deduped = dedup_exact_stream(stream, ts_col="ts", watermark="2 hours")
+    out_dir = scratch_dir("dsbq_sdw_out_")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = spark.read.parquet(out_dir)
+    n = docs.agg(F.count("*").alias("n_input"))
+    return (
+        kept.agg(F.count("*").alias("n_kept"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_input",
+            "n_kept",
+            (F.col("n_input") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )
+
+
+STREAM_DEDUP_WATERMARK_SQL = """
+SELECT COUNT(*) AS n_input,
+  COUNT(DISTINCT md5(text)) AS n_kept,
+  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dropped
+FROM documents
+"""
+
+
 def pipeline_transform_hook_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 (SMT-chain analog) under the gate: a GLOBAL transform and a
     DESTINATION-scoped transform registered on the pipeline's ``transforms``
@@ -1150,6 +1219,7 @@ QUERIES = {
     "pipeline_replay_idempotent_e2e": pipeline_replay_idempotent_e2e,
     "cli_run_e2e": cli_run_e2e,
     "pipeline_stream_e2e": pipeline_stream_e2e,
+    "stream_dedup_watermark_e2e": stream_dedup_watermark_e2e,
     "pipeline_transform_hook_e2e": pipeline_transform_hook_e2e,
     "pipeline_schema_history_e2e": pipeline_schema_history_e2e,
     "pipeline_keyless_append_e2e": pipeline_keyless_append_e2e,
@@ -1173,6 +1243,7 @@ ORACLES = {
     "pipeline_replay_idempotent_e2e": PIPELINE_REPLAY_SQL,
     "cli_run_e2e": CLI_RUN_SQL,
     "pipeline_stream_e2e": PIPELINE_STREAM_SQL,
+    "stream_dedup_watermark_e2e": STREAM_DEDUP_WATERMARK_SQL,
     "pipeline_transform_hook_e2e": PIPELINE_TRANSFORM_SQL,
     "pipeline_schema_history_e2e": PIPELINE_SCHEMA_HISTORY_SQL,
     "pipeline_keyless_append_e2e": PIPELINE_KEYLESS_APPEND_SQL,

@@ -311,3 +311,22 @@ def test_k_anonymity_report_flags_small_groups(spark, sf_dir):
         assert r.n_rows >= r.n_users
     counts = [r.n_users for r in rows]
     assert counts == sorted(counts)
+
+
+def test_stream_dedup_watermark_e2e_deterministic(spark, sf_dir):
+    """The graded summary must be identical across runs (survivor identity
+    may differ; the keep-count may not) and equal the batch distinct."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.plans.pipeline_queries import (
+        stream_dedup_watermark_e2e,
+    )
+    from debezium_server_bigquery_spark.sources.tables import load_table
+
+    a = stream_dedup_watermark_e2e(spark, sf_dir).collect()[0]
+    b = stream_dedup_watermark_e2e(spark, sf_dir).collect()[0]
+    assert tuple(a) == tuple(b)
+    docs = load_table(spark, sf_dir, "documents")
+    assert a.n_kept == docs.select(F.md5("text")).distinct().count()
+    assert a.n_input == docs.count()
+    assert a.n_dropped == a.n_input - a.n_kept >= 0
