@@ -197,7 +197,8 @@ _TIER1 = [
     # queries (tokenizer_fertility_by_lang, term_ppmi_similarity,
     # longest_shared_span_pairs, k_anonymity_report,
     # char_diversity_gini, quality_percentile_by_lang,
-    # user_interarrival_burstiness, stream_dedup_watermark_e2e), THEN the 23 first-row-r7 members above
+    # user_interarrival_burstiness, stream_dedup_watermark_e2e,
+    # embedding_norm_stats), THEN the 23 first-row-r7 members above
     # earn their second consecutive green this round and rotate out next
     # round; remaining slots go to the longest-ungraded-green tail members
     # (the r1-r4 cohort at the bottom of this list: q3_shipping_priority,

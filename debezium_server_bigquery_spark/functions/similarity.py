@@ -701,6 +701,62 @@ GROUP BY label, u.pos ORDER BY label, pos
 """
 
 
+NORM_NEAR_ZERO = 0.25  # squared-norm floor below which a vector is "collapsed"
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table intake audit: per label, the distribution of
+    squared vector norms plus the count of near-zero (collapsed) vectors
+    — the first check before any similarity / dedup / ANN stage trusts
+    the embedding column.  A failed encoder batch emits near-zero
+    vectors whose cosines are pure noise; a mixture of normalized and
+    unnormalized sources shows up as a bimodal norm range long before it
+    shows up as bad retrieval.
+
+    Scale design (100 TB): norm^2 is a row-local sequential fold over
+    the array (the exact fold order the cosine oracle uses — no shuffle,
+    no explode), then one per-label hash aggregate.  The mean rides an
+    exact DECIMAL sum of per-row ROUNDED norms, so the report
+    hash-compares cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    per = emb.select(
+        "label",
+        F.round(dot(F.col("embedding"), F.col("embedding")), 6).alias("nsq"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("nsq").alias("min_norm_sq"),
+            F.max("nsq").alias("max_norm_sq"),
+            F.round(
+                F.sum(F.col("nsq").cast("decimal(25,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_norm_sq"),
+            F.sum(
+                F.when(F.col("nsq") < NORM_NEAR_ZERO, 1).otherwise(0)
+            ).alias("n_near_zero"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_SQL = f"""
+WITH per AS (
+  SELECT label, round({_dot_sql("embedding", "embedding")}, 6) AS nsq
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+  MIN(nsq) AS min_norm_sq, MAX(nsq) AS max_norm_sq,
+  round(CAST(SUM(CAST(nsq AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_norm_sq,
+  CAST(SUM(CASE WHEN nsq < {NORM_NEAR_ZERO} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_near_zero
+FROM per GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -708,6 +764,7 @@ QUERIES = {
     "ann_ivf_recall": ann_ivf_recall,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_centroid_by_label": embedding_centroid_by_label,
+    "embedding_norm_stats": embedding_norm_stats,
 }
 
 ORACLES = {
@@ -717,4 +774,5 @@ ORACLES = {
     "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "embedding_neardup_pairs": EMB_NEARDUP_SQL,
     "embedding_centroid_by_label": EMB_CENTROID_SQL,
+    "embedding_norm_stats": EMBEDDING_NORM_SQL,
 }

@@ -75,3 +75,16 @@ def test_search_batch_mode_matches_broadcast_mode(spark, sf_dir, tmp_path):
         (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"]) for r in rows
     ]
     assert as_tuples(a) == as_tuples(b)
+
+
+def test_embedding_norm_stats_bounds(spark, sf_dir):
+    from debezium_server_bigquery_spark.functions.similarity import (
+        embedding_norm_stats,
+    )
+
+    rows = embedding_norm_stats(spark, sf_dir).collect()
+    assert rows and [r.label for r in rows] == sorted({r.label for r in rows})
+    for r in rows:
+        assert r.min_norm_sq <= r.mean_norm_sq <= r.max_norm_sq
+        assert 0 <= r.n_near_zero <= r.n_vecs
+        assert r.min_norm_sq >= 0.0
