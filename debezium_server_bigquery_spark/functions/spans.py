@@ -252,13 +252,125 @@ ORDER BY span_words DESC, doc_a ASC, doc_b ASC LIMIT {LSS_TOP}
 """
 
 
+def span_trim_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many WORDS would substring dedup actually remove from each
+    document?  ``text_span_dup_ratio`` counts shared windows; this
+    resolves overlapping shared windows into their interval UNION and
+    reports covered words — the real byte-savings estimate behind a
+    trim-vs-drop decision (100 windows can cover 107 words or 800
+    depending on overlap; the ratio alone cannot tell).
+
+    Plan: positional windows -> hash->doc-count index (aggregate, no
+    self-join, no df-cap needed) -> join back on the window hash ->
+    per-document interval merge.  Two intervals [p, p+N-1] and
+    [p', p'+N-1] (p' > p) are contiguous coverage iff p' - p <= N, so
+    the merge is gaps-and-islands over a lag window partitioned by
+    doc_id (key-cardinality partitions) and each island covers
+    max(pos) - min(pos) + N words — pure integer arithmetic end to
+    end."""
+    n = SPAN_WORDS
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = words(F.col("text"))
+    win = (
+        docs.filter(F.size(words(F.col("text"))) >= n)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_words"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        hash60(
+                            F.concat_ws(
+                                " ",
+                                *[F.element_at(toks, i + j) for j in range(n)],
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "n_words", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    idx = win.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    shared = win.join(idx.filter(F.col("n_docs") >= 2), "h").select(
+        "doc_id", "n_words", "pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > n, 1
+    ).otherwise(0)
+    islands = shared.withColumn(
+        "island", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_island = islands.groupBy("doc_id", "n_words", "island").agg(
+        (F.max("pos") - F.min("pos") + n).alias("covered")
+    )
+    return (
+        per_island.groupBy("doc_id", "n_words")
+        .agg(F.sum("covered").alias("covered_words"))
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("covered_words").cast("long").alias("covered_words"),
+            F.round(
+                F.col("covered_words").cast("double") / F.col("n_words"), 6
+            ).alias("trim_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPAN_TRIM_SQL = f"""
+WITH win0 AS ({_positional_windows_sql(SPAN_WORDS)}),
+wc AS (
+  SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+    AS n_words
+  FROM documents
+),
+idx AS (
+  SELECT h FROM win0 GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+shared AS (
+  SELECT w.doc_id, w.pos FROM win0 w JOIN idx USING (h)
+),
+marked AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      > {SPAN_WORDS} THEN 1 ELSE 0 END AS brk
+  FROM shared
+),
+islands AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+per_island AS (
+  SELECT doc_id, island, MAX(pos) - MIN(pos) + {SPAN_WORDS} AS covered
+  FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS covered_words
+  FROM per_island GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(wc.n_words AS BIGINT) AS n_words, p.covered_words,
+  round(CAST(p.covered_words AS DOUBLE) / wc.n_words, 6) AS trim_ratio
+FROM per_doc p JOIN wc ON wc.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES = {
     "text_common_spans": text_common_spans,
     "text_span_dup_ratio": text_span_dup_ratio,
     "longest_shared_span_pairs": longest_shared_span_pairs,
+    "span_trim_estimate": span_trim_estimate,
 }
 ORACLES = {
     "text_common_spans": TEXT_COMMON_SPANS_SQL,
     "text_span_dup_ratio": TEXT_SPAN_DUP_RATIO_SQL,
     "longest_shared_span_pairs": LONGEST_SHARED_SPAN_SQL,
+    "span_trim_estimate": SPAN_TRIM_SQL,
 }

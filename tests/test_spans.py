@@ -81,3 +81,24 @@ def test_longest_shared_span_chains_diagonal_runs(spark, span_pair_dir):
     # a 12-word overlap is 5 consecutive 8-word windows on one diagonal;
     # the single shared window of (3,4) reports the window length itself
     assert out == [(1, 2, 12), (3, 4, SPAN_WORDS)]
+
+
+def test_span_trim_estimate_merges_overlapping_windows(spark, tmp_path):
+    """Ten words shared verbatim = three overlapping 8-word windows that
+    must merge to a covered length of 10, not 24."""
+    shared10 = " ".join(f"v{i}" for i in range(10))
+    rows = [
+        (1, f"pre1 pre2 {shared10} post1", "en", "web", 0),
+        (2, f"{shared10} tail1 tail2", "en", "web", 0),
+        (3, "independent words that never repeat anywhere else at all ok", "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from debezium_server_bigquery_spark.functions.spans import span_trim_estimate
+
+    out = {r.doc_id: r for r in span_trim_estimate(spark, str(tmp_path)).collect()}
+    assert out[1].covered_words == 10 and out[1].n_words == 13
+    assert out[2].covered_words == 10 and out[2].trim_ratio == round(10 / 12, 6)
+    assert 3 not in out  # no shared windows -> nothing to trim
