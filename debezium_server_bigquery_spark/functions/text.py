@@ -438,6 +438,103 @@ FROM conf ORDER BY labeled_lang, predicted_lang
 """
 
 
+def language_purity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching audit, aggregated: per labeled language, how many
+    documents carry a SECOND language's marker words alongside their
+    primary signal — boilerplate-wrapped translations and scraped pages
+    with foreign navigation chrome degrade a monolingual training slice
+    even when the argmax language ID is "right".  A healthy monolingual
+    corpus reports n_mixed = 0 per language with non-trivial signal
+    counts; any nonzero mixed count is the review queue.
+
+    Plan: the same single-tokenize marker scoring as text_lang_id, then a
+    row-local sort of the 5 (neg score, lang) structs — Spark array_sort
+    and DuckDB list_sort both order structs lexicographically by field,
+    so the (primary, secondary) extraction is deterministic cross-engine
+    including ties (score desc, language code asc).  One scan, one
+    per-language hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    wl = docs.select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("wl")
+    )
+
+    def _marker_pred(markers: list[str]):
+        return lambda t: t.isin(*markers)
+
+    langs = sorted(LANG_MARKERS)
+    scored = wl.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.filter(F.col("wl"), _marker_pred(LANG_MARKERS[lg]))
+            ).alias(f"score_{lg}")
+            for lg in langs
+        ],
+    )
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"score_{lg}")).alias("neg"), F.lit(lg).alias("lg")
+                )
+                for lg in langs
+            ]
+        )
+    )
+    picked = scored.select(
+        "lang",
+        (-F.element_at(ranked, 1)["neg"]).alias("primary_hits"),
+        (-F.element_at(ranked, 2)["neg"]).alias("secondary_hits"),
+    )
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("primary_hits") > 0, 1).otherwise(0)).alias(
+                "n_with_signal"
+            ),
+            F.sum(F.when(F.col("secondary_hits") > 0, 1).otherwise(0)).alias(
+                "n_mixed"
+            ),
+            F.max("secondary_hits").cast("long").alias("max_secondary_hits"),
+            F.sum("primary_hits").cast("long").alias("total_primary_hits"),
+        )
+        .orderBy("lang")
+    )
+
+
+_LANG_STRUCTS_SQL = ", ".join(
+    f"{{'neg': -score_{lg}, 'lg': '{lg}'}}" for lg in sorted(LANG_MARKERS)
+)
+
+LANGUAGE_PURITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS wl
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+  {_LANG_SCORE_SQL}
+  FROM toks
+), ranked AS (
+  SELECT doc_id, lang, list_sort([{_LANG_STRUCTS_SQL}]) AS r
+  FROM scored
+), picked AS (
+  SELECT lang, -r[1].neg AS primary_hits, -r[2].neg AS secondary_hits
+  FROM ranked
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN primary_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_with_signal,
+  CAST(SUM(CASE WHEN secondary_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_mixed,
+  CAST(MAX(secondary_hits) AS BIGINT) AS max_secondary_hits,
+  CAST(SUM(primary_hits) AS BIGINT) AS total_primary_hits
+FROM picked GROUP BY lang ORDER BY lang
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
@@ -730,6 +827,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "lang_id_confusion": lang_id_confusion,
+    "language_purity_report": language_purity_report,
     "text_fingerprint": text_fingerprint,
     "docs_by_lang_summary": docs_by_lang_summary,
     "text_repetition_score": text_repetition_score,
@@ -745,6 +843,7 @@ ORACLES = {
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "lang_id_confusion": LANG_CONFUSION_SQL,
+    "language_purity_report": LANGUAGE_PURITY_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "docs_by_lang_summary": DOCS_BY_LANG_SQL,
     "text_repetition_score": TEXT_REPETITION_SQL,

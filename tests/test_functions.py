@@ -330,3 +330,28 @@ def test_stream_dedup_watermark_e2e_deterministic(spark, sf_dir):
     assert a.n_kept == docs.select(F.md5("text")).distinct().count()
     assert a.n_input == docs.count()
     assert a.n_dropped == a.n_input - a.n_kept >= 0
+
+
+def test_language_purity_detects_mixed_docs(spark, tmp_path):
+    """A doc stuffed with two languages' markers must count as mixed; a
+    single-language doc must not."""
+    from debezium_server_bigquery_spark.functions.text import (
+        language_purity_report,
+    )
+
+    # en and de markers are disjoint (the/and/of vs der/und/von); fr, es,
+    # and zh deliberately share markers in the toy model, so they cannot
+    # serve as the "pure" fixtures here
+    rows = [
+        (1, "the cat and the dog of the house", "en", "web", 0),
+        (2, "der hund und der mann von hier", "de", "web", 0),
+        (3, "the house und der hund and von hund of", "en", "web", 0),  # mixed
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in language_purity_report(spark, str(tmp_path)).collect()}
+    assert out["de"].n_mixed == 0 and out["de"].n_with_signal == 1
+    assert out["en"].n_docs == 2 and out["en"].n_mixed == 1
+    assert out["en"].max_secondary_hits >= 2
