@@ -139,6 +139,55 @@ FROM documents ORDER BY doc_id
 """
 
 
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet metric: the distribution of exact-duplicate cluster
+    sizes — how much of the corpus is singletons vs pairs vs mass-copied
+    boilerplate.  The shape drives the dedup policy: a long tail of huge
+    clusters means keep-one-per-cluster recovers most of the budget; a
+    flat sea of pairs means near-dup methods must carry the weight.
+
+    Plan: two map-side-combinable hash aggregates (hash -> cluster size,
+    size -> cluster count) and a one-row total broadcast for the row
+    share — no window over the corpus, no self-join, scales linearly."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    clusters = (
+        docs.select(F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    total = docs.agg(F.count("*").alias("n_total"))
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            F.round(
+                (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+                / F.col("n_total"),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DUP_CLUSTER_HIST_SQL = """
+WITH clusters AS (
+  SELECT md5(text) AS h, COUNT(*) AS cluster_size
+  FROM documents GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_total FROM documents)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+  round(CAST(cluster_size * COUNT(*) AS DOUBLE) / n_total, 6) AS doc_share
+FROM clusters, n
+GROUP BY cluster_size, n_total
+ORDER BY cluster_size
+"""
+
+
 def dedup_exact_stream(
     docs: DataFrame, ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:
@@ -720,6 +769,7 @@ SELECT
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -730,6 +780,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dup_cluster_size_histogram": DUP_CLUSTER_HIST_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,

@@ -116,3 +116,28 @@ def test_substrate_queries_leave_no_persistent_rdds(spark, sf_dir):
     # (localCheckpoint blocks from OTHER tests' rank primitives live in
     # getPersistentRDDs until GC and are not session-lifetime leaks)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_dup_cluster_size_histogram_planted(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+        dup_cluster_size_histogram,
+    )
+
+    rows = [
+        (1, "copy one", "en", "web", 0),
+        (2, "copy one", "en", "web", 0),
+        (3, "copy one", "en", "web", 0),  # one cluster of 3
+        (4, "copy two", "en", "web", 0),
+        (5, "copy two", "en", "web", 0),  # one cluster of 2
+        (6, "unique a", "en", "web", 0),
+        (7, "unique b", "en", "web", 0),  # two singletons
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.cluster_size: r for r in dup_cluster_size_histogram(spark, str(tmp_path)).collect()}
+    assert out[1].n_clusters == 2 and out[1].n_docs == 2
+    assert out[2].n_clusters == 1 and out[2].n_docs == 2
+    assert out[3].n_clusters == 1 and out[3].n_docs == 3
+    assert abs(sum(r.doc_share for r in out.values()) - 1.0) < 1e-6
