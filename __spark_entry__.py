@@ -199,7 +199,8 @@ _TIER1 = [
     # char_diversity_gini, quality_percentile_by_lang,
     # user_interarrival_burstiness, stream_dedup_watermark_e2e,
     # embedding_norm_stats, span_trim_estimate,
-    # language_purity_report, dup_cluster_size_histogram), THEN the 23 first-row-r7 members above
+    # language_purity_report, dup_cluster_size_histogram,
+    # session_event_affinity), THEN the 23 first-row-r7 members above
     # earn their second consecutive green this round and rotate out next
     # round; remaining slots go to the longest-ungraded-green tail members
     # (the r1-r4 cohort at the bottom of this list: q3_shipping_priority,

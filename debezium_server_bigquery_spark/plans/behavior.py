@@ -487,6 +487,97 @@ FROM agg ORDER BY cv, user_id LIMIT {BURST_TOP}
 """
 
 
+def session_event_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between event types: LIFT of two types
+    co-occurring in the same (user, day) activity basket — which
+    behaviors travel together (view+click vs view+purchase), the signal
+    behind next-action recommendations and funnel design.  Log-free PMI
+    ordering, the term_collocations_lift statistic applied to behavioral
+    baskets instead of documents.
+
+    Scale design (100 TB): baskets are the DISTINCT (user, day, type)
+    triples — map-side combinable; the pair join is an aliased self-join
+    on the basket key whose identical subtrees share one exchange
+    (ReusedExchange), and each basket contributes at most C(|types|, 2)
+    pairs, a constant.  Basket total and per-type marginals enter as
+    one-row / type-cardinality broadcasts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 86400000000000").alias("day"),
+        "event_type",
+    )
+    baskets = ev.distinct()  # (user, day, type)
+    n = (
+        baskets.select("user_id", "day")
+        .distinct()
+        .agg(F.count("*").alias("n_baskets"))
+    )
+    marg = baskets.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("type_a"), F.asc("type_b"))
+    )
+
+
+SESSION_AFFINITY_SQL = """
+WITH ev AS (
+  SELECT user_id,
+    CAST(epoch_us(ts) * 1000 AS BIGINT) // 86400000000000 AS day,
+    event_type
+  FROM events
+), baskets AS (
+  SELECT DISTINCT user_id, day, event_type FROM ev
+), n AS (
+  SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM baskets)
+), marg AS (
+  SELECT event_type, COUNT(*) AS n_t FROM baskets GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.day = b.day
+    AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
+  round(CAST(n_ab * n_baskets AS DOUBLE) / (ma.n_t * mb.n_t), 6) AS lift
+FROM pairs
+JOIN marg ma ON ma.event_type = type_a
+JOIN marg mb ON mb.event_type = type_b
+CROSS JOIN n
+ORDER BY lift DESC, type_a ASC, type_b ASC
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "events_volume_anomaly": events_volume_anomaly,
@@ -494,6 +585,7 @@ QUERIES = {
     "dau_wau_stickiness": dau_wau_stickiness,
     "user_recency_weighted_value": user_recency_weighted_value,
     "user_interarrival_burstiness": user_interarrival_burstiness,
+    "session_event_affinity": session_event_affinity,
 }
 ORACLES = {
     "retention_cohorts": RETENTION_SQL,
@@ -502,4 +594,5 @@ ORACLES = {
     "dau_wau_stickiness": DAU_WAU_SQL,
     "user_recency_weighted_value": RECENCY_VALUE_SQL,
     "user_interarrival_burstiness": BURSTINESS_SQL,
+    "session_event_affinity": SESSION_AFFINITY_SQL,
 }

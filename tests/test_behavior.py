@@ -249,3 +249,18 @@ def test_burstiness_flags_metronomic_users(spark, tmp_path):
     assert bot.cv == 0.0 and bot.mean_gap_ms == 60000.0
     assert human.cv > 0.5
     assert bot.n_gaps == BURST_MIN_GAPS
+
+
+def test_session_event_affinity_lift_identities(spark, sf_dir):
+    from debezium_server_bigquery_spark.plans.behavior import (
+        session_event_affinity,
+    )
+
+    rows = session_event_affinity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b  # canonical unordered pair
+        assert 0 < r.n_ab <= min(r.n_a, r.n_b)  # co-occurrence <= marginals
+        assert r.lift > 0
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
