@@ -107,8 +107,6 @@ def _collect(attr: str) -> dict:
 # a driver that grades a prefix of the dict still sees each component; the
 # remaining members and the TPC-H-shaped tail follow.
 #
-# Round-8 rotation (per the r7 verdict's asks #1, #2, #7):
-#
 # ROTATION POLICY (amended in round 8 per the r7 verdict): a query whose
 # MOST RECENT driver row is red (err/fail) re-enters the next graded
 # prefix automatically, ahead of never-graded queries — the round-7 board
@@ -116,56 +114,122 @@ def _collect(attr: str) -> dict:
 # Otherwise: never-graded queries enter first; members green in the TWO
 # most recent consecutive rounds rotate out (they stay registered and
 # locally oracle-checked; they re-enter in later rotations).
+# REFRESH RULE (recorded in round 9 per the r8 verdict's ask #6): the CDC
+# parity core (the coercion trio + route/dedup/upsert/append/nested-
+# envelope) never goes more than 3 rounds without a driver row — rotated
+# out in r8 with r6+r7 greens, it re-enters HERE in r9; the same 3-round
+# ceiling then applies to every reference-component representative, and
+# remaining slots go to the longest-ungraded tail so no query's latest
+# row ages past ~5 rounds.
 #
-# This round's prefix (50) = 6 kept both-green anchors (flagship q1, the
-# CDC flatten rep, the replay-idempotency e2e, sessionization, exact
-# dedup, brute-force ANN) + the 23 first-row-r7 members (each needs a
-# second consecutive green before rotating out) + 21 new entries:
-#   - the 3 stale-red re-grades: q_events_props, q12_priority_class,
-#     w_moving_avg_events (latest driver row is a round-1 red; all three
-#     fixed long ago and green on the local oracle replica),
-#   - the 17-query round-7 shortlist (streaming/transform/backfill/
-#     composite-key e2e, the decontamination trio, lang-ID confusion,
-#     recency-weighted value, drift/MAD/chi-squared diagnostics,
-#     curation funnel, paragraph dup rate, collocations, WKT decode,
-#     and rows-only bpe_train_merges),
-#   - pipeline_retry_e2e, NEW this round: T7 fault-injected retry
-#     convergence — the last reference component without a gate row.
-# Displaced (all carry passing r6 AND r7 driver rows, re-enter later):
-# the CDC coercion trio + route/dedup/upsert/append/nested-envelope, the
-# schema-evolution / keep-deletes / metrics / rejects / fanin e2e rows,
-# the IVM agg view, running-spend / grouping-sets / set-ops windows,
-# asof + skew joins, contrastive triplets, BM25, and the media probe.
+# Round-9 prefix (50), per the r8 verdict's asks #1/#2/#6 — no reds in
+# CORRECTNESS_r08, so no fast-lane entries:
+#   - q1_pricing_summary stays as the flagship anchor (entry() runs it);
+#   - the 21 first-row-r8 members stay for their second consecutive green
+#     (5 gate e2e rows incl. retry/stream/transform/backfill/composite,
+#     the 3 stale-red re-grades, the decontamination trio, and the r7
+#     shortlist's analytics — bpe_train_merges now carries a full DuckDB
+#     twin, unrolled-CTE trainer, so its row upgrades from rows-only to
+#     hash-checked);
+#   - the 13 never-graded round-8-new queries enter for first rows
+#     (fertility/PPMI/spans/k-anon/char-gini/percentile/burstiness/
+#     watermark-dedup e2e/norm-stats/span-trim/purity/dup-histogram/
+#     affinity; quality_percentile_by_lang's DECIMAL-vs-DOUBLE twin
+#     mismatch fixed FIRST per ask #1);
+#   - the 7-query CDC core re-enters under the refresh rule (ask #6);
+#   - 8 slots to the longest-ungraded r1-r4 cohort (q3, lazy-upsert e2e,
+#     windowed counts, rollup, range join, minhash/simhash, ivf).
+# Displaced (green r7+r8 rows; stay registered, re-enter later): the 23
+# first-row-r7 members (cli/schema-history/keyless/incremental-snapshot/
+# ivm-join e2e, session_window_stats, containment/LSH-recall/cross-source
+# dedup, LM pair, covariance/hashed-features/fusion/weighted-sample/
+# profiler, trend/stickiness/trimmed-mean/next-event/open-orders/
+# seasonality/gini) plus 5 multi-green anchors (cdc_flatten, replay e2e,
+# sessionize_events, dedup_exact, ann_cosine_topk).
 _TIER1 = [
-    # -- CDC parity core reps + e2e write paths ----------------------------
+    # -- flagship anchor ------------------------------------------------------
     "q1_pricing_summary",
-    "cdc_flatten",
-    "pipeline_replay_idempotent_e2e",
-    "cli_run_e2e",
-    "pipeline_schema_history_e2e",
-    "pipeline_keyless_append_e2e",
+    # -- gate e2e write paths: second consecutive green (first rows in r8) ---
     "pipeline_retry_e2e",
     "pipeline_stream_e2e",
     "pipeline_transform_hook_e2e",
     "pipeline_backfill_e2e",
     "pipeline_composite_key_e2e",
-    "incremental_snapshot_e2e",
-    "ivm_incremental_join_e2e",
-    # -- stale-red re-grades (amended-policy fast lane) ---------------------
+    # -- never-graded round-8/9-new: streaming dedup e2e ----------------------
+    "stream_dedup_watermark_e2e",
+    # -- CDC parity core refresh (ask #6: 3-round ceiling; last rows r7) ------
+    "cdc_route",
+    "cdc_dedup_last_writer",
+    "cdc_upsert_final_state",
+    "cdc_append_stats",
+    "cdc_coerce_scalars",
+    "cdc_coerce_exotic",
+    "cdc_nested_envelope",
+    # -- stale-red re-grades: second consecutive green (first greens in r8) --
     "q_events_props",
     "q12_priority_class",
     "w_moving_avg_events",
-    # -- sessionization / windows -------------------------------------------
+    # -- LLM-pipeline families: r8 first-rows needing their second green -----
+    "decontaminate_test_overlap",
+    "split_leakage_matrix",
+    "decontamination_report",
+    "lang_id_confusion",
+    "corpus_curation_funnel",
+    "paragraph_dup_rate",
+    "term_collocations_lift",
+    "split_balance_chisq",
+    "geometry_wkt_decode",
+    "bpe_train_merges",
+    "user_recency_weighted_value",
+    "events_drift_report",
+    "value_outliers_mad",
+    # -- never-graded round-8-new: first driver rows --------------------------
+    "tokenizer_fertility_by_lang",
+    "term_ppmi_similarity",
+    "longest_shared_span_pairs",
+    "k_anonymity_report",
+    "char_diversity_gini",
+    "quality_percentile_by_lang",
+    "user_interarrival_burstiness",
+    "embedding_norm_stats",
+    "span_trim_estimate",
+    "language_purity_report",
+    "dup_cluster_size_histogram",
+    "session_event_affinity",
+    # -- longest-ungraded tail refresh (r1-r4 cohort) -------------------------
+    "q3_shipping_priority",
+    "pipeline_lazy_upsert_e2e",
+    "windowed_event_counts",
+    "rollup_nation_year_revenue",
+    "range_attr_views_before_purchase",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf",
+    # -- end of the 50-query graded prefix ----------------------------------
+    # Round-10 rotation shortlist: FIRST any red in CORRECTNESS_r09 (the
+    # amended policy's fast lane), THEN the never-graded round-9-new
+    # queries (see plans/functions modules added this round), THEN the
+    # r8-first-green members above rotate out after their second green and
+    # the remaining slots continue the longest-ungraded tail (next up:
+    # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,
+    # scd2_temporal_enrich, session_stats_daily, supplier_cooccurrence,
+    # retention_cohorts, anomaly/sliding/pivot/funnel/rfm/transition/
+    # kwic/oov/datacard members, then the r5 cohort).  Under the refresh
+    # rule the CDC core next re-enters by r12.
+    # Rotated out THIS round (green r7+r8 driver rows; re-enter later):
+    "cdc_flatten",
+    "pipeline_replay_idempotent_e2e",
+    "cli_run_e2e",
+    "pipeline_schema_history_e2e",
+    "pipeline_keyless_append_e2e",
+    "incremental_snapshot_e2e",
+    "ivm_incremental_join_e2e",
     "sessionize_events",
     "session_window_stats",
-    # -- LLM-pipeline operator families --------------------------------------
     "dedup_exact",
     "dedup_containment_pairs",
     "dedup_lsh_recall",
     "cross_source_dup_matrix",
-    "decontaminate_test_overlap",
-    "split_leakage_matrix",
-    "decontamination_report",
     "ann_cosine_topk",
     "lm_bigram_topk",
     "doc_lm_quality_bottomk",
@@ -174,14 +238,6 @@ _TIER1 = [
     "quality_rank_fusion",
     "sample_weighted_by_quality",
     "profile_table_columns",
-    "lang_id_confusion",
-    "corpus_curation_funnel",
-    "paragraph_dup_rate",
-    "term_collocations_lift",
-    "split_balance_chisq",
-    "geometry_wkt_decode",
-    "bpe_train_merges",
-    # -- statistics / behavioral analytics ----------------------------------
     "revenue_trend_by_segment",
     "dau_wau_stickiness",
     "trimmed_mean_value_by_type",
@@ -189,34 +245,7 @@ _TIER1 = [
     "open_orders_over_time",
     "revenue_weekday_seasonality",
     "customer_revenue_gini",
-    "user_recency_weighted_value",
-    "events_drift_report",
-    "value_outliers_mad",
-    # -- end of the 50-query graded prefix ----------------------------------
-    # Round-9 rotation shortlist: FIRST the never-graded round-8-new
-    # queries (tokenizer_fertility_by_lang, term_ppmi_similarity,
-    # longest_shared_span_pairs, k_anonymity_report,
-    # char_diversity_gini, quality_percentile_by_lang,
-    # user_interarrival_burstiness, stream_dedup_watermark_e2e,
-    # embedding_norm_stats, span_trim_estimate,
-    # language_purity_report, dup_cluster_size_histogram,
-    # session_event_affinity), THEN the 23 first-row-r7 members above
-    # earn their second consecutive green this round and rotate out next
-    # round; remaining slots go to the longest-ungraded-green tail members
-    # (the r1-r4 cohort at the bottom of this list: q3_shipping_priority,
-    # pipeline_lazy_upsert_e2e, windowed_event_counts, rollup/range/
-    # minhash/simhash/ivf/pq/kmeans/sketch/lang-id/span/recipe/stratified/
-    # checksum members...) so every registered query keeps a reasonably
-    # fresh driver row.  Apply the amended policy first: any new red in
-    # CORRECTNESS_r08 re-enters the round-9 prefix automatically.
-    # Rotated out THIS round (green r6+r7 driver rows; re-enter later):
-    "cdc_route",
-    "cdc_dedup_last_writer",
-    "cdc_upsert_final_state",
-    "cdc_append_stats",
-    "cdc_coerce_scalars",
-    "cdc_coerce_exotic",
-    "cdc_nested_envelope",
+    # Rotated out in round 8 (green r6+r7 driver rows; re-enter later):
     "pipeline_schema_evolution_e2e",
     "pipeline_keep_deletes_e2e",
     "pipeline_metrics_e2e",
@@ -286,14 +315,6 @@ _TIER1 = [
     "validate_rowcounts_all_tables",
     "mix_domain_weights",
     # Earlier rotations' members (prior-green r1-r4):
-    "q3_shipping_priority",
-    "pipeline_lazy_upsert_e2e",
-    "windowed_event_counts",
-    "rollup_nation_year_revenue",
-    "range_attr_views_before_purchase",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf",
     "ann_pq_rerank",
     "kmeans_clusters",
     "sketch_distinct_users",

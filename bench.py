@@ -128,30 +128,25 @@ def main() -> None:
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    # Environment calibration: a fixed, data-independent reference workload
-    # (sum of 200M longs through the same session) timed with the same
-    # best-of-reps protocol.  Query timings on this shared box swing
+    # Environment calibration: a fixed reference workload timed with the
+    # same best-of-reps protocol.  Query timings on this shared box swing
     # uniformly +-25% round-to-round with host load (measured: identical
     # commits at 13.0s vs 16.4s totals with EVERY query inflated the same
     # fraction, including ones untouched for six rounds).  The ratio
     # total/calibration is comparable across rounds even when the absolute
     # seconds are not.
-    # shuffle-inclusive so the number reflects task scheduling + exchange
-    # costs (where host jitter shows up), not just codegen arithmetic
-    cal_best = None
-    for _rep in range(reps):
-        t0 = time.time()
-        (
-            spark.range(100_000_000)
-            .selectExpr("id % 997 AS k", "id AS v")
-            .groupBy("k")
-            .sum("v")
-            .write.mode("overwrite")
-            .format("noop")
-            .save()
-        )
-        elapsed = time.time() - t0
-        cal_best = elapsed if cal_best is None or elapsed < cal_best else cal_best
+    #
+    # MIXED-SHAPE since round 9 (calibration_version 2): the original
+    # single-shape 100M-row shuffle-agg was pure codegen CPU in 32 large
+    # tasks, which speeds up under light load MORE than the query mix does
+    # (its many short stages are bounded by scheduling latency, not
+    # arithmetic) — both round-8 "normalized regressions" coincided with
+    # the two fastest raw calibrations ever measured (r8 verdict, What's
+    # wrong #3).  The calibration now runs one composite shaped like the
+    # bench mix — parquet scan+agg, broadcast join+agg, window, and a
+    # smaller shuffle-agg — so it inhales the same proportions of IO,
+    # scheduling, exchange, and codegen as the workload it normalizes.
+    cal_best = _mixed_calibration(spark, sf_dir, reps)
 
     out = {
         "metric": "headline_queries_total",
@@ -160,6 +155,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": round(cal_best, 3),
+        "calibration_version": 2,
     }
     if errors:
         out["errors"] = errors
@@ -182,7 +178,15 @@ def main() -> None:
         parsed = baseline.get("parsed") or baseline
         ref = parsed.get("queries", {})
         ref_cal = parsed.get("calibration_sec") or 0.0
-        scale = (cal_best / ref_cal) if ref_cal > 0 and cal_best > 0 else 1.0
+        # Normalize ONLY against a same-version calibration: v1 (single
+        # shuffle-agg) and v2 (mixed-shape) ratios are not comparable, so
+        # the first round after a calibration change compares raw.
+        same_ver = parsed.get("calibration_version", 1) == 2
+        scale = (
+            (cal_best / ref_cal)
+            if same_ver and ref_cal > 0 and cal_best > 0
+            else 1.0
+        )
         regressions = {
             name: {
                 "now": t,
@@ -208,6 +212,81 @@ def main() -> None:
 
     print(json.dumps(out))
     spark.stop()
+
+
+def _mixed_calibration(spark, sf_dir: str, reps: int) -> float:
+    """Time one composite reference workload shaped like the bench mix.
+
+    Four shapes in bench-mix proportions: a real parquet scan + hash agg
+    (IO + page cache + small-task scheduling, the q1 shape), a broadcast
+    join + agg (the star-join shape that dominates q5/q8/q9/q21), a
+    partitioned window (the cdc dedup shape), and a modest shuffle-agg
+    (exchange + codegen).  All inputs except the scan are ``spark.range``
+    so the number stays data-independent; the scan uses the measured
+    sf_dir's lineitem so its IO fraction tracks the same files the timed
+    queries read (rounds are always compared at the same SF).  Best of
+    ``reps`` after one untimed warm-up rep, mirroring the query protocol.
+    """
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    scan = os.path.isfile(li_path) or os.path.isdir(li_path)
+
+    def _composite() -> None:
+        if scan:
+            (
+                spark.read.parquet(li_path)
+                .selectExpr(
+                    "l_returnflag",
+                    "l_extendedprice * (1 - l_discount) AS rev",
+                )
+                .groupBy("l_returnflag")
+                .sum("rev")
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+        from pyspark.sql import functions as F
+
+        fact = spark.range(20_000_000).selectExpr(
+            "id", "id % 100000 AS fk", "id % 997 AS k"
+        )
+        dim = spark.range(100_000).selectExpr("id AS fk", "id % 25 AS g")
+        (
+            fact.join(F.broadcast(dim), "fk")
+            .groupBy("g")
+            .count()
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        (
+            spark.range(5_000_000)
+            .selectExpr("id % 100000 AS pk", "id AS v")
+            .selectExpr(
+                "pk",
+                "row_number() OVER (PARTITION BY pk ORDER BY v DESC) AS rn",
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        (
+            spark.range(30_000_000)
+            .selectExpr("id % 997 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    _composite()  # untimed warm-up: codegen + page cache for the scan
+    best = None
+    for _rep in range(reps):
+        t0 = time.time()
+        _composite()
+        elapsed = time.time() - t0
+        best = elapsed if best is None or elapsed < best else best
+    return best
 
 
 def _last_recorded_round() -> dict | None:

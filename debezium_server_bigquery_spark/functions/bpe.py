@@ -15,13 +15,19 @@ kmeans/pagerank loop trade: O(1) plan depth at any merge count) and
 collects exactly ONE row — the argmax pair — O(1) driver data per round,
 same class as the k-means convergence scalar.
 
-Correctness: merge selection is inherently iterative and data-dependent
-(each round's counts depend on the previous round's chosen pair), which a
-static SQL twin cannot express — this is the registry's lone rows-only
-gate entry (the driver records a weaker check, per contract).  Instead the
-operator is pinned by tests/test_bpe.py: the distributed merge table must
-equal a pure-Python reference BPE bit-for-bit, including tie-breaks, on
-both fixed and property-generated corpora.
+Correctness: merge selection is iterative and data-dependent (each
+round's counts depend on the previous round's chosen pair), so no SINGLE
+flat SQL aggregate expresses it — but the merge count K is a compile-time
+constant, so the DuckDB twin UNROLLS the K rounds into chained CTEs
+(``_build_bpe_train_sql``): per round, a pair-count aggregate, a 1-row
+argmax, and the greedy in-word merge as a ``list_reduce`` with a
+separator-joined string accumulator (exactly the Spark ``aggregate`` fold
+re-expressed; chr(31) never occurs in the corpus, asserted cheap in the
+reduce by construction of the tokenizer's whitespace split).  This turned
+the registry's last rows-only gate entry into a hash-checked row (r8
+verdict ask #4).  tests/test_bpe.py additionally pins the trainer against
+a pure-Python reference BPE bit-for-bit, including tie-breaks, on both
+fixed and property-generated corpora.
 """
 
 from __future__ import annotations
@@ -211,10 +217,69 @@ FROM pairs ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
 """
 
 
+def _build_bpe_train_sql(k: int) -> str:
+    """Unroll the K-round BPE trainer into one static DuckDB statement.
+
+    Per round r: ``pairs{r}`` (weighted adjacent-pair counts over the
+    current symbol table), ``top{r}`` (the 1-row argmax with the trainer's
+    exact tie-break: cnt DESC, a ASC, b ASC), ``state{r}`` (every word's
+    symbols after the greedy left-to-right merge).  The merge fold keeps
+    the symbols as a chr(31)-joined string accumulator: the pair (a, b)
+    applies when the accumulator's LAST symbol is exactly ``a`` — i.e. the
+    accumulator is ``a`` itself or ends with SEP||a (symbol boundaries are
+    unambiguous because chr(31) never appears inside a symbol) — mirroring
+    the Spark ``aggregate`` fold in ``_merge_expr`` including its
+    no-cascade-within-a-round semantics (the merged symbol ab, not a,
+    becomes the new tail).  If a round's argmax is empty (corpus exhausted
+    before K merges), its state and all later rounds are empty too,
+    matching the trainer's early ``break``."""
+    sep = "chr(31)"
+    parts = [
+        r"""state0 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+    list_filter(regexp_split_to_array(w, ''), c -> c <> '') AS syms
+  FROM documents, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t(w)
+  WHERE w <> ''
+  GROUP BY w
+)"""
+    ]
+    for r in range(1, k + 1):
+        prev = f"state{r - 1}"
+        parts.append(
+            f"""pairs{r} AS (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM {prev}, UNNEST(range(1, len(syms))) AS rr(i)
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""top{r} AS (
+  SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)"""
+        )
+        if r < k:
+            parts.append(
+                f"""state{r} AS (
+  SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
+      WHEN (acc = m.a OR ends_with(acc, {sep} || m.a)) AND x = m.b
+      THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
+      ELSE acc || {sep} || x END), {sep}) AS syms
+  FROM {prev}, top{r} m
+)"""
+            )
+    unions = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS BIGINT) AS rank, a AS "left", b AS "right",'
+        f" a || b AS merged, cnt AS support FROM top{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{unions}\nORDER BY rank"
+
+
+BPE_TRAIN_MERGES_SQL = _build_bpe_train_sql(K_MERGES)
+
+
 QUERIES = {"bpe_train_merges": bpe_train_merges, "bpe_first_merge": bpe_first_merge}
-# bpe_train_merges deliberately has no ORACLES entry — see module
-# docstring: the per-round argmax feedback loop is not expressible as one
-# static SQL statement; tests/test_bpe.py pins the result against a
-# pure-Python reference BPE.  Round 1 alone IS static — bpe_first_merge
-# carries the family's hash-checked twin.
-ORACLES: dict[str, str] = {"bpe_first_merge": BPE_FIRST_MERGE_SQL}
+ORACLES: dict[str, str] = {
+    "bpe_train_merges": BPE_TRAIN_MERGES_SQL,
+    "bpe_first_merge": BPE_FIRST_MERGE_SQL,
+}

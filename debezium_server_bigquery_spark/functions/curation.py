@@ -587,7 +587,10 @@ def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_PERCENTILE_SQL = f"""
 WITH quality AS ({_QUALITY_CTE}),
 scored AS (
-  SELECT d.doc_id, d.lang, q.quality_score
+  -- CAST: the CTE's round() yields a DECIMAL in DuckDB while the Spark
+  -- side's F.round over double stays DOUBLE; without the cast the driver's
+  -- schema compare sees decimal-vs-double and fails schema_match.
+  SELECT d.doc_id, d.lang, CAST(q.quality_score AS DOUBLE) AS quality_score
   FROM documents d JOIN quality q USING (doc_id)
 )
 SELECT doc_id, lang, quality_score,

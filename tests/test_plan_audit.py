@@ -6,10 +6,15 @@ contain an unbounded cartesian product.  Every all-pairs scan the engine
 ever shipped (simhash round-1, embedding near-dup round-1) would have been
 caught here — the audit exists so the next one is.
 
-Build-only (no execution): `executedPlan` materializes the physical plan
-without running a job, so auditing all ~86 queries costs seconds.  The
-e2e pipeline queries DO run their write path when the DataFrame is built;
-they are audited on their (small, deterministic) sf0.001 output plans.
+Mostly build-only: `executedPlan` materializes the physical plan without
+running a job, so auditing the registry costs seconds.  Two groups DO run
+jobs at build time and are audited on their (small, deterministic)
+sf0.001 output plans: the e2e pipeline queries (their write path runs when
+the DataFrame is built) and the checkpoint-substrate queries
+(dedup_lsh_recall, ann_ivf_recall, lm_bigram_topk, doc_lm_quality_bottomk —
+``sources/tables.py::checkpoint_parquet`` writes the shared substrate to
+scratch parquet at plan build; memoized per logical plan, so this suite
+pays each write once per interpreter).
 """
 
 from __future__ import annotations

@@ -121,3 +121,29 @@ def test_fallback_schema_reader_micros(spark, sf_dir):
     df = _read_with_long_schema(spark, f"{sf_dir}/events.parquet")
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     assert df.limit(1).count() == 1
+
+
+def test_checkpoint_parquet_memoized(spark, sf_dir):
+    """Second checkpoint of the SAME logical plan reuses the scratch copy
+    (no new scratch dir, no second write job) — the round-8 verdict's
+    scratch-accretion nit.  A semantically different plan under the same
+    prefix still gets its own materialization."""
+    from debezium_server_bigquery_spark.sources.tables import (
+        _CHECKPOINT_MEMO,
+        checkpoint_parquet,
+    )
+
+    df = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    before = dict(_CHECKPOINT_MEMO)
+    a = checkpoint_parquet(df, "memo-test-")
+    added = {k: v for k, v in _CHECKPOINT_MEMO.items() if k not in before}
+    assert len(added) == 1
+    b = checkpoint_parquet(df, "memo-test-")
+    assert {k: v for k, v in _CHECKPOINT_MEMO.items() if k not in before} == added
+    # Both handles scan the SAME materialized files.
+    assert a.inputFiles() == b.inputFiles()
+    assert a.count() == b.count() == df.count()
+    # A different plan must not collide with the memoized one.
+    c = checkpoint_parquet(df.filter(F.col("n_nationkey") < 5), "memo-test-")
+    assert c.inputFiles() != a.inputFiles()
+    assert c.count() == 5
