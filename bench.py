@@ -164,29 +164,53 @@ def main() -> None:
     # round (BENCH_r*.json with the highest round number).  A query above
     # 1.5x its recorded time is flagged loudly on stderr and in the JSON so
     # feature work cannot silently re-regress a tuned plan (the r3 q8
-    # regression went unnoticed for a round).  When BOTH rounds carry a
-    # calibration sample, the comparison is CALIBRATION-NORMALIZED
-    # ((now/cal_now) vs (was/cal_was)) so the documented +-25% host jitter
-    # cannot trip the guard on an untouched plan — nor mask a real
-    # regression on a lightly loaded host (docs/BENCH_NOTES_r08.md shows
-    # identical-commit raw totals swinging 16% minutes apart while the
-    # normalized ratios stay within 4%).  Exit stays 0 — the driver must
-    # still record the one JSON line.
+    # regression went unnoticed for a round).
+    #
+    # MEDIAN-RATIO normalized since round 9 (r8 verdict ask #3): the
+    # comparison scale is the MEDIAN of per-query now/was ratios across the
+    # whole suite.  Host load inflates (or idleness deflates) every query
+    # by roughly the same fraction — the median captures that shift — while
+    # one genuinely regressed plan cannot move the median of ~20 ratios.
+    # This replaced normalizing by calibration_sec, whose single scalar
+    # proved noisier than the thing it normalized (three same-commit runs:
+    # totals within +-2%, calibration swinging 22%, median-ratio-normalized
+    # totals within +-1% — docs/BENCH_NOTES_r09.md).  calibration_sec stays
+    # recorded for cross-round accounting and for the uniform-slowdown
+    # cross-check below: a median shift is HONEST load only if the
+    # calibration moved the same way; queries uniformly slower on a host
+    # the calibration says is fine is a real global regression, warned
+    # loudly instead of silently normalized away.  Exit stays 0 — the
+    # driver must still record the one JSON line.
     baseline = _last_recorded_round()
     if baseline:
         # recorded rounds wrap the bench JSON line under "parsed"
         parsed = baseline.get("parsed") or baseline
         ref = parsed.get("queries", {})
-        ref_cal = parsed.get("calibration_sec") or 0.0
-        # Normalize ONLY against a same-version calibration: v1 (single
-        # shuffle-agg) and v2 (mixed-shape) ratios are not comparable, so
-        # the first round after a calibration change compares raw.
-        same_ver = parsed.get("calibration_version", 1) == 2
-        scale = (
-            (cal_best / ref_cal)
-            if same_ver and ref_cal > 0 and cal_best > 0
-            else 1.0
+        ratios = sorted(
+            t / ref[name]
+            for name, t in timings.items()
+            if name in ref and ref[name] > 0
         )
+        scale = ratios[len(ratios) // 2] if ratios else 1.0
+        out["median_ratio_vs_last"] = round(scale, 4)
+        ref_cal = parsed.get("calibration_sec") or 0.0
+        same_ver = parsed.get("calibration_version", 1) == 2
+        cal_ratio = (
+            (cal_best / ref_cal) if same_ver and ref_cal > 0 and cal_best > 0 else None
+        )
+        if scale > 1.3 and (cal_ratio is None or cal_ratio < 1.15):
+            out["uniform_slowdown"] = {
+                "median_ratio": round(scale, 4),
+                "calibration_ratio": round(cal_ratio, 4) if cal_ratio else None,
+            }
+            print(
+                f"bench: UNIFORM SLOWDOWN: median per-query ratio {scale:.2f}x "
+                f"vs last round but calibration ratio "
+                f"{cal_ratio if cal_ratio else 'n/a'} — queries got uniformly "
+                f"slower on a host the calibration says is fine; suspect a "
+                f"session/config-level regression, not load",
+                file=sys.stderr,
+            )
         regressions = {
             name: {
                 "now": t,
@@ -198,9 +222,9 @@ def main() -> None:
         }
         if regressions:
             out["regressions"] = regressions
-            norm = "calibration-normalized " if scale != 1.0 else ""
             print(
-                f"bench: REGRESSION GUARD TRIPPED (>1.5x {norm}last recorded round):",
+                "bench: REGRESSION GUARD TRIPPED (>1.5x median-ratio-normalized "
+                "last recorded round):",
                 file=sys.stderr,
             )
             for name, r in sorted(regressions.items()):
