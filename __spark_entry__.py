@@ -208,7 +208,9 @@ _TIER1 = [
     # -- end of the 50-query graded prefix ----------------------------------
     # Round-10 rotation shortlist: FIRST any red in CORRECTNESS_r09 (the
     # amended policy's fast lane), THEN the never-graded round-9-new
-    # queries (see plans/functions modules added this round), THEN the
+    # queries (winnowing_dup_pairs, exact_quantiles_by_type,
+    # session_path_trigrams, boilerplate_prefix_clusters, zipf_slope_fit,
+    # vocab_coverage_curve), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

@@ -824,6 +824,220 @@ FROM counts ORDER BY lang
 """
 
 
+PREFIX_TOKENS = 8
+BOILERPLATE_TOP = 20
+
+
+def boilerplate_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection: cluster documents by their first
+    ``PREFIX_TOKENS`` lowercase words and rank the clusters — crawled and
+    machine-generated corpora are full of families that open with the same
+    header ("terms of service", auto-generated README banners, scraper
+    error pages), and a prefix cluster covering a visible share of the
+    corpus is a curation decision (drop the template, keep one exemplar)
+    that near-dup pairwise methods surface only as O(cluster^2) pairs.
+
+    Scale design (100 TB): the prefix is row-local array algebra (slice +
+    join of the first 8 tokens — no explode), so the whole query is one
+    codegen scan plus ONE map-side-combinable hash aggregate on the prefix
+    string and a top-K sort of the >= 2-doc clusters.  The corpus total
+    enters as a one-row broadcast.  No pairs are ever formed: a 10M-doc
+    template family costs one aggregate row here versus ~10^13 pairs in
+    any pairwise dedup view."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    wl = words(F.lower(F.col("text")))
+    pref = docs.select(
+        F.concat_ws(" ", F.slice(wl, 1, PREFIX_TOKENS)).alias("prefix")
+    )
+    total = docs.agg(F.count("*").alias("n_total"))
+    return (
+        pref.groupBy("prefix")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prefix",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_total"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("prefix"))
+        .limit(BOILERPLATE_TOP)
+    )
+
+
+BOILERPLATE_PREFIX_SQL = rf"""
+WITH pref AS (
+  SELECT array_to_string(
+    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+      [1:{PREFIX_TOKENS}], ' ') AS prefix
+  FROM documents
+),
+total AS (SELECT COUNT(*) AS n_total FROM documents)
+SELECT prefix, COUNT(*) AS n_docs,
+  round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n_total), 6) AS share
+FROM pref, total
+GROUP BY prefix HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, prefix ASC LIMIT {BOILERPLATE_TOP}
+"""
+
+
+ZIPF_HEAD = 100
+
+
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf health check: OLS fit of log(freq) on log(rank) over
+    the ``ZIPF_HEAD`` most frequent terms.  Natural language sits near
+    slope -1; a corpus whose head is much flatter (template spam — many
+    terms with near-identical counts) or much steeper (degenerate
+    repetition of a tiny vocabulary) fails the eyeball test this query
+    automates, the standard "does this crawl look like language?" gate
+    before tokenizer training.
+
+    Scale design (100 TB): one term-count aggregate (map-side combinable)
+    feeds a top-K (TakeOrderedAndProject — K rows to the driver-side
+    stage, never the vocabulary); the rank window runs over the already-
+    LIMITED K-row relation (the plan audit's sanctioned
+    single-partition-window shape) and the fit is one 5-sum aggregate
+    over K rows.  Determinism: the only transcendentals are 2K log
+    evaluations whose <= 1-ulp cross-engine wobble is ~9 orders of
+    magnitude below the 6-dp rounding of the fitted coefficients."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    vocab = (
+        docs.select(F.explode(words(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    head = vocab.orderBy(F.desc("freq"), F.asc("term")).limit(ZIPF_HEAD)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    xy = head.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+ZIPF_SLOPE_SQL = rf"""
+WITH terms AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS freq FROM terms GROUP BY term),
+head AS (SELECT term, freq FROM vocab ORDER BY freq DESC, term ASC LIMIT {ZIPF_HEAD}),
+xy AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS DOUBLE)) AS x,
+    ln(CAST(freq AS DOUBLE)) AS y
+  FROM head
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * y) AS sxy, SUM(x * x) AS sx2
+  FROM xy
+)
+SELECT n AS n_terms,
+  round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+  round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n, 6)
+    AS intercept
+FROM s
+"""
+
+
+# Cut-offs chosen so the curve is populated on the synthetic corpora
+# (vocabulary ~31 terms at every test SF) AND at the production-vocab
+# scale the operator exists for; ranks beyond the vocabulary simply
+# produce no row, identically in both engines.
+COVERAGE_KS = [5, 10, 20, 30, 1000, 10000]
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token OCCURRENCES
+    the top-K vocabulary covers, at each K in ``COVERAGE_KS`` — the
+    datasheet number behind choosing a tokenizer vocab size (the OOV rate
+    a K-term vocab would leave is exactly 1 - coverage(K)).
+
+    Scale design (100 TB): the naive form is ``SUM(freq) OVER (ORDER BY
+    freq DESC)`` — a single-partition global window over the whole
+    vocabulary.  Instead the rank AND the running occurrence total come
+    from the two-level primitive (operators/rank.py
+    ``global_rank_and_prefix_sum``): one range partition on the total
+    order, local window per range, O(partitions) count/sum offsets — both
+    columns exact at any vocabulary size with every stage parallel.  The
+    corpus occurrence total enters as a one-row broadcast."""
+    from debezium_server_bigquery_spark.operators.rank import (
+        global_rank_and_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    vocab = (
+        docs.select(F.explode(words(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    both = global_rank_and_prefix_sum(
+        vocab,
+        [F.desc("freq"), F.asc("term")],
+        "freq",
+        rank_out="k",
+        sum_out="cum_occurrences",
+    )
+    total = vocab.agg(F.sum("freq").cast("long").alias("total_occurrences"))
+    return (
+        both.filter(F.col("k").isin(COVERAGE_KS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "cum_occurrences",
+            "total_occurrences",
+            F.round(
+                F.col("cum_occurrences").cast("double")
+                / F.col("total_occurrences"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+VOCAB_COVERAGE_SQL = rf"""
+WITH terms AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS freq FROM terms GROUP BY term),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS k,
+    SUM(freq) OVER (ORDER BY freq DESC, term ASC
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(freq) OVER () AS total
+  FROM vocab
+)
+SELECT k, CAST(cum AS BIGINT) AS cum_occurrences,
+  CAST(total AS BIGINT) AS total_occurrences,
+  round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+FROM ranked WHERE k IN ({", ".join(str(k) for k in COVERAGE_KS)})
+ORDER BY k
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_weighted_by_quality": sample_weighted_by_quality,
@@ -836,6 +1050,9 @@ QUERIES = {
     "term_collocations_lift": term_collocations_lift,
     "term_ppmi_similarity": term_ppmi_similarity,
     "quality_percentile_by_lang": quality_percentile_by_lang,
+    "boilerplate_prefix_clusters": boilerplate_prefix_clusters,
+    "zipf_slope_fit": zipf_slope_fit,
+    "vocab_coverage_curve": vocab_coverage_curve,
 }
 
 ORACLES = {
@@ -850,4 +1067,7 @@ ORACLES = {
     "term_collocations_lift": TERM_COLLOCATIONS_SQL,
     "term_ppmi_similarity": TERM_PPMI_SQL,
     "quality_percentile_by_lang": QUALITY_PERCENTILE_SQL,
+    "boilerplate_prefix_clusters": BOILERPLATE_PREFIX_SQL,
+    "zipf_slope_fit": ZIPF_SLOPE_SQL,
+    "vocab_coverage_curve": VOCAB_COVERAGE_SQL,
 }

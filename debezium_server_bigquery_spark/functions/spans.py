@@ -362,15 +362,160 @@ ORDER BY p.doc_id
 """
 
 
+WINNOW_K = 4  # words per k-gram
+WINNOW_W = 4  # consecutive k-gram hashes per winnowing window
+WINNOW_DF_CAP = 50  # fingerprints in more docs than this are boilerplate
+WINNOW_TOP = 50
+
+
+def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-pair overlap via WINNOWING fingerprints (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
+    word k-gram, then keep only the MINIMUM hash of each window of
+    ``WINNOW_W`` consecutive k-grams.  Winnowing's guarantee is what
+    distinguishes it from MinHash (a per-document GLOBAL sketch that
+    estimates whole-document Jaccard): the selected fingerprints are
+    POSITION-LOCAL, so any shared run of at least W + K - 1 words is
+    guaranteed to contribute at least one common fingerprint — partial
+    overlap between otherwise different documents is found, at ~1/W the
+    index size of the full shingle index the span operators build.
+
+    Scale design (100 TB): fingerprint selection is row-local array
+    algebra (k-gram hashes -> per-window min -> distinct), one narrow
+    stage; the candidate join is an equi-join on the fingerprint through
+    df-capped posting lists (same boilerplate discipline as
+    ``longest_shared_span_pairs``); per-document fingerprint counts join
+    back on the doc key.  No document ever meets another except through a
+    <= WINNOW_DF_CAP posting list."""
+    k, w = WINNOW_K, WINNOW_W
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = words(F.col("text"))
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: hash60(
+            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+        ),
+    )
+    base = docs.filter(F.size(words(F.col("text"))) >= k + w - 1).select(
+        "doc_id", hs.alias("hs")
+    )
+    fp = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+                    lambda j: F.array_min(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(w - 1)),
+                            lambda d: F.element_at(F.col("hs"), j + d),
+                        )
+                    ),
+                )
+            )
+        ).alias("fp"),
+    )
+    hot = (
+        fp.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("dfreq"))
+        .filter(F.col("dfreq") > WINNOW_DF_CAP)
+        .select("fp")
+    )
+    kept = fp.join(hot.hint("shuffle_hash"), "fp", "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
+    a, b = kept.alias("a"), kept.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("n_a")
+    )
+    nb = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("n_b")
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(WINNOW_TOP)
+    )
+
+
+def _winnow_fp_sql(k: int, w: int) -> str:
+    """DuckDB twin of the winnowed-fingerprint build: (doc_id, fp) rows.
+    DuckDB list slicing is 1-based inclusive, so hs[j:j+w-1] is the
+    window of w consecutive k-gram hashes starting at j."""
+    gram = " || ' ' || ".join(f"wd[i+{j}]" for j in range(k))
+    return rf"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, len(hs) - {w - 2}),
+      j -> list_min(hs[j:j+{w - 1}])))) AS fp
+  FROM (
+    SELECT doc_id,
+      list_transform(range(1, len(wd) - {k - 2}), i -> {_hash60_sql(gram)}) AS hs
+    FROM (SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS wd
+          FROM documents)
+    WHERE len(wd) >= {k + w - 1})
+"""
+
+
+WINNOWING_DUP_SQL = f"""
+WITH fp AS ({_winnow_fp_sql(WINNOW_K, WINNOW_W)}),
+hot AS (
+  SELECT fp FROM fp GROUP BY fp HAVING COUNT(DISTINCT doc_id) > {WINNOW_DF_CAP}
+),
+kept AS (
+  SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_fps FROM kept GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared, na.n_fps AS n_a, nb.n_fps AS n_b,
+  round(CAST(n_shared AS DOUBLE) / least(na.n_fps, nb.n_fps), 6)
+    AS containment
+FROM pairs
+JOIN per_doc na ON na.doc_id = doc_a
+JOIN per_doc nb ON nb.doc_id = doc_b
+ORDER BY n_shared DESC, doc_a ASC, doc_b ASC LIMIT {WINNOW_TOP}
+"""
+
+
 QUERIES = {
     "text_common_spans": text_common_spans,
     "text_span_dup_ratio": text_span_dup_ratio,
     "longest_shared_span_pairs": longest_shared_span_pairs,
     "span_trim_estimate": span_trim_estimate,
+    "winnowing_dup_pairs": winnowing_dup_pairs,
 }
 ORACLES = {
     "text_common_spans": TEXT_COMMON_SPANS_SQL,
     "text_span_dup_ratio": TEXT_SPAN_DUP_RATIO_SQL,
     "longest_shared_span_pairs": LONGEST_SHARED_SPAN_SQL,
     "span_trim_estimate": SPAN_TRIM_SQL,
+    "winnowing_dup_pairs": WINNOWING_DUP_SQL,
 }

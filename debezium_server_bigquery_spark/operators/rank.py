@@ -74,6 +74,70 @@ def global_row_number(
     ).drop("__pid")
 
 
+def global_rank_and_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    rank_out: str = "rank",
+    sum_out: str = "running",
+) -> DataFrame:
+    """Exact global row_number AND inclusive running sum of ``value_col``
+    over the same total order, from ONE range partitioning — for consumers
+    that need both (e.g. the vocab coverage curve: rank to pick the K
+    cut-offs, running sum for the coverage at each).  Calling
+    :func:`global_row_number` then :func:`global_prefix_sum` would range-
+    partition the input twice; this computes both per-partition aggregates
+    (count and sum) in one pass and derives both offset maps from the same
+    O(num_partitions) driver metadata."""
+    spark = df.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    per_part = {
+        r["__pid"]: (r["cnt"], r["s"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(value_col).alias("s"))
+        .collect()
+    }
+    cnt_off: dict[int, int] = {}
+    sum_off: dict[int, int] = {}
+    c_acc, s_acc = 0, 0
+    for pid in sorted(per_part):
+        cnt_off[pid], sum_off[pid] = c_acc, s_acc
+        c_acc += per_part[pid][0] or 0
+        s_acc += per_part[pid][1] or 0
+
+    def _offset_col(offsets: dict[int, int]) -> Column:
+        if not offsets:
+            return F.lit(0)
+        return F.coalesce(
+            *[
+                F.when(F.col("__pid") == pid, F.lit(off))
+                for pid, off in sorted(offsets.items())
+            ],
+            F.lit(0),
+        )
+
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ranged.withColumn(
+            rank_out,
+            (F.row_number().over(w).cast("long") + _offset_col(cnt_off)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            sum_out,
+            (F.sum(value_col).over(w_sum) + _offset_col(sum_off)).cast("long"),
+        )
+        .drop("__pid")
+    )
+
+
 def global_prefix_sum(
     df: DataFrame,
     order_cols: list[Column],

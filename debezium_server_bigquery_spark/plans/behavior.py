@@ -578,6 +578,86 @@ ORDER BY lift DESC, type_a ASC, type_b ASC
 """
 
 
+PATH_GAP_NS = 30 * 60 * 1_000_000_000  # streaming/sessions.py SESSION_GAP_MIN
+PATH_TOP = 25
+
+
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths WITHIN sessions: the most common
+    (step1 -> step2 -> step3) event-type sequences among consecutive
+    events of one session — the sequence-mining view behind funnel design
+    and next-action models (the transition MATRIX only sees pairs; paths
+    of three distinguish view->click->purchase from view->click->view).
+
+    Scale design (100 TB): sessionization and both leads share ONE
+    ``partitionBy(user_id)`` exchange (the sessionize plan shape); paths
+    never leave their user partition until the final tiny
+    (types^3)-cardinality count aggregate, which is map-side combinable.
+    Gap logic uses the exact integer ts_ns column — no timestamp
+    arithmetic, no timezone surface."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_ns", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    is_new = F.when(
+        F.col("ts_ns") - F.lag("ts_ns").over(w) > PATH_GAP_NS, 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts_ns", "event_id"
+    )
+    tri = sess.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w2).alias("step2"),
+        F.lead("event_type", 2).over(w2).alias("step3"),
+    ).filter(F.col("step3").isNotNull())
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"), F.asc("step1"), F.asc("step2"), F.asc("step3")
+        )
+        .limit(PATH_TOP)
+    )
+
+
+SESSION_PATH_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) * 1000 AS BIGINT) AS ts_ns,
+    event_type
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts_ns, event_type,
+    CASE WHEN ts_ns - LAG(ts_ns) OVER (
+        PARTITION BY user_id ORDER BY ts_ns, event_id) > {PATH_GAP_NS}
+      THEN 1 ELSE 0 END AS is_new
+  FROM ev
+), sess AS (
+  SELECT user_id, event_id, ts_ns, event_type,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+), tri AS (
+  SELECT event_type AS step1,
+    LEAD(event_type, 1) OVER (PARTITION BY user_id, session_seq
+                              ORDER BY ts_ns, event_id) AS step2,
+    LEAD(event_type, 2) OVER (PARTITION BY user_id, session_seq
+                              ORDER BY ts_ns, event_id) AS step3
+  FROM sess
+)
+SELECT step1, step2, step3, COUNT(*) AS n_paths
+FROM tri WHERE step3 IS NOT NULL
+GROUP BY step1, step2, step3
+ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
+LIMIT {PATH_TOP}
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "events_volume_anomaly": events_volume_anomaly,
@@ -586,6 +666,7 @@ QUERIES = {
     "user_recency_weighted_value": user_recency_weighted_value,
     "user_interarrival_burstiness": user_interarrival_burstiness,
     "session_event_affinity": session_event_affinity,
+    "session_path_trigrams": session_path_trigrams,
 }
 ORACLES = {
     "retention_cohorts": RETENTION_SQL,
@@ -595,4 +676,5 @@ ORACLES = {
     "user_recency_weighted_value": RECENCY_VALUE_SQL,
     "user_interarrival_burstiness": BURSTINESS_SQL,
     "session_event_affinity": SESSION_AFFINITY_SQL,
+    "session_path_trigrams": SESSION_PATH_SQL,
 }

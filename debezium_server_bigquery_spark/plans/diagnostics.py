@@ -404,6 +404,81 @@ LIMIT {K_ANON_TOP}
 """
 
 
+QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles (percentile_disc semantics: the value at
+    1-based rank ceil(q*n) of the group's sorted order) of event value per
+    event type — the tail-latency/limit-setting companion to the KLL
+    sketch quantiles: sketches bound error, this is the ground truth a
+    datasheet or an SLA needs exact.
+
+    Scale design (100 TB): the textbook form — ``ROW_NUMBER() OVER
+    (PARTITION BY event_type ORDER BY value)`` — funnels each type through
+    ONE task (5 types = 5 tasks on a 1000-executor cluster).  Instead the
+    total order (type, value, id) goes through the two-level distributed
+    rank (operators/rank.py), each type's local rank is recovered from a
+    type-cardinality broadcast of first ranks, and the quantile rows are
+    selected by a broadcast join against the O(types x quantiles) target
+    table.  Quantiles are SELECTED values, never interpolated — no float
+    arithmetic beyond the shared IEEE ceil(q*n), so the result is exact
+    and engine-identical.  Determinism on ties: event_id tiebreak makes
+    the rank — and therefore the selected value — unique."""
+    from debezium_server_bigquery_spark.operators.rank import global_row_number
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    ranked = global_row_number(
+        ev,
+        [F.asc("event_type"), F.asc("value"), F.asc("event_id")],
+        out="grank",
+    )
+    stats = ranked.groupBy("event_type").agg(
+        F.min("grank").alias("first_rank"), F.count("*").alias("n")
+    )
+    targets = stats.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(q) for q in QUANTILES])).alias("quantile"),
+        "first_rank",
+        "n",
+    ).select(
+        "event_type",
+        "quantile",
+        (
+            F.col("first_rank")
+            + F.ceil(F.col("quantile") * F.col("n")).cast("long")
+            - 1
+        ).alias("target_rank"),
+    )
+    r, t = ranked.alias("r"), targets.alias("t")
+    return (
+        r.join(
+            F.broadcast(t),
+            (F.col("r.event_type") == F.col("t.event_type"))
+            & (F.col("r.grank") == F.col("t.target_rank")),
+        )
+        .select(F.col("r.event_type").alias("event_type"), "quantile", "value")
+        .orderBy("event_type", "quantile")
+    )
+
+
+EXACT_QUANTILES_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(q AS DOUBLE) AS quantile, value
+FROM ranked, UNNEST([{", ".join(str(q) for q in QUANTILES)}]) AS t(q)
+WHERE rn = CEIL(CAST(q AS DOUBLE) * n)
+ORDER BY event_type, quantile
+"""
+
+
 QUERIES = {
     "skew_report_lineitem_suppkey": skew_report_lineitem_suppkey,
     "events_value_histogram": events_value_histogram,
@@ -411,6 +486,7 @@ QUERIES = {
     "events_drift_report": events_drift_report,
     "value_outliers_mad": value_outliers_mad,
     "k_anonymity_report": k_anonymity_report,
+    "exact_quantiles_by_type": exact_quantiles_by_type,
 }
 ORACLES = {
     "skew_report_lineitem_suppkey": SKEW_REPORT_SQL,
@@ -419,4 +495,5 @@ ORACLES = {
     "events_drift_report": EVENTS_DRIFT_SQL,
     "value_outliers_mad": VALUE_OUTLIERS_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,
+    "exact_quantiles_by_type": EXACT_QUANTILES_SQL,
 }
