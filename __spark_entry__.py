@@ -210,7 +210,8 @@ _TIER1 = [
     # amended policy's fast lane), THEN the never-graded round-9-new
     # queries (winnowing_dup_pairs, exact_quantiles_by_type,
     # session_path_trigrams, boilerplate_prefix_clusters, zipf_slope_fit,
-    # vocab_coverage_curve), THEN the
+    # vocab_coverage_curve, embedding_similarity_histogram,
+    # source_quality_report, quality_vs_dup_calibration), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

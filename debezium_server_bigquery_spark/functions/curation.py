@@ -1038,6 +1038,161 @@ ORDER BY k
 """
 
 
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE curation decision table: document count, corpus share,
+    mean quality score, and corpus-wide exact-duplicate rate for every
+    crawl source — the one-page view behind "drop source X, cap source Y"
+    decisions (a source can look large and healthy until its 40% dup rate
+    against the rest of the corpus shows it is mostly a mirror).
+
+    Scale design (100 TB): two map-side-combinable aggregates (the
+    text-hash dup index and the per-source rollup) plus one doc-keyed
+    equi-join of the quality scan — never a pair, never a window.  The
+    corpus total folds in as a one-row broadcast.  The dup flag is
+    CORPUS-wide (a mirror's copies live in other sources), which is
+    exactly why it cannot be computed per-source-locally and the hash
+    index join exists."""
+    from debezium_server_bigquery_spark.functions.text import text_quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    idx = docs.groupBy("h").agg(F.count("*").alias("n_copies"))
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    joined = docs.join(idx, "h").join(q, "doc_id")
+    total = docs.agg(F.count("*").alias("n_total"))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_copies") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+            F.sum(F.col("quality_score").cast("decimal(6,2)")).alias("q_sum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("q_sum").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_quality"),
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_QUALITY_SQL = f"""
+WITH quality AS ({_QUALITY_CTE}),
+idx AS (
+  SELECT md5(text) AS h, COUNT(*) AS n_copies FROM documents GROUP BY 1
+),
+joined AS (
+  SELECT d.source, i.n_copies, q.quality_score
+  FROM documents d
+  JOIN idx i ON i.h = md5(d.text)
+  JOIN quality q USING (doc_id)
+),
+total AS (SELECT COUNT(*) AS n_total FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+  round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n_total), 6) AS share,
+  round(CAST(SUM(CAST(quality_score AS DECIMAL(6,2))) AS DOUBLE)
+        / COUNT(*), 6) AS mean_quality,
+  round(CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS dup_rate
+FROM joined, total
+GROUP BY source ORDER BY source
+"""
+
+
+def quality_vs_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the quality score actually PREDICT duplication?  Exact-dup
+    rate per global quality DECILE — the calibration check run before
+    using a heuristic score as a filter: if dup rate is flat across
+    deciles the score carries no dedup signal and "filter by quality"
+    will not substitute for dedup; if the bottom deciles are dup-heavy,
+    quality filtering and dedup overlap and budget math must not count
+    their savings twice.
+
+    Scale design (100 TB): the global quality rank comes from the
+    two-level distributed rank (operators/rank.py — no single-partition
+    window over the corpus); decile assignment is pure INTEGER arithmetic
+    ((rank-1)*10 div n, the corpus count folded in as a one-row
+    broadcast), so bucket membership is engine-exact; the dup flag joins
+    the same text-hash index as ``source_quality_report``.  Output is 10
+    rows of integer counts and one rounded division each."""
+    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.operators.rank import global_row_number
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    ranked = global_row_number(
+        q, [F.asc("quality_score"), F.asc("doc_id")], out="r"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    idx = docs.groupBy("h").agg(F.count("*").alias("n_copies"))
+    flagged = docs.join(idx, "h").select(
+        "doc_id", (F.col("n_copies") >= 2).alias("is_dup")
+    )
+    total = q.agg(F.count("*").alias("n"))
+    return (
+        ranked.join(flagged, "doc_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.expr("((r - 1) * 10) div n").alias("quality_decile"),
+            "is_dup",
+        )
+        .groupBy("quality_decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dups"),
+        )
+        .select(
+            "quality_decile",
+            "n_docs",
+            "n_dups",
+            F.round(F.col("n_dups").cast("double") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("quality_decile")
+    )
+
+
+QUALITY_DUP_CALIBRATION_SQL = f"""
+WITH quality AS ({_QUALITY_CTE}),
+ranked AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY quality_score, doc_id) AS r,
+    COUNT(*) OVER () AS n
+  FROM quality
+),
+idx AS (
+  SELECT md5(text) AS h, COUNT(*) AS n_copies FROM documents GROUP BY 1
+),
+flagged AS (
+  SELECT d.doc_id, i.n_copies >= 2 AS is_dup
+  FROM documents d JOIN idx i ON i.h = md5(d.text)
+)
+SELECT ((r - 1) * 10) // n AS quality_decile,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+  round(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS dup_rate
+FROM ranked JOIN flagged USING (doc_id)
+GROUP BY 1 ORDER BY quality_decile
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_weighted_by_quality": sample_weighted_by_quality,
@@ -1053,6 +1208,8 @@ QUERIES = {
     "boilerplate_prefix_clusters": boilerplate_prefix_clusters,
     "zipf_slope_fit": zipf_slope_fit,
     "vocab_coverage_curve": vocab_coverage_curve,
+    "source_quality_report": source_quality_report,
+    "quality_vs_dup_calibration": quality_vs_dup_calibration,
 }
 
 ORACLES = {
@@ -1070,4 +1227,6 @@ ORACLES = {
     "boilerplate_prefix_clusters": BOILERPLATE_PREFIX_SQL,
     "zipf_slope_fit": ZIPF_SLOPE_SQL,
     "vocab_coverage_curve": VOCAB_COVERAGE_SQL,
+    "source_quality_report": SOURCE_QUALITY_SQL,
+    "quality_vs_dup_calibration": QUALITY_DUP_CALIBRATION_SQL,
 }

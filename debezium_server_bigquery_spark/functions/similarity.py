@@ -757,6 +757,108 @@ FROM per GROUP BY label ORDER BY label
 """
 
 
+SIMHIST_BUCKETS = 16  # pair sample rate = 1/B; size B ~ n for constant work
+SIMHIST_BIN_W = 0.1  # histogram bin width over [-1, 1]
+
+
+def embedding_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of pairwise cosine similarity over a deterministic
+    1/``SIMHIST_BUCKETS`` sample of vector pairs — the representation-
+    collapse / hubness audit run before trusting an embedding column for
+    dedup or retrieval: a healthy space has mass spread below ~0.5; a
+    collapsed encoder (or an all-positives contrastive bug) piles the
+    histogram against 1.0, and anisotropy shows as a shifted mode.
+
+    Scale design (100 TB): all-pairs cosine is O(n^2) and never runs —
+    instead each vector gets a content-independent hash bucket and only
+    same-bucket pairs are compared: an unbiased uniform pair sample of
+    rate 1/B from a self-equi-join on the bucket key (expected occupancy
+    n/B; choose B ~ n to hold per-bucket pair work constant — B is the
+    knob, the plan shape never changes).  The identical-subtree self-join
+    reuses one exchange; the histogram is a tiny fixed-width hash
+    aggregate.  Determinism: same fold-order dot products as every
+    cosine here, and bin edges are comparisons on bit-identical doubles
+    — counts are exact integers, so no float aggregate ever crosses
+    engines."""
+    emb = with_norm(load_table(spark, sf_dir, "embeddings", spread=True))
+    keyed = emb.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("simhist:"), F.col("vec_id"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(SIMHIST_BUCKETS),
+        ).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    sim = cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.norm"),
+        F.col("b.norm"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(sim.alias("sim"))
+    # bin = floor((sim + 1) / w), clamped so sim = 1.0 lands in the top bin
+    bin_idx = F.least(
+        F.floor((F.col("sim") + 1.0) / SIMHIST_BIN_W).cast("long"),
+        F.lit(int(round(2 / SIMHIST_BIN_W)) - 1),
+    )
+    total = pairs.agg(F.count("*").alias("n_total"))
+    return (
+        pairs.groupBy(bin_idx.alias("bin"))
+        .agg(F.count("*").alias("n_pairs"))
+        .crossJoin(broadcast(total))
+        .select(
+            "bin",
+            F.round(F.col("bin") * SIMHIST_BIN_W - 1.0, 2).alias("sim_lo"),
+            F.round((F.col("bin") + 1) * SIMHIST_BIN_W - 1.0, 2).alias("sim_hi"),
+            "n_pairs",
+            F.round(F.col("n_pairs").cast("double") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+SIM_HISTOGRAM_SQL = f"""
+WITH keyed AS (
+  SELECT vec_id, embedding,
+    sqrt({_dot_sql("embedding", "embedding")}) AS norm,
+    {_hash60_sql("'simhist:' || vec_id")} % {SIMHIST_BUCKETS} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT {_dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS sim
+  FROM keyed a JOIN keyed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+binned AS (
+  SELECT least(CAST(floor((sim + 1.0) / {SIMHIST_BIN_W}) AS BIGINT),
+               {int(round(2 / SIMHIST_BIN_W)) - 1}) AS bin
+  FROM pairs
+),
+total AS (SELECT COUNT(*) AS n_total FROM binned)
+SELECT bin,
+  round(bin * CAST({SIMHIST_BIN_W} AS DOUBLE) - 1.0, 2) AS sim_lo,
+  round((bin + 1) * CAST({SIMHIST_BIN_W} AS DOUBLE) - 1.0, 2) AS sim_hi,
+  COUNT(*) AS n_pairs,
+  round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n_total), 6) AS share
+FROM binned, total
+GROUP BY bin ORDER BY bin
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -765,6 +867,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_centroid_by_label": embedding_centroid_by_label,
     "embedding_norm_stats": embedding_norm_stats,
+    "embedding_similarity_histogram": embedding_similarity_histogram,
 }
 
 ORACLES = {
@@ -775,4 +878,5 @@ ORACLES = {
     "embedding_neardup_pairs": EMB_NEARDUP_SQL,
     "embedding_centroid_by_label": EMB_CENTROID_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
+    "embedding_similarity_histogram": SIM_HISTOGRAM_SQL,
 }

@@ -125,6 +125,74 @@ def test_exact_quantiles_on_value_ladder(spark, tmp_path):
     assert got == {0.25: 25.0, 0.5: 50.0, 0.75: 75.0, 0.9: 90.0, 0.99: 99.0}
 
 
+def test_similarity_histogram_collapse_detected(spark, tmp_path):
+    """A fully collapsed embedding space (all vectors identical) must put
+    100% of sampled-pair mass in the top cosine bin — the failure mode the
+    audit exists to catch."""
+    from debezium_server_bigquery_spark.functions.similarity import (
+        embedding_similarity_histogram,
+    )
+
+    vec = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, vec, i % 3) for i in range(40)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = embedding_similarity_histogram(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].bin == 19 and out[0].sim_hi == 1.0
+    assert out[0].share == pytest.approx(1.0)
+    assert out[0].n_pairs > 0  # 40 ids over 16 buckets must collide somewhere
+
+
+def test_source_quality_report_flags_mirror_source(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.curation import (
+        source_quality_report,
+    )
+
+    mirror = "the quick brown fox jumps over the lazy dog again"
+    texts = [
+        (0, mirror, "en", "srcA", len(mirror)),
+        (1, mirror, "en", "srcA", len(mirror)),  # exact dup inside srcA
+        (2, "a unique document body with its own words here", "en", "srcA", 47),
+        (3, mirror, "en", "srcB", len(mirror)),  # mirror copy in srcB
+    ]
+    spark.createDataFrame(
+        texts, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.source: r for r in source_quality_report(spark, str(tmp_path)).collect()}
+    assert rows["srcA"].n_docs == 3 and rows["srcA"].share == pytest.approx(0.75)
+    # dup flag is corpus-wide: srcB's single doc is a copy of srcA's text
+    assert rows["srcB"].dup_rate == pytest.approx(1.0)
+    assert rows["srcA"].dup_rate == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_quality_dup_calibration_separates_deciles(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.curation import (
+        quality_vs_dup_calibration,
+    )
+
+    junk = "spam spam spam"  # < 10 words -> low quality; 10 identical copies
+    good = (
+        "the quick brown fox jumps over a lazy dog and the story keeps "
+        "going on for quite a while longer"
+    )
+    texts = [(i, junk, "en", "s", len(junk)) for i in range(10)]
+    texts += [(10 + i, good + f" variant {i}", "en", "s", 99) for i in range(10)]
+    spark.createDataFrame(
+        texts, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.quality_decile: r for r in quality_vs_dup_calibration(spark, str(tmp_path)).collect()}
+    assert sum(r.n_docs for r in rows.values()) == 20
+    assert sum(r.n_dups for r in rows.values()) == 10
+    # the 10 identical junk docs rank lowest -> deciles 0..4 all-dup,
+    # the unique good docs fill 5..9 dup-free
+    for d in range(5):
+        assert rows[d].dup_rate == pytest.approx(1.0)
+    for d in range(5, 10):
+        assert rows[d].dup_rate == pytest.approx(0.0)
+
+
 def test_session_path_trigrams_respect_session_gap(spark, tmp_path):
     t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
     m = datetime.timedelta(minutes=1)
