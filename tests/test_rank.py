@@ -86,3 +86,26 @@ def test_global_prefix_sum_matches_single_partition_window(spark):
         acc += r.tokens
         expected[r.id] = acc
     assert got == expected
+
+
+def test_global_rank_and_prefix_sum_matches_windows(spark):
+    from debezium_server_bigquery_spark.operators.rank import (
+        global_rank_and_prefix_sum,
+    )
+
+    df = spark.range(0, 733).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(500)).alias("v"),
+        (F.pmod(F.col("id"), F.lit(13)) + 1).alias("w"),
+    )
+    out = {
+        r.id: (r.rank, r.running)
+        for r in global_rank_and_prefix_sum(
+            df, [F.asc("v"), F.asc("id")], "w"
+        ).collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: (r.v, r.id))
+    acc = 0
+    for i, r in enumerate(rows):
+        acc += r.w
+        assert out[r.id] == (i + 1, acc), f"mismatch at sorted position {i}"
