@@ -211,7 +211,8 @@ _TIER1 = [
     # queries (winnowing_dup_pairs, exact_quantiles_by_type,
     # session_path_trigrams, boilerplate_prefix_clusters, zipf_slope_fit,
     # vocab_coverage_curve, embedding_similarity_histogram,
-    # source_quality_report, quality_vs_dup_calibration), THEN the
+    # source_quality_report, quality_vs_dup_calibration,
+    # stream_window_finalize_e2e), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

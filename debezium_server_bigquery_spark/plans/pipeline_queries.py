@@ -745,6 +745,105 @@ FROM documents
 """
 
 
+def stream_window_finalize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-driven APPEND-mode window finalization under the gate —
+    the late-data policy (SURVEY §2.7, the piece the reference lacks)
+    graded end-to-end: the full events table flows through real
+    Structured Streaming into 1-hour tumbling windows with a 2-hour
+    watermark, and the read-back of the append sink must equal the batch
+    aggregate EXACTLY — i.e. every window finalized exactly once, none
+    emitted early, none stuck in state.
+
+    The mechanism this grades: append mode only emits a window after the
+    watermark passes its end, and the watermark used by micro-batch N is
+    computed from batch N-1's max event time — so a drain that ends with
+    data in the last watermark horizon leaves those windows in state
+    forever.  The query constructs exactly that hazard and resolves it
+    the way a production pipeline does, with watermark-advancing sentinel
+    ticks: three source files with stepped mtimes (FileStreamSource
+    processes oldest-first) force three micro-batches — [all real
+    events], [sentinel at max+4h], [sentinel at max+8h] — so batch 2 runs
+    with watermark max+2h, past every real window's end.  The sentinels'
+    own windows stay unflushed (above the final watermark) and are
+    filtered defensively anyway.
+
+    Output keys windows by EPOCH HOUR (integer), not a rendered
+    timestamp, so the compare is session-time-zone-free; sums are
+    decimal-exact.  Oracle: the same 1-hour bucket aggregate in DuckDB
+    over the real events."""
+    from debezium_server_bigquery_spark.streaming.sessions import (
+        windowed_event_counts_stream,
+    )
+    from debezium_server_bigquery_spark.timeutil import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ts_type = ev.schema["ts"].dataType
+    src = scratch_dir("dsbq_swf_src_")
+    ev.repartition(1).write.mode("overwrite").parquet(src)
+
+    def _part_files() -> set[str]:
+        return {
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        }
+
+    base_files = _part_files()
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # O(1) driver scalar
+    for i, hours in enumerate((4, 8), start=1):
+        sentinel = spark.createDataFrame(
+            [(-i, max_ts + __import__("datetime").timedelta(hours=hours),
+              "__sentinel", 0.0)],
+            ev.schema,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        new = _part_files() - base_files
+        base_files |= new
+        for f in new:  # stepped mtimes pin the micro-batch order
+            st = os.stat(f)
+            os.utime(f, (st.st_atime, st.st_mtime + 10 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = windowed_event_counts_stream(stream, watermark="2 hours")
+    out_dir = scratch_dir("dsbq_swf_out_")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = spark.read.parquet(out_dir).filter(
+        F.col("event_type") != "__sentinel"
+    )
+    from pyspark.sql import types as T
+
+    return kept.select(
+        (epoch_micros(F.col("window_start"), T.TimestampType()) / 3_600_000_000)
+        .cast("long")
+        .alias("window_hour"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_hour", "event_type")
+
+
+STREAM_WINDOW_FINALIZE_SQL = """
+SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) // 3600000000 AS BIGINT)
+    AS window_hour,
+  event_type, COUNT(*) AS n_events,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def pipeline_transform_hook_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 (SMT-chain analog) under the gate: a GLOBAL transform and a
     DESTINATION-scoped transform registered on the pipeline's ``transforms``
@@ -1220,6 +1319,7 @@ QUERIES = {
     "cli_run_e2e": cli_run_e2e,
     "pipeline_stream_e2e": pipeline_stream_e2e,
     "stream_dedup_watermark_e2e": stream_dedup_watermark_e2e,
+    "stream_window_finalize_e2e": stream_window_finalize_e2e,
     "pipeline_transform_hook_e2e": pipeline_transform_hook_e2e,
     "pipeline_schema_history_e2e": pipeline_schema_history_e2e,
     "pipeline_keyless_append_e2e": pipeline_keyless_append_e2e,
@@ -1244,6 +1344,7 @@ ORACLES = {
     "cli_run_e2e": CLI_RUN_SQL,
     "pipeline_stream_e2e": PIPELINE_STREAM_SQL,
     "stream_dedup_watermark_e2e": STREAM_DEDUP_WATERMARK_SQL,
+    "stream_window_finalize_e2e": STREAM_WINDOW_FINALIZE_SQL,
     "pipeline_transform_hook_e2e": PIPELINE_TRANSFORM_SQL,
     "pipeline_schema_history_e2e": PIPELINE_SCHEMA_HISTORY_SQL,
     "pipeline_keyless_append_e2e": PIPELINE_KEYLESS_APPEND_SQL,
