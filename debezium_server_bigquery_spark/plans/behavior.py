@@ -658,6 +658,85 @@ LIMIT {PATH_TOP}
 """
 
 
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event volume, per type: the
+    day where the cumulative deviation from the type's mean daily volume
+    peaks — the classic "WHEN did the regime change" follow-up to the
+    z-score anomaly query (which only says THAT a day is unusual).  A
+    volume step (deploy, outage, bot onset) makes |CUSUM| a tent function
+    peaking exactly at the step.
+
+    Determinism at any scale: the textbook CUSUM accumulates
+    ``count - mean`` in floats; this one accumulates the integer-SCALED
+    deviation ``n_days * count - total`` (mean scaled by n_days), so every
+    partial sum is an exact BIGINT — associative, engine-identical, no
+    accumulation drift over any history length.  Scale design (100 TB):
+    the stream collapses to O(types x days) daily rows first (map-side
+    combinable); per-type stats join back as a type-cardinality
+    broadcast; the running sum and the argmax are windows PARTITIONED BY
+    TYPE over day-count-sized partitions — never single-partition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_ns div 86400000000000").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), F.sum("n").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    dev = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "cusum",
+        F.sum(F.col("n_days") * F.col("n") - F.col("total")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), F.asc("day")
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.abs(F.col("cusum")).cast("long").alias("max_abs_cusum"),
+            F.signum(F.col("cusum")).cast("int").alias("direction"),
+            "n_days",
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type,
+    CAST(epoch_us(ts) * 1000 AS BIGINT) // 86400000000000 AS day,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, COUNT(*) AS n_days, SUM(n) AS total
+  FROM daily GROUP BY 1
+), dev AS (
+  SELECT d.event_type, d.day,
+    s.n_days,
+    SUM(s.n_days * d.n - s.total) OVER (
+      PARTITION BY d.event_type ORDER BY d.day
+      ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM daily d JOIN stats s USING (event_type)
+), picked AS (
+  SELECT event_type, day, n_days, cusum,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY abs(cusum) DESC, day ASC) AS rn
+  FROM dev
+)
+SELECT event_type, day AS change_day,
+  CAST(abs(cusum) AS BIGINT) AS max_abs_cusum,
+  CAST(CASE WHEN cusum > 0 THEN 1 WHEN cusum < 0 THEN -1 ELSE 0 END AS INTEGER)
+    AS direction,
+  n_days
+FROM picked WHERE rn = 1 ORDER BY event_type
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "events_volume_anomaly": events_volume_anomaly,
@@ -667,6 +746,7 @@ QUERIES = {
     "user_interarrival_burstiness": user_interarrival_burstiness,
     "session_event_affinity": session_event_affinity,
     "session_path_trigrams": session_path_trigrams,
+    "events_cusum_changepoint": events_cusum_changepoint,
 }
 ORACLES = {
     "retention_cohorts": RETENTION_SQL,
@@ -677,4 +757,5 @@ ORACLES = {
     "user_interarrival_burstiness": BURSTINESS_SQL,
     "session_event_affinity": SESSION_AFFINITY_SQL,
     "session_path_trigrams": SESSION_PATH_SQL,
+    "events_cusum_changepoint": EVENTS_CUSUM_SQL,
 }
