@@ -505,12 +505,91 @@ ORDER BY n_shared DESC, doc_a ASC, doc_b ASC LIMIT {WINNOW_TOP}
 """
 
 
+def winnowing_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate -> VERIFY composition production dedup actually runs:
+    winnowing proposes its top pairs (a fingerprint-overlap heuristic),
+    then each candidate pair is verified with the EXACT k-gram Jaccard
+    over the two documents' full shingle sets — the two-stage shape where
+    the cheap stage bounds the work and the exact stage bounds the error
+    (same discipline as dedup_lsh_recall for MinHash LSH and
+    ann_ivf_recall for IVF).
+
+    Scale design (100 TB): the verify stage touches ONLY the candidate
+    pairs — a WINNOW_TOP-row broadcast joined twice against the
+    doc-keyed shingle-set scan, so exact Jaccard (row-local
+    array_intersect, never a shuffle of pairs) costs O(candidates), not
+    O(corpus^2).  Candidates inherit the df-capped posting discipline
+    from ``winnowing_dup_pairs``; its fingerprint substrate subtree is
+    shared by lineage."""
+    k = WINNOW_K
+    cands = winnowing_dup_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "n_shared", "containment"
+    )
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = words(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+    sets = docs.filter(F.size(words(F.col("text"))) >= k).select(
+        "doc_id", grams.alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        a.join(F.broadcast(cands), "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "containment",
+            inter.alias("n_common_grams"),
+            F.round(
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter),
+                6,
+            ).alias("exact_jaccard"),
+        )
+        .orderBy(F.desc("exact_jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+    )
+
+
+WINNOWING_VERIFIED_SQL = f"""
+WITH cands AS ({WINNOWING_DUP_SQL}),
+sets AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(wd) - {WINNOW_K - 2}),
+      i -> {" || ' ' || ".join(f"wd[i+{j}]" for j in range(WINNOW_K))})) AS sh
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS wd
+        FROM documents)
+  WHERE len(wd) >= {WINNOW_K}
+)
+SELECT c.doc_a, c.doc_b, c.n_shared, c.containment,
+  CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_common_grams,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+    AS exact_jaccard
+FROM cands c
+JOIN sets a ON a.doc_id = c.doc_a
+JOIN sets b ON b.doc_id = c.doc_b
+ORDER BY exact_jaccard DESC, c.doc_a ASC, c.doc_b ASC
+"""
+
+
 QUERIES = {
     "text_common_spans": text_common_spans,
     "text_span_dup_ratio": text_span_dup_ratio,
     "longest_shared_span_pairs": longest_shared_span_pairs,
     "span_trim_estimate": span_trim_estimate,
     "winnowing_dup_pairs": winnowing_dup_pairs,
+    "winnowing_verified_pairs": winnowing_verified_pairs,
 }
 ORACLES = {
     "text_common_spans": TEXT_COMMON_SPANS_SQL,
@@ -518,4 +597,5 @@ ORACLES = {
     "longest_shared_span_pairs": LONGEST_SHARED_SPAN_SQL,
     "span_trim_estimate": SPAN_TRIM_SQL,
     "winnowing_dup_pairs": WINNOWING_DUP_SQL,
+    "winnowing_verified_pairs": WINNOWING_VERIFIED_SQL,
 }

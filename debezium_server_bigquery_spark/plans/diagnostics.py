@@ -407,6 +407,59 @@ LIMIT {K_ANON_TOP}
 QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreaks: list[str],
+    quantiles: list[float],
+) -> DataFrame:
+    """Exact percentile_disc per group without per-group single-task
+    windows: two-level global rank over (group, value, tiebreaks), group
+    offsets recovered from a group-cardinality broadcast, quantile rows
+    selected by a broadcast O(groups x quantiles) target join.  Rows tied
+    on every order column are interchangeable, so duplicate tiebreak keys
+    (the synthetic lineitem's non-unique (l_orderkey, l_linenumber)) never
+    change WHICH VALUE sits at a rank.  Shared by the events-value and
+    order-latency quantile queries."""
+    from debezium_server_bigquery_spark.operators.rank import global_row_number
+
+    ranked = global_row_number(
+        df,
+        [F.asc(group_col), F.asc(value_col)] + [F.asc(c) for c in tiebreaks],
+        out="grank",
+    )
+    stats = ranked.groupBy(group_col).agg(
+        F.min("grank").alias("first_rank"), F.count("*").alias("n")
+    )
+    targets = stats.select(
+        group_col,
+        F.explode(F.array(*[F.lit(q) for q in quantiles])).alias("quantile"),
+        "first_rank",
+        "n",
+    ).select(
+        group_col,
+        "quantile",
+        (
+            F.col("first_rank")
+            + F.ceil(F.col("quantile") * F.col("n")).cast("long")
+            - 1
+        ).alias("target_rank"),
+    )
+    r, t = ranked.alias("r"), targets.alias("t")
+    return (
+        r.join(
+            F.broadcast(t),
+            (F.col(f"r.{group_col}") == F.col(f"t.{group_col}"))
+            & (F.col("r.grank") == F.col("t.target_rank")),
+        )
+        .select(
+            F.col(f"r.{group_col}").alias(group_col), "quantile", value_col
+        )
+        .orderBy(group_col, "quantile")
+    )
+
+
 def exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-group quantiles (percentile_disc semantics: the value at
     1-based rank ceil(q*n) of the group's sorted order) of event value per
@@ -425,43 +478,10 @@ def exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic beyond the shared IEEE ceil(q*n), so the result is exact
     and engine-identical.  Determinism on ties: event_id tiebreak makes
     the rank — and therefore the selected value — unique."""
-    from debezium_server_bigquery_spark.operators.rank import global_row_number
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value", "event_id"
     )
-    ranked = global_row_number(
-        ev,
-        [F.asc("event_type"), F.asc("value"), F.asc("event_id")],
-        out="grank",
-    )
-    stats = ranked.groupBy("event_type").agg(
-        F.min("grank").alias("first_rank"), F.count("*").alias("n")
-    )
-    targets = stats.select(
-        "event_type",
-        F.explode(F.array(*[F.lit(q) for q in QUANTILES])).alias("quantile"),
-        "first_rank",
-        "n",
-    ).select(
-        "event_type",
-        "quantile",
-        (
-            F.col("first_rank")
-            + F.ceil(F.col("quantile") * F.col("n")).cast("long")
-            - 1
-        ).alias("target_rank"),
-    )
-    r, t = ranked.alias("r"), targets.alias("t")
-    return (
-        r.join(
-            F.broadcast(t),
-            (F.col("r.event_type") == F.col("t.event_type"))
-            & (F.col("r.grank") == F.col("t.target_rank")),
-        )
-        .select(F.col("r.event_type").alias("event_type"), "quantile", "value")
-        .orderBy("event_type", "quantile")
-    )
+    return exact_group_quantiles(ev, "event_type", "value", ["event_id"], QUANTILES)
 
 
 EXACT_QUANTILES_SQL = f"""
@@ -479,6 +499,65 @@ ORDER BY event_type, quantile
 """
 
 
+LATENCY_QUANTILES = [0.5, 0.9, 0.99]
+
+
+def order_to_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-to-ship latency tail per order priority: p50/p90/p99 of
+    ``l_shipdate - o_orderdate`` in days — the SLA question ("is URGENT
+    actually shipped faster, and what does its p99 look like?") that mean
+    latency hides.  Selection quantiles on exact integer day differences.
+
+    Scale design (100 TB): one fact-side equi-join (orders broadcast or
+    shuffle per AQE at real scale) producing (priority, days) rows, then
+    the shared two-level-rank quantile machinery
+    (:func:`exact_group_quantiles`) — no per-priority single-task window;
+    5 priorities x 3 quantiles rows out.  Duplicate lineitem keys (the
+    synthetic table's known non-uniqueness) cannot perturb the selected
+    values: rows tied on every order column are interchangeable."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    joined = li.join(orders, "l_orderkey").select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("ship_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return exact_group_quantiles(
+        joined,
+        "o_orderpriority",
+        "ship_days",
+        ["l_orderkey", "l_linenumber"],
+        LATENCY_QUANTILES,
+    )
+
+
+ORDER_SHIP_LATENCY_SQL = f"""
+WITH joined AS (
+  SELECT o.o_orderpriority,
+    datediff('day', o.o_orderdate, l.l_shipdate) AS ship_days,
+    l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+ranked AS (
+  SELECT o_orderpriority, ship_days,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      ORDER BY ship_days, l_orderkey, l_linenumber) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM joined
+)
+SELECT o_orderpriority, CAST(q AS DOUBLE) AS quantile,
+  CAST(ship_days AS INTEGER) AS ship_days
+FROM ranked, UNNEST([{", ".join(str(q) for q in LATENCY_QUANTILES)}]) AS t(q)
+WHERE rn = CEIL(CAST(q AS DOUBLE) * n)
+ORDER BY o_orderpriority, quantile
+"""
+
+
 QUERIES = {
     "skew_report_lineitem_suppkey": skew_report_lineitem_suppkey,
     "events_value_histogram": events_value_histogram,
@@ -487,6 +566,7 @@ QUERIES = {
     "value_outliers_mad": value_outliers_mad,
     "k_anonymity_report": k_anonymity_report,
     "exact_quantiles_by_type": exact_quantiles_by_type,
+    "order_to_ship_latency_quantiles": order_to_ship_latency_quantiles,
 }
 ORACLES = {
     "skew_report_lineitem_suppkey": SKEW_REPORT_SQL,
@@ -496,4 +576,5 @@ ORACLES = {
     "value_outliers_mad": VALUE_OUTLIERS_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,
     "exact_quantiles_by_type": EXACT_QUANTILES_SQL,
+    "order_to_ship_latency_quantiles": ORDER_SHIP_LATENCY_SQL,
 }
