@@ -13,6 +13,7 @@ tests assert on live BigQuery tables (SURVEY §5).
 
 from __future__ import annotations
 
+import datetime
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -794,8 +795,7 @@ def stream_window_finalize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # O(1) driver scalar
     for i, hours in enumerate((4, 8), start=1):
         sentinel = spark.createDataFrame(
-            [(-i, max_ts + __import__("datetime").timedelta(hours=hours),
-              "__sentinel", 0.0)],
+            [(-i, max_ts + datetime.timedelta(hours=hours), "__sentinel", 0.0)],
             ev.schema,
         )
         sentinel.coalesce(1).write.mode("append").parquet(src)
