@@ -558,6 +558,149 @@ ORDER BY o_orderpriority, quantile
 """
 
 
+def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference over the semi-structured ``props`` JSON column:
+    per key, presence rate and the observed scalar-type distribution —
+    the profiling step before promoting a JSON property to a typed
+    column (the BigQuery JSON->schema-evolution decision the CDC path's
+    R4/S6 automate once a type is KNOWN; this measures what the data
+    actually contains first).
+
+    Scale design (100 TB): one scan; ``from_json`` to map<string,string>
+    plus one explode of the (few) keys per row, then a key-cardinality
+    hash aggregate.  Type tagging is an engine-agnostic regex on the
+    extracted scalar TEXT (both engines classify the identical string),
+    not engine JSON type codes, which differ cross-engine (DuckDB says
+    UBIGINT where Spark's map says "69")."""
+    ev = load_table(spark, sf_dir, "events").select("props")
+    total = ev.agg(F.count("*").alias("n_events"))
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    is_int = F.col("val").rlike(r"^-?\d+$")
+    is_double = F.col("val").rlike(r"^-?\d+\.\d+([eE][+-]?\d+)?$")
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.sum(F.when(is_int, 1).otherwise(0)).cast("long").alias("n_int"),
+            F.sum(F.when(~is_int & is_double, 1).otherwise(0))
+            .cast("long")
+            .alias("n_double"),
+            F.sum(F.when(~is_int & ~is_double, 1).otherwise(0))
+            .cast("long")
+            .alias("n_other"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            F.round(
+                F.col("n_present").cast("double") / F.col("n_events"), 6
+            ).alias("presence_rate"),
+            "n_int",
+            "n_double",
+            "n_other",
+        )
+        .orderBy("key")
+    )
+
+
+PROPS_KEY_PROFILE_SQL = r"""
+WITH total AS (SELECT COUNT(*) AS n_events FROM events),
+kv AS (
+  SELECT unnest(json_keys(props)) AS key, props FROM events
+),
+typed AS (
+  SELECT key,
+    json_extract_string(props, '$.' || key) AS val
+  FROM kv
+)
+SELECT key, COUNT(*) AS n_present,
+  round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n_events), 6) AS presence_rate,
+  CAST(SUM(CASE WHEN regexp_full_match(val, '-?\d+') THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_int,
+  CAST(SUM(CASE WHEN NOT regexp_full_match(val, '-?\d+')
+    AND regexp_full_match(val, '-?\d+\.\d+([eE][+-]?\d+)?') THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_double,
+  CAST(SUM(CASE WHEN NOT regexp_full_match(val, '-?\d+')
+    AND NOT regexp_full_match(val, '-?\d+\.\d+([eE][+-]?\d+)?')
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM typed, total
+GROUP BY key ORDER BY key
+"""
+
+
+DURATION_QUANTILES = [0.5, 0.9]
+
+
+def session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact session-duration quantiles by weekday of session start (0 =
+    Monday): p50/p90 of gap-sessionized session length in seconds — the
+    engagement-depth view a mean smears out (sessions are heavy-tailed;
+    the p90 weekday contrast is the actionable number).
+
+    Scale design (100 TB): the sessionize substrate (one user-keyed
+    exchange) collapses the stream to O(sessions) rows; duration is an
+    exact integer microsecond difference; quantiles go through the shared
+    two-level-rank machinery (:func:`exact_group_quantiles`) — no
+    per-weekday single-task window.  Weekday is computed on the NTZ wall
+    clock in both engines (Spark ``weekday`` == DuckDB ``isodow - 1``),
+    session-time-zone-free."""
+    from debezium_server_bigquery_spark.streaming.sessions import sessionize
+    from debezium_server_bigquery_spark.timeutil import epoch_micros
+
+    sess = sessionize(spark, sf_dir)
+    start_t = sess.schema["session_start"].dataType
+    end_t = sess.schema["session_end"].dataType
+    dur = (
+        (
+            epoch_micros(F.col("session_end"), end_t)
+            - epoch_micros(F.col("session_start"), start_t)
+        )
+        / 1_000_000
+    ).cast("long")
+    frame = sess.select(
+        F.weekday("session_start").cast("int").alias("start_weekday"),
+        dur.alias("duration_s"),
+        "user_id",
+        "session_seq",
+    )
+    return exact_group_quantiles(
+        frame,
+        "start_weekday",
+        "duration_s",
+        ["user_id", "session_seq"],
+        DURATION_QUANTILES,
+    )
+
+
+def _session_duration_sql() -> str:
+    from debezium_server_bigquery_spark.streaming.sessions import SESSIONIZE_SQL
+
+    return f"""
+WITH sess AS ({SESSIONIZE_SQL}),
+frame AS (
+  SELECT CAST(isodow(session_start) - 1 AS INTEGER) AS start_weekday,
+    CAST((epoch_us(session_end) - epoch_us(session_start)) // 1000000
+      AS BIGINT) AS duration_s,
+    user_id, session_seq
+  FROM sess
+),
+ranked AS (
+  SELECT start_weekday, duration_s,
+    ROW_NUMBER() OVER (PARTITION BY start_weekday
+      ORDER BY duration_s, user_id, session_seq) AS rn,
+    COUNT(*) OVER (PARTITION BY start_weekday) AS n
+  FROM frame
+)
+SELECT start_weekday, CAST(q AS DOUBLE) AS quantile, duration_s
+FROM ranked, UNNEST([{", ".join(str(q) for q in DURATION_QUANTILES)}]) AS t(q)
+WHERE rn = CEIL(CAST(q AS DOUBLE) * n)
+ORDER BY start_weekday, quantile
+"""
+
+
 QUERIES = {
     "skew_report_lineitem_suppkey": skew_report_lineitem_suppkey,
     "events_value_histogram": events_value_histogram,
@@ -567,6 +710,8 @@ QUERIES = {
     "k_anonymity_report": k_anonymity_report,
     "exact_quantiles_by_type": exact_quantiles_by_type,
     "order_to_ship_latency_quantiles": order_to_ship_latency_quantiles,
+    "props_key_profile": props_key_profile,
+    "session_duration_quantiles": session_duration_quantiles,
 }
 ORACLES = {
     "skew_report_lineitem_suppkey": SKEW_REPORT_SQL,
@@ -577,4 +722,6 @@ ORACLES = {
     "k_anonymity_report": K_ANONYMITY_SQL,
     "exact_quantiles_by_type": EXACT_QUANTILES_SQL,
     "order_to_ship_latency_quantiles": ORDER_SHIP_LATENCY_SQL,
+    "props_key_profile": PROPS_KEY_PROFILE_SQL,
+    "session_duration_quantiles": _session_duration_sql(),
 }
