@@ -214,7 +214,8 @@ _TIER1 = [
     # source_quality_report, quality_vs_dup_calibration,
     # stream_window_finalize_e2e, events_cusum_changepoint,
     # winnowing_verified_pairs, order_to_ship_latency_quantiles,
-    # props_key_profile, session_duration_quantiles), THEN the
+    # props_key_profile, session_duration_quantiles,
+    # embedding_label_knn_accuracy), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

@@ -859,6 +859,106 @@ GROUP BY bin ORDER BY bin
 """
 
 
+def embedding_label_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label probe: for each vector, the label of its
+    nearest sampled neighbor by cosine; per-label prediction accuracy —
+    the standard "does the embedding space respect the labels" probe run
+    before trusting embeddings for clustering or semantic dedup (a space
+    can have healthy norms and similarity spread yet scramble classes).
+
+    Scale design (100 TB): neighbors come from the same deterministic
+    1/``SIMHIST_BUCKETS`` hash-bucket pair sample as the similarity
+    histogram (an equi-join, never all-pairs; the probe is a sampled
+    estimator by construction); the per-query argmax is a window keyed by
+    vec_id — millions of tiny partitions, never single-partition.
+    Determinism: fold-order-identical dot products and a vec_id tiebreak
+    on equal similarity."""
+    emb = with_norm(load_table(spark, sf_dir, "embeddings", spread=True))
+    keyed = emb.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        "label",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("simhist:"), F.col("vec_id"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(SIMHIST_BUCKETS),
+        ).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    sim = cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.norm"),
+        F.col("b.norm"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label"),
+        F.col("b.vec_id").alias("nbr_id"),
+        F.col("b.label").alias("nbr_label"),
+        sim.alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    nn = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        nn.groupBy("label")
+        .agg(
+            F.count("*").alias("n_probed"),
+            F.sum(F.when(F.col("nbr_label") == F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_probed",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_probed"), 6
+            ).alias("knn_accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+KNN_ACCURACY_SQL = f"""
+WITH keyed AS (
+  SELECT vec_id, embedding, label,
+    sqrt({_dot_sql("embedding", "embedding")}) AS norm,
+    {_hash60_sql("'simhist:' || vec_id")} % {SIMHIST_BUCKETS} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id, a.label, b.vec_id AS nbr_id, b.label AS nbr_label,
+    {_dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS sim
+  FROM keyed a JOIN keyed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+nn AS (
+  SELECT vec_id, label, nbr_label,
+    ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, nbr_id ASC) AS rn
+  FROM pairs
+)
+SELECT label, COUNT(*) AS n_probed,
+  CAST(SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  round(CAST(SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS knn_accuracy
+FROM nn WHERE rn = 1
+GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -868,6 +968,7 @@ QUERIES = {
     "embedding_centroid_by_label": embedding_centroid_by_label,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_similarity_histogram": embedding_similarity_histogram,
+    "embedding_label_knn_accuracy": embedding_label_knn_accuracy,
 }
 
 ORACLES = {
@@ -879,4 +980,5 @@ ORACLES = {
     "embedding_centroid_by_label": EMB_CENTROID_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
     "embedding_similarity_histogram": SIM_HISTOGRAM_SQL,
+    "embedding_label_knn_accuracy": KNN_ACCURACY_SQL,
 }
