@@ -193,6 +193,176 @@ def test_quality_dup_calibration_separates_deciles(spark, tmp_path):
         assert rows[d].dup_rate == pytest.approx(0.0)
 
 
+def test_winnowing_verified_exact_jaccard(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.spans import (
+        winnowing_verified_pairs,
+    )
+
+    guarantee = WINNOW_K + WINNOW_W - 1
+    shared = " ".join(f"s{i}" for i in range(guarantee + 3))
+    doc_a = "alpha beta gamma delta " + shared
+    doc_b = "one two three four five " + shared
+    sf = _write_docs(spark, tmp_path, [doc_a, doc_b])
+    rows = winnowing_verified_pairs(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    # the shared run contributes shared-run k-grams to both sets
+    assert r.n_common_grams >= guarantee + 3 - (WINNOW_K - 1)
+    assert 0 < r.exact_jaccard <= 1.0
+
+
+def test_cusum_finds_step_change_day(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.behavior import (
+        events_cusum_changepoint,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 10 days at 5/day, then a step UP to 20/day for 10 days:
+    # |CUSUM| of the scaled deviation peaks exactly on the last
+    # pre-step day (day index 9)
+    for d in range(20):
+        per_day = 5 if d < 10 else 20
+        for i in range(per_day):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, minutes=i), 1,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in events_cusum_changepoint(spark, sf).collect()}
+    r = out["click"]
+    epoch_day0 = (base - datetime.datetime(1970, 1, 1)).days
+    assert r.change_day == epoch_day0 + 9
+    assert r.direction == -1  # pre-step days run below the overall mean
+    assert r.n_days == 20
+
+
+def test_order_ship_latency_quantiles_ladder(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.diagnostics import (
+        order_to_ship_latency_quantiles,
+    )
+
+    d0 = datetime.date(2024, 1, 1)
+    orders = [(k, 1, "O", 10.0, d0, "1-URGENT") for k in range(1, 101)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    # order k ships k days after o_orderdate -> latency ladder 1..100
+    li = [(k, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+           d0 + datetime.timedelta(days=k)) for k in range(1, 101)]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.quantile: r.ship_days
+        for r in order_to_ship_latency_quantiles(spark, str(tmp_path)).collect()
+    }
+    assert got == {0.5: 50, 0.9: 90, 0.99: 99}
+
+
+def test_props_key_profile_type_split(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.diagnostics import props_key_profile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, '{"k": 3, "name": "x"}'),
+        (2, t0, 1, "view", 1.0, '{"k": 4.5}'),
+        (3, t0, 1, "view", 1.0, '{"k": -7}'),
+        (4, t0, 1, "view", 1.0, "{}"),  # no keys at all
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.key: r for r in props_key_profile(spark, sf).collect()}
+    assert set(out) == {"k", "name"}
+    k = out["k"]
+    assert (k.n_present, k.n_int, k.n_double, k.n_other) == (3, 2, 1, 0)
+    assert k.presence_rate == pytest.approx(0.75)
+    assert (out["name"].n_present, out["name"].n_other) == (1, 1)
+
+
+def test_session_duration_quantiles_known_sessions(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.diagnostics import (
+        session_duration_quantiles,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 9, 0, 0)  # a Monday -> weekday 0
+    rows = []
+    # 10 users, user u has one session lasting 60*u seconds (2 events)
+    for u in range(1, 11):
+        rows.append((u * 2, t0, u, "view", 1.0, "{}"))
+        rows.append(
+            (u * 2 + 1, t0 + datetime.timedelta(seconds=60 * u), u, "click",
+             1.0, "{}")
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.quantile: (r.start_weekday, r.duration_s)
+        for r in session_duration_quantiles(spark, sf).collect()
+    }
+    # durations 60..600: p50 = 5th value = 300, p90 = 9th = 540
+    assert got == {0.5: (0, 300), 0.9: (0, 540)}
+
+
+def test_knn_probe_orthogonal_clusters(spark, tmp_path):
+    """Two orthogonal clusters: a vector predicts correctly IFF its hash
+    bucket contains at least one same-label peer (within-cluster cosine
+    ~1 beats the cross-cluster 0) — the probe is a sampled estimator, so
+    the exact expected accuracy is computable from the deterministic
+    bucket assignment, not assumed to be 1.0."""
+    import hashlib
+
+    from debezium_server_bigquery_spark.functions.similarity import (
+        SIMHIST_BUCKETS,
+        embedding_label_knn_accuracy,
+    )
+
+    n = 40
+    rows = []
+    for i in range(n):
+        label = i % 2
+        vec = (
+            [1.0, 0.001 * i, 0.0, 0.0]
+            if label == 0
+            else [0.0, 0.0, 1.0, 0.001 * i]
+        )
+        rows.append((i, vec, label))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    def bucket(vid: int) -> int:
+        h = hashlib.md5(f"simhist:{vid}".encode()).hexdigest()[:15]
+        return int(h, 16) % SIMHIST_BUCKETS
+
+    members: dict[int, list[int]] = {}
+    for i in range(n):
+        members.setdefault(bucket(i), []).append(i)
+    expected: dict[int, tuple[int, int]] = {0: (0, 0), 1: (0, 0)}
+    for b, ids in members.items():
+        if len(ids) < 2:
+            continue  # no neighbor at all -> not probed
+        for i in ids:
+            lab = i % 2
+            probed, correct = expected[lab]
+            has_peer = any(j != i and j % 2 == lab for j in ids)
+            expected[lab] = (probed + 1, correct + (1 if has_peer else 0))
+    out = {r.label: r for r in embedding_label_knn_accuracy(spark, str(tmp_path)).collect()}
+    for lab in (0, 1):
+        probed, correct = expected[lab]
+        assert out[lab].n_probed == probed
+        assert out[lab].n_correct == correct
+        assert out[lab].knn_accuracy == pytest.approx(
+            round(correct / probed, 6)
+        )
+
+
 def test_session_path_trigrams_respect_session_gap(spark, tmp_path):
     t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
     m = datetime.timedelta(minutes=1)
