@@ -215,7 +215,7 @@ _TIER1 = [
     # stream_window_finalize_e2e, events_cusum_changepoint,
     # winnowing_verified_pairs, order_to_ship_latency_quantiles,
     # props_key_profile, session_duration_quantiles,
-    # embedding_label_knn_accuracy), THEN the
+    # embedding_label_knn_accuracy, cluster_safe_splits), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

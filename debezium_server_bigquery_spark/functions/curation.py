@@ -1193,6 +1193,64 @@ GROUP BY 1 ORDER BY quality_decile
 """
 
 
+def cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-safe train/val/test assignment: the split is a hash of
+    the document's CONTENT-cluster key (md5 of the text), not its id —
+    so every copy of a duplicated text lands in the same split BY
+    CONSTRUCTION, closing the exact-dup leakage channel that
+    ``split_leakage_matrix`` measures for the id-keyed ``dataset_splits``
+    (a test document whose twin sits in train is a leaked eval answer).
+    The output carries the proof: ``leaked_clusters`` — content clusters
+    observed in more than one split — which must be 0 here and is
+    recomputed, not assumed.
+
+    Scale design (100 TB): one scan + two hash aggregates (per-cluster
+    split spread, per-split rollup); the leakage count folds in as a
+    one-row broadcast.  Same 90/5/5 hash rule as ``dataset_splits``
+    (single source: ``split_of``), applied to md5(text) instead of
+    doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5("text").alias("cluster"),
+        split_of(F.md5("text")).alias("split"),
+    )
+    leaked = (
+        docs.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leaked_clusters")
+        )
+    )
+    return (
+        docs.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .orderBy("split")
+    )
+
+
+CLUSTER_SAFE_SPLITS_SQL = f"""
+WITH assigned AS (
+  SELECT md5(text) AS cluster, {split_case_sql("md5(text)")} AS split
+  FROM documents
+),
+leak AS (
+  SELECT CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS leaked_clusters
+  FROM (SELECT cluster, COUNT(DISTINCT split) AS n_splits
+        FROM assigned GROUP BY cluster)
+)
+SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT cluster) AS n_clusters,
+  ANY_VALUE(leaked_clusters) AS leaked_clusters
+FROM assigned, leak
+GROUP BY split ORDER BY split
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_weighted_by_quality": sample_weighted_by_quality,
@@ -1210,6 +1268,7 @@ QUERIES = {
     "vocab_coverage_curve": vocab_coverage_curve,
     "source_quality_report": source_quality_report,
     "quality_vs_dup_calibration": quality_vs_dup_calibration,
+    "cluster_safe_splits": cluster_safe_splits,
 }
 
 ORACLES = {
@@ -1229,4 +1288,5 @@ ORACLES = {
     "vocab_coverage_curve": VOCAB_COVERAGE_SQL,
     "source_quality_report": SOURCE_QUALITY_SQL,
     "quality_vs_dup_calibration": QUALITY_DUP_CALIBRATION_SQL,
+    "cluster_safe_splits": CLUSTER_SAFE_SPLITS_SQL,
 }
