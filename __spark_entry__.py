@@ -73,6 +73,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.mixing",),
         ("debezium_server_bigquery_spark.functions.sharding",),
         ("debezium_server_bigquery_spark.functions.geo",),
+        ("debezium_server_bigquery_spark.functions.linkage",),
         ("debezium_server_bigquery_spark.operators.zorder",),
         ("debezium_server_bigquery_spark.plans.funnel",),
         ("debezium_server_bigquery_spark.plans.behavior",),
@@ -215,7 +216,10 @@ _TIER1 = [
     # stream_window_finalize_e2e, events_cusum_changepoint,
     # winnowing_verified_pairs, order_to_ship_latency_quantiles,
     # props_key_profile, session_duration_quantiles,
-    # embedding_label_knn_accuracy, cluster_safe_splits), THEN the
+    # embedding_label_knn_accuracy, cluster_safe_splits,
+    # entity_match_part_names, entity_blocking_stats,
+    # events_autocorrelation, customer_revenue_pareto,
+    # supplier_triangle_census, source_vocab_overlap), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

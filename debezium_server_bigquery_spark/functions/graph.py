@@ -284,11 +284,157 @@ LIMIT {COOC_TOP}
 """
 
 
+TRI_MAX_ORDER_SUPPLIERS = 32  # orders touching more suppliers don't pair
+
+
+def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-supply graph (suppliers are
+    adjacent when they ship lines of the same order): node/edge/wedge/
+    triangle counts and the global clustering coefficient — the graph-
+    density audit behind "is this co-occurrence graph cliquey or
+    star-shaped".
+
+    Scale design (the MapReduce triangle-counting literature's
+    degree-orientation trick): a naive wedge join explodes as Σ deg² on
+    hub nodes.  Every edge is first ORIENTED from its (degree, id)-
+    smaller endpoint to the larger; wedges are then built only from the
+    ≺-min vertex's OUT-edges, whose out-degree is bounded by O(√m) on
+    any graph (arboricity bound) — so the wedge join is Σ outdeg², not
+    Σ deg², and each triangle is generated exactly once at its ≺-min
+    vertex.  The closing check is one equi-join against the canonical
+    (a < b) edge set.  Edge generation itself pairs suppliers only
+    WITHIN an order (C(order size, 2), df-capped like the co-occurrence
+    operator).  Wedge totals are exact integer sums; the coefficient is
+    the only float, computed once at the end."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    os_pairs = li.distinct().select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    )
+    small = (
+        os_pairs.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("n_sup"))
+        .filter(F.col("n_sup") <= TRI_MAX_ORDER_SUPPLIERS)
+        .select("o")
+    )
+    kept = os_pairs.join(small, "o")
+    ka = kept.select("o", F.col("s").alias("a"))
+    kb = kept.select(F.col("o").alias("o2"), F.col("s").alias("b"))
+    edges = (
+        ka.join(kb, (ka["o"] == kb["o2"]) & (ka["a"] < kb["b"]))
+        .select("a", "b")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # a < b always holds, so (deg_a, a) < (deg_b, b) iff deg_a <= deg_b
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(F.col("deg_a") <= F.col("deg_b"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("deg_a") <= F.col("deg_b"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+    )
+    o1 = oriented.select("u", F.col("v").alias("v1"))
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    wedges = o1.join(o2, (o1["u"] == o2["u2"]) & (o1["v1"] < o2["v2"])).select(
+        F.col("v1").alias("a"), F.col("v2").alias("b")
+    )
+    tri = wedges.join(edges, ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    edge_cnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    k = F.lit(1).alias("__k")
+    row = (
+        node_stats.select(k, "*")
+        .join(F.broadcast(edge_cnt.select(k, "*")), "__k")
+        .join(F.broadcast(tri.select(k, "*")), "__k")
+    )
+    return row.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ),
+        ).alias("global_clustering"),
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+small AS (
+  SELECT o FROM os GROUP BY o
+  HAVING COUNT(*) <= {TRI_MAX_ORDER_SUPPLIERS}
+),
+kept AS (SELECT os.* FROM os JOIN small USING (o)),
+edges AS (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM kept x JOIN kept y ON x.o = y.o AND x.s < y.s
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS v
+  FROM edges e
+  JOIN deg da ON e.a = da.node
+  JOIN deg db ON e.b = db.node
+),
+wedges AS (
+  SELECT o1.v AS a, o2.v AS b
+  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u AND o1.v < o2.v
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM wedges w JOIN edges e ON w.a = e.a AND w.b = e.b
+),
+node_stats AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+edge_cnt AS (SELECT COUNT(*) AS n_edges FROM edges)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+  CASE WHEN n_wedges > 0
+    THEN round(3.0 * n_triangles / n_wedges, 6) END AS global_clustering
+FROM node_stats, edge_cnt, tri
+"""
+
+
 QUERIES = {
     "pagerank_trade_graph": pagerank_trade_graph,
     "supplier_cooccurrence_topk": supplier_cooccurrence_topk,
+    "supplier_triangle_census": supplier_triangle_census,
 }
 ORACLES = {
     "pagerank_trade_graph": PAGERANK_SQL,
     "supplier_cooccurrence_topk": COOC_SQL,
+    "supplier_triangle_census": TRIANGLE_SQL,
 }

@@ -162,12 +162,101 @@ ORDER BY cluster_id
 """
 
 
+VOCAB_OVERLAP_TOP = 100  # report the most-overlapping source pairs
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every source pair — the domain-
+    similarity matrix a mixture designer reads before setting weights
+    (two sources with near-identical vocabularies are one domain for
+    mixing purposes; `cross_source_dup_matrix` answers the same question
+    at document granularity, this answers it at vocabulary granularity).
+
+    Scale design: the corpus collapses to distinct (source, word) rows
+    first (one hash aggregate, output bounded by Σ per-source vocab);
+    the pair stage self-joins those postings on the word, so each word
+    contributes at most C(df_sources, 2) ≤ C(|sources|, 2) rows — pair
+    volume is vocab × sources², never corpus².  Per-source vocabulary
+    sizes join back as a broadcast (|sources| rows).  All floats are
+    final ratios of exact counts."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sw = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+    vocab = sw.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = sw.select(F.col("source").alias("source_a"), "word")
+    b = sw.select(F.col("source").alias("source_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    va = vocab.select(
+        F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
+    )
+    vb = vocab.select(
+        F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "common",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("common")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("common"))
+                .cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "source_a", "source_b")
+        .limit(VOCAB_OVERLAP_TOP)
+    )
+
+
+SOURCE_VOCAB_OVERLAP_SQL = f"""
+WITH sw AS (
+  SELECT DISTINCT source, w.word
+  FROM documents,
+    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS w(word)
+),
+vocab AS (SELECT source, COUNT(*) AS vocab FROM sw GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
+  FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.common,
+  va.vocab AS vocab_a, vb.vocab AS vocab_b,
+  round(i.common / CAST(va.vocab + vb.vocab - i.common AS DOUBLE), 6)
+    AS jaccard
+FROM inter i
+JOIN vocab va ON i.source_a = va.source
+JOIN vocab vb ON i.source_b = vb.source
+ORDER BY jaccard DESC, i.source_a, i.source_b
+LIMIT {VOCAB_OVERLAP_TOP}
+"""
+
+
 QUERIES = {
     "mix_domain_weights": mix_domain_weights,
     "curate_canonical_docs": curate_canonical_docs,
+    "source_vocab_overlap": source_vocab_overlap,
 }
 
 ORACLES = {
     "mix_domain_weights": MIX_DOMAIN_WEIGHTS_SQL,
     "curate_canonical_docs": CURATE_CANONICAL_SQL,
+    "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
 }

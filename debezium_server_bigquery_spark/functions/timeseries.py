@@ -107,10 +107,111 @@ LIMIT {TOPK}
 """
 
 
+ACF_MAX_LAG = 7
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume autocorrelation per event type at lags 1..7 days —
+    the periodicity probe behind seasonality-aware anomaly baselines
+    (is this stream weekly-periodic, daily-sticky, or white noise?).
+
+    Scale design: one map-side-combinable daily count (the natural
+    partitioning of an events table), then each daily row explodes into
+    ≤ 7 (lag, date) probes that hash-join back to the SAME daily
+    aggregate on (event_type, date − lag) — an equi-join on a derived
+    key, never a window over the full series, so no per-type
+    single-partition sort exists and the series length can grow without
+    bound.  Pearson r is computed from exact integer moments
+    (n, Σx, Σy, Σxy, Σx², Σy² — counts are integers, so every sum is
+    exact and order-independent) and cast to DOUBLE once at the end:
+    bit-identical across engines and partitionings.  Zero-variance
+    series (a constant daily count) yield NULL, not a division error.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    probes = daily.withColumn(
+        "lag_d", F.explode(F.array(*[F.lit(i) for i in range(1, ACF_MAX_LAG + 1)]))
+    )
+    past = daily.select(
+        F.col("event_type"),
+        F.col("d").alias("d_past"),
+        F.col("n").alias("n_past"),
+    )
+    joined = probes.join(
+        past,
+        (probes["event_type"] == past["event_type"])
+        & (F.expr("date_sub(d, lag_d)") == past["d_past"]),
+    ).select(probes["event_type"], "lag_d", "n", "n_past")
+    m = joined.groupBy("event_type", "lag_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("n").alias("sx"),
+        F.sum("n_past").alias("sy"),
+        F.sum(F.col("n") * F.col("n_past")).alias("sxy"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.sum(F.col("n_past") * F.col("n_past")).alias("syy"),
+    )
+    varx = m["n_pairs"] * m["sxx"] - m["sx"] * m["sx"]
+    vary = m["n_pairs"] * m["syy"] - m["sy"] * m["sy"]
+    cov = m["n_pairs"] * m["sxy"] - m["sx"] * m["sy"]
+    return m.select(
+        "event_type",
+        F.col("lag_d").cast("int").alias("lag_d"),
+        "n_pairs",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(varx.cast("double") * vary.cast("double")),
+                6,
+            ),
+        ).alias("acf"),
+    ).orderBy("event_type", "lag_d")
+
+
+EVENTS_ACF_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+probes AS (
+  SELECT d.*, l.lag_d
+  FROM daily d, unnest(range(1, {ACF_MAX_LAG + 1})) AS l(lag_d)
+),
+joined AS (
+  SELECT p.event_type, p.lag_d, p.n, b.n AS n_past
+  FROM probes p
+  JOIN daily b
+    ON b.event_type = p.event_type AND b.d = p.d - CAST(p.lag_d AS INTEGER)
+),
+m AS (
+  SELECT event_type, lag_d,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    SUM(n) AS sx, SUM(n_past) AS sy,
+    SUM(n * n_past) AS sxy, SUM(n * n) AS sxx, SUM(n_past * n_past) AS syy
+  FROM joined GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag_d AS INTEGER) AS lag_d, n_pairs,
+  CASE WHEN (n_pairs * sxx - sx * sx) > 0 AND (n_pairs * syy - sy * sy) > 0
+    THEN round(
+      CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+             * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+  END AS acf
+FROM m
+ORDER BY event_type, lag_d
+"""
+
+
 QUERIES = {
     "ts_similarity_topk": ts_similarity_topk,
+    "events_autocorrelation": events_autocorrelation,
 }
 
 ORACLES = {
     "ts_similarity_topk": TS_SIMILARITY_SQL,
+    "events_autocorrelation": EVENTS_ACF_SQL,
 }

@@ -339,6 +339,107 @@ FROM sums
 """
 
 
+PARETO_TARGETS = (50, 80, 90)  # % of revenue
+
+
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration cutpoints: the smallest customer prefix (by
+    spend, descending) that covers 50 / 80 / 90 % of total revenue — the
+    "how few customers are half the business" companion to the Gini
+    scalar, reported as actionable counts instead of one index.
+
+    Scale design: spend aggregates map-side per customer; the global
+    descending rank AND the running revenue both come from ONE
+    ``operators/rank.global_rank_and_prefix_sum`` range partitioning
+    (per-partition windows + O(num_partitions) driver offsets — no
+    single-partition window ever exists).  Revenue is carried as exact
+    integer cents (DECIMAL sum × 100 → BIGINT), so the running sums are
+    associative and bit-identical across engines; the corpus totals fold
+    in as a one-row broadcast and each ranked row fans out to ≤ 3
+    constant thresholds.  The final aggregate is 3 groups."""
+    from debezium_server_bigquery_spark.operators.rank import (
+        global_rank_and_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = global_rank_and_prefix_sum(
+        spend,
+        [F.desc("cents"), F.asc("o_custkey")],
+        "cents",
+        rank_out="r",
+        sum_out="running",
+    )
+    totals = spend.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+    ).withColumn("__k", F.lit(1))
+    cut = (
+        ranked.withColumn("__k", F.lit(1))
+        .join(F.broadcast(totals), "__k")
+        .withColumn(
+            "pct", F.explode(F.array(*[F.lit(p) for p in PARETO_TARGETS]))
+        )
+        .filter(F.col("running") * 100 >= F.col("pct") * F.col("total_cents"))
+    )
+    return (
+        cut.groupBy(F.col("pct").cast("int").alias("pct_target"))
+        .agg(
+            F.min("r").alias("customers_needed"),
+            F.min_by("running", "r").alias("cents_at_cut"),
+            F.max("n_customers").alias("n_customers"),
+            F.max("total_cents").alias("total_cents"),
+        )
+        .select(
+            "pct_target",
+            "customers_needed",
+            F.round(
+                F.col("customers_needed").cast("double")
+                / F.col("n_customers"),
+                6,
+            ).alias("customer_fraction"),
+            F.round(
+                F.col("cents_at_cut").cast("double") / F.col("total_cents"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("pct_target")
+    )
+
+
+PARETO_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+    CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) AS BIGINT)
+      AS r,
+    CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+  FROM spend
+), tot AS (
+  SELECT COUNT(*) AS n_customers, SUM(cents) AS total_cents FROM spend
+), cut AS (
+  SELECT l.pct, r.r, r.running, t.n_customers, t.total_cents
+  FROM ranked r, tot t, unnest([{", ".join(str(p) for p in PARETO_TARGETS)}])
+    AS l(pct)
+  WHERE r.running * 100 >= l.pct * t.total_cents
+)
+SELECT CAST(pct AS INTEGER) AS pct_target,
+  MIN(r) AS customers_needed,
+  round(CAST(MIN(r) AS DOUBLE) / any_value(n_customers), 6)
+    AS customer_fraction,
+  round(CAST(arg_min(running, r) AS DOUBLE) / any_value(total_cents), 6)
+    AS revenue_share
+FROM cut GROUP BY pct ORDER BY pct_target
+"""
+
+
 TOKEN_BUDGET = 8000  # words — ~half the sf0.01 corpus, so selection bites
 
 
@@ -407,6 +508,7 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "event_next_prediction_accuracy": event_next_prediction_accuracy,
     "customer_revenue_gini": customer_revenue_gini,
+    "customer_revenue_pareto": customer_revenue_pareto,
     "select_quality_budget": select_quality_budget,
 }
 ORACLES = {
@@ -414,5 +516,6 @@ ORACLES = {
     "event_transition_matrix": TRANSITION_SQL,
     "event_next_prediction_accuracy": NEXT_PRED_SQL,
     "customer_revenue_gini": GINI_SQL,
+    "customer_revenue_pareto": PARETO_SQL,
     "select_quality_budget": SELECT_BUDGET_SQL,
 }

@@ -1,0 +1,169 @@
+"""Semantics pins for the round-9 batch-7 operators on constructed
+fixtures: token-blocked record linkage, the blocking-cost histogram,
+daily-volume autocorrelation, and Pareto revenue cutpoints."""
+
+from __future__ import annotations
+
+import datetime
+
+from debezium_server_bigquery_spark.functions.linkage import (
+    entity_blocking_stats,
+    entity_match_part_names,
+)
+from debezium_server_bigquery_spark.functions.timeseries import (
+    events_autocorrelation,
+)
+from debezium_server_bigquery_spark.plans.segmentation import (
+    customer_revenue_pareto,
+)
+
+
+def _write_parts(spark, tmp_path, names):
+    rows = [(i, n) for i, n in enumerate(names)]
+    spark.createDataFrame(rows, "p_partkey long, p_name string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "part.parquet"))
+    return str(tmp_path)
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_entity_match_blocks_and_verifies(spark, tmp_path):
+    sf = _write_parts(
+        spark,
+        tmp_path,
+        [
+            "red widget",
+            "red widget",  # duplicate part rows collapse to one name
+            "red widgett",  # typo twin: shares "red", lev 1 -> match
+            "blue bolt",  # shares no token with the reds -> never a candidate
+            "red extraordinarily",  # shares "red" but lev > MAX_LEV -> cut
+        ],
+    )
+    out = entity_match_part_names(spark, sf).collect()
+    pairs = {(r.name_a, r.name_b): r for r in out}
+    assert ("red widget", "red widgett") in pairs
+    m = pairs[("red widget", "red widgett")]
+    assert m.lev == 1
+    assert m.parts_a == 2 and m.parts_b == 1
+    assert abs(m.sim - (1 - 1 / 11)) < 1e-6
+    # the typo twins both share a block with "red extraordinarily", but the
+    # verifier rejects it; "blue bolt" never even becomes a candidate
+    assert all("blue bolt" not in p and "extraordinarily" not in p
+               for p in pairs)
+
+
+def test_blocking_stats_histogram_exact(spark, tmp_path):
+    # tokens: x in 3 names, y in 2, five singletons -> sizes {1:5, 2:1, 3:1}
+    sf = _write_parts(
+        spark, tmp_path, ["a x", "b x", "c x", "d y", "e y"]
+    )
+    out = {r.block_size: r for r in entity_blocking_stats(spark, sf).collect()}
+    assert out[1].n_blocks == 5 and out[1].candidate_pairs == 0
+    assert out[2].n_blocks == 1 and out[2].candidate_pairs == 1
+    assert out[3].n_blocks == 1 and out[3].candidate_pairs == 3
+    assert -1 not in out  # nothing over the df cap in this fixture
+
+
+def test_autocorrelation_alternating_series(spark, tmp_path):
+    # daily counts alternate 10, 20, 10, 20, ... -> ACF(1) = -1, ACF(2) = +1
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for d in range(12):
+        for i in range(10 if d % 2 == 0 else 20):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, minutes=i), 1,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.lag_d: r for r in events_autocorrelation(spark, sf).collect()}
+    assert out[1].acf == -1.0 and out[1].n_pairs == 11
+    assert out[2].acf == 1.0 and out[2].n_pairs == 10
+    # a constant-count comparison appears nowhere here, but zero variance
+    # must yield NULL, not an error: 12 days is even, so lag 11 leaves a
+    # single pair -> var 0 -> NULL
+    assert out[7].acf is not None
+
+
+def test_autocorrelation_constant_series_is_null(spark, tmp_path):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (d * 5 + i, base + datetime.timedelta(days=d, minutes=i), 1,
+         "click", 1.0, "{}")
+        for d in range(9)
+        for i in range(5)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.lag_d: r for r in events_autocorrelation(spark, sf).collect()}
+    assert all(out[k].acf is None for k in out)
+
+
+def test_pareto_cutpoints_known_ladder(spark, tmp_path):
+    rows = [
+        (1, 101, 40.0),
+        (2, 102, 30.0),
+        (3, 103, 20.0),
+        (4, 104, 10.0),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r.pct_target: r
+        for r in customer_revenue_pareto(spark, str(tmp_path)).collect()
+    }
+    assert out[50].customers_needed == 2 and out[50].revenue_share == 0.7
+    assert out[80].customers_needed == 3 and out[80].revenue_share == 0.9
+    assert out[90].customers_needed == 3 and out[90].revenue_share == 0.9
+    assert out[50].customer_fraction == 0.5
+    assert out[80].customer_fraction == 0.75
+
+
+def test_triangle_census_known_graph(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.graph import (
+        supplier_triangle_census,
+    )
+
+    # order 1 links suppliers {1,2,3} (a triangle); order 2 links {3,4}.
+    # degrees: 1:2, 2:2, 3:3, 4:1 -> wedges = 1+1+3+0 = 5; triangles = 1
+    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = supplier_triangle_census(spark, str(tmp_path)).collect()[0]
+    assert r.n_nodes == 4 and r.n_edges == 4
+    assert r.n_wedges == 5 and r.n_triangles == 1
+    assert r.global_clustering == 0.6
+
+
+def test_source_vocab_overlap_hand_jaccard(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.mixing import (
+        source_vocab_overlap,
+    )
+
+    rows = [
+        (0, "a b c", "en", "srcA", 5),
+        (1, "b c d", "en", "srcB", 5),
+        (2, "x y", "en", "srcC", 3),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_vocab_overlap(spark, str(tmp_path)).collect()
+    }
+    m = out[("srcA", "srcB")]
+    assert m.common == 2 and m.vocab_a == 3 and m.vocab_b == 3
+    assert m.jaccard == 0.5
+    # disjoint vocabularies never appear (no shared word -> no candidate)
+    assert ("srcA", "srcC") not in out and ("srcB", "srcC") not in out

@@ -199,12 +199,15 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     l_part, _ = _groups_hit_1d(ldir, "l_partkey", p_lo, p_hi)
 
     assert z_total > nparts and l_total > nparts
-    # linear: leading column prunes hard, the other column not at all
-    assert l_ord < l_total // 3
-    assert l_part > l_total * 3 // 4
+    # linear: leading column prunes hard, the other column not at all.
+    # Compare as FRACTIONS, not integer-floored counts: `z < total*3//4`
+    # turned an intended 0.75 bound into 18 < 18 when a loaded-host run
+    # produced 25 groups with 18 hits (0.72 — inside the bound).
+    assert l_ord / l_total < 1 / 3
+    assert l_part / l_total > 3 / 4
     # z-order: BOTH columns prune (each touches well under all groups)...
-    assert z_ord < z_total * 3 // 4
-    assert z_part < z_total * 3 // 4
+    assert z_ord / z_total < 3 / 4
+    assert z_part / z_total < 3 / 4
     # ...and the worst-dimension scan under z beats linear's worst, as a
     # FRACTION of each layout's own row groups — raw counts are not
     # comparable (the two layouts can produce different group counts, and
