@@ -33,6 +33,97 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# BroadcastNestedLoopJoin is the repo's sanctioned one-row-bounds idiom
+# (totals/corpus counts folded in as a broadcast with a constant join
+# key), and its hazard is the same as the cartesian's: a DATA-SIZED
+# broadcast side is an all-pairs scan in disguise.  The audit proves every
+# BNLJ broadcast side bounded from the plan text (a keyless aggregate or
+# an explicit limit between the exchange and every scan).  Two queries
+# are bounded by CONSTRUCTION instead — the text cannot prove it, the
+# docstring does:
+_BNLJ_BOUNDED_BY_CONSTRUCTION = {
+    # ≤10-row probe set: vec_id < 10 range predicate on the unique key,
+    # pushed into the broadcast-side scan (functions/similarity.py)
+    "ann_cosine_topk",
+    # k-row centroid table from the bounded-key iterative aggregate
+    # (functions/kmeans.py)
+    "kmeans_clusters",
+    # IVF cell-centroid table: N_CELLS rows by the bounded-key aggregate
+    # (functions/similarity.py — groupBy(cell) over a hash-bucketed cell
+    # id with a fixed domain); the recall twin also carries the ≤10-row
+    # vec_id probe set
+    "ann_ivf",
+    "ann_ivf_recall",
+    # 1-row target profile: the min-user equality join collapses the
+    # profile aggregate to one user before the constant-key broadcast
+    # (functions/timeseries.py)
+    "ts_similarity_topk",
+}
+
+_BNLJ_BOUND_MARKERS = (
+    "HashAggregate(keys=[], ",
+    "SortAggregate(key=[], ",
+    "ObjectHashAggregate(keys=[], ",
+    "GlobalLimit",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+)
+_SCAN_MARKERS = ("FileScan", "Scan ExistingRDD", "Scan parquet")
+
+
+def _unbounded_bnlj(plan: str) -> list[str]:
+    """BNLJ nodes whose broadcast-side subtree reaches a scan with no
+    keyless aggregate / limit bounding it on the ancestor path.  Only the
+    exchange that is a DIRECT child of the BNLJ is its broadcast side —
+    deeper BroadcastExchanges belong to inner hash joins (often on the
+    stream side) and are governed by their own operators."""
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        d = _node_depth(line)
+        # subtree of this BNLJ; direct children sit at its minimum depth
+        j = i + 1
+        sub: list[int] = []
+        while j < len(lines) and _node_depth(lines[j]) > d:
+            sub.append(j)
+            j += 1
+        if not sub:
+            continue
+        child_depth = min(_node_depth(lines[k]) for k in sub)
+        for k in sub:
+            lk = lines[k]
+            if _node_depth(lk) != child_depth or (
+                "BroadcastExchange" not in lk
+                and "BroadcastQueryStage" not in lk
+            ):
+                continue
+            bd = _node_depth(lk)
+            m = k + 1
+            scans = []
+            while m < len(lines) and _node_depth(lines[m]) > bd:
+                if any(t in lines[m] for t in _SCAN_MARKERS):
+                    scans.append(m)
+                m += 1
+            for sk in scans:
+                depth = _node_depth(lines[sk])
+                bounded = False
+                for up in range(sk - 1, k, -1):
+                    du = _node_depth(lines[up])
+                    if du < depth:  # an ancestor of the scan
+                        depth = du
+                        if any(t in lines[up] for t in _BNLJ_BOUND_MARKERS):
+                            bounded = True
+                            break
+                if not bounded:
+                    bad.append(
+                        "unbounded scan under BNLJ broadcast side: "
+                        + lines[sk].strip()[:120]
+                    )
+    return bad
+
+
 @pytest.mark.parametrize("name,fn", _ALL, ids=[n for n, _ in _ALL])
 def test_no_cartesian_product(spark, name, fn):
     plan = _physical(fn(spark, SF_DIR))
@@ -40,6 +131,16 @@ def test_no_cartesian_product(spark, name, fn):
         f"{name}: cartesian product in physical plan — unbounded all-pairs "
         f"scan, O(n^2) at scale"
     )
+    if name not in _BNLJ_BOUNDED_BY_CONSTRUCTION:
+        offenders = _unbounded_bnlj(plan)
+        assert not offenders, (
+            f"{name}: BroadcastNestedLoopJoin whose broadcast side is not "
+            f"provably bounded (no keyless aggregate or limit above its "
+            f"scans) — a data-sized broadcast side is an all-pairs scan "
+            f"in disguise.  Bound it (one-row aggregate / limit) or, if "
+            f"bounded by construction, add it to "
+            f"_BNLJ_BOUNDED_BY_CONSTRUCTION with the reason: {offenders}"
+        )
 
 
 def _node_depth(line: str) -> int:
