@@ -206,12 +206,158 @@ ORDER BY event_type, lag_d
 """
 
 
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal-strength per event type: how much of the
+    detrended daily-volume variance the day-of-week explains (the ANOVA
+    R² of DOW groups on the trend-removed series).  ~1 means the stream
+    is a pure weekly rhythm; ~0 means the weekday label carries nothing
+    once trend is gone.  Complements ``events_autocorrelation`` (which
+    sees periodicity but not its share of variance) and the weekday
+    index (means without trend removal).
+
+    Scale + determinism design: daily counts are one map-side aggregate;
+    the 7-observation centered rolling sum runs in a TYPE-partitioned
+    window (never a global one) and a row only enters the analysis when
+    its window holds exactly 7 CONSECUTIVE days (count = 7 and
+    max-min = 6 days — gap-aware, so sparse streams don't fake a
+    trend).  The detrended value 7·n − rollsum is an exact integer; all
+    seven DOW groups pivot into ONE aggregate row of exact integer
+    moments (counts, sums, decimal squares), and the variance
+    decomposition is evaluated in a FIXED written term order on both
+    engines — the only floats are the final seven divisions and the
+    ratio, bit-identical cross-engine."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    win = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.sum("n").over(w).alias("roll"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.min("d").over(w).alias("dmin"),
+        F.max("d").over(w).alias("dmax"),
+    )
+    det = win.filter(
+        (F.col("cnt") == 7) & (F.datediff("dmax", "dmin") == 6)
+    ).select(
+        "event_type",
+        F.expr("weekday(d)").alias("dow"),
+        (F.lit(7) * F.col("n") - F.col("roll")).cast("long").alias("det"),
+    )
+    dec = F.col("det").cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("det").cast("long").alias("s_all"),
+        F.sum(dec * dec).cast("decimal(38,0)").alias("ss_all"),
+    ]
+    for i in range(7):
+        hit = F.col("dow") == i
+        aggs.append(
+            F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"c{i}")
+        )
+        aggs.append(
+            F.sum(F.when(hit, F.col("det")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"s{i}")
+        )
+    g = det.groupBy("event_type").agg(*aggs)
+    ssb = None
+    for i in range(7):
+        term = F.when(
+            F.col(f"c{i}") > 0,
+            (F.col(f"s{i}").cast("double") * F.col(f"s{i}"))
+            / F.col(f"c{i}"),
+        ).otherwise(F.lit(0.0))
+        ssb = term if ssb is None else ssb + term
+    mean_sq = (
+        F.col("s_all").cast("double") * F.col("s_all") / F.col("n_days")
+    )
+    sst = F.col("ss_all").cast("double") - mean_sq
+    return g.select(
+        "event_type",
+        "n_days",
+        F.when(sst > 0, F.round((ssb - mean_sq) / sst, 6)).alias(
+            "seasonal_strength"
+        ),
+    ).orderBy("event_type")
+
+
+SEASONAL_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, d, n,
+    SUM(n) OVER w AS roll, COUNT(*) OVER w AS cnt,
+    MIN(d) OVER w AS dmin, MAX(d) OVER w AS dmax
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT event_type, isodow(d) - 1 AS dow,
+         CAST(7 * n - roll AS BIGINT) AS det
+  FROM win WHERE cnt = 7 AND dmax - dmin = 6
+),
+g AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(det) AS BIGINT) AS s_all,
+    SUM(CAST(det AS DECIMAL(38,0)) * det) AS ss_all,
+    CAST(SUM(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+    CAST(SUM(CASE WHEN dow = 0 THEN det ELSE 0 END) AS BIGINT) AS s0,
+    CAST(SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN dow = 1 THEN det ELSE 0 END) AS BIGINT) AS s1,
+    CAST(SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+    CAST(SUM(CASE WHEN dow = 2 THEN det ELSE 0 END) AS BIGINT) AS s2,
+    CAST(SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+    CAST(SUM(CASE WHEN dow = 3 THEN det ELSE 0 END) AS BIGINT) AS s3,
+    CAST(SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+    CAST(SUM(CASE WHEN dow = 4 THEN det ELSE 0 END) AS BIGINT) AS s4,
+    CAST(SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+    CAST(SUM(CASE WHEN dow = 5 THEN det ELSE 0 END) AS BIGINT) AS s5,
+    CAST(SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+    CAST(SUM(CASE WHEN dow = 6 THEN det ELSE 0 END) AS BIGINT) AS s6
+  FROM det GROUP BY event_type
+)
+SELECT event_type, n_days,
+  CASE WHEN (CAST(ss_all AS DOUBLE)
+             - CAST(s_all AS DOUBLE) * s_all / n_days) > 0
+    THEN round(
+      ((CASE WHEN c0 > 0 THEN CAST(s0 AS DOUBLE) * s0 / c0 ELSE 0.0 END
+        + CASE WHEN c1 > 0 THEN CAST(s1 AS DOUBLE) * s1 / c1 ELSE 0.0 END
+        + CASE WHEN c2 > 0 THEN CAST(s2 AS DOUBLE) * s2 / c2 ELSE 0.0 END
+        + CASE WHEN c3 > 0 THEN CAST(s3 AS DOUBLE) * s3 / c3 ELSE 0.0 END
+        + CASE WHEN c4 > 0 THEN CAST(s4 AS DOUBLE) * s4 / c4 ELSE 0.0 END
+        + CASE WHEN c5 > 0 THEN CAST(s5 AS DOUBLE) * s5 / c5 ELSE 0.0 END
+        + CASE WHEN c6 > 0 THEN CAST(s6 AS DOUBLE) * s6 / c6 ELSE 0.0 END)
+       - CAST(s_all AS DOUBLE) * s_all / n_days)
+      / (CAST(ss_all AS DOUBLE)
+         - CAST(s_all AS DOUBLE) * s_all / n_days), 6)
+  END AS seasonal_strength
+FROM g
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ts_similarity_topk": ts_similarity_topk,
     "events_autocorrelation": events_autocorrelation,
+    "events_seasonal_strength": events_seasonal_strength,
 }
 
 ORACLES = {
     "ts_similarity_topk": TS_SIMILARITY_SQL,
     "events_autocorrelation": EVENTS_ACF_SQL,
+    "events_seasonal_strength": SEASONAL_STRENGTH_SQL,
 }

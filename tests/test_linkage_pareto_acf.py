@@ -167,3 +167,60 @@ def test_source_vocab_overlap_hand_jaccard(spark, tmp_path):
     assert m.jaccard == 0.5
     # disjoint vocabularies never appear (no shared word -> no candidate)
     assert ("srcA", "srcC") not in out and ("srcB", "srcC") not in out
+
+
+def test_seasonal_strength_pure_weekly_rhythm(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.timeseries import (
+        events_seasonal_strength,
+    )
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    rows, eid = [], 0
+    # "pure" stream: count depends ONLY on weekday (10 + 3*dow), no trend,
+    # 28 consecutive days -> strength == 1.  "flat" stream: constant 5/day
+    # -> zero detrended variance everywhere -> strength NULL.
+    for d in range(28):
+        dow = d % 7
+        for i in range(10 + 3 * dow):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, minutes=i), 1,
+                 "pure", 1.0, "{}")
+            )
+            eid += 1
+        for i in range(5):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, hours=10, minutes=i),
+                 2, "flat", 1.0, "{}")
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        r.event_type: r for r in events_seasonal_strength(spark, sf).collect()
+    }
+    # 28 days - 3 edge rows each side = 22 analyzable days per type
+    assert out["pure"].n_days == 22
+    assert out["pure"].seasonal_strength == 1.0
+    assert out["flat"].seasonal_strength is None
+
+
+def test_seasonal_strength_gap_breaks_window(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.timeseries import (
+        events_seasonal_strength,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 14 days with day 6 missing: every 7-row window spanning the gap
+    # covers >6 calendar days and must be excluded from the analysis
+    for d in list(range(6)) + list(range(7, 14)):
+        for i in range(10 + (d % 7)):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, minutes=i), 1,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = events_seasonal_strength(spark, sf).collect()
+    # only days 10 (windows 7..13) qualify: exactly 1 consecutive run of
+    # 7 within 7..13 -> its center day 10 alone
+    assert out[0].n_days == 1
