@@ -959,12 +959,103 @@ GROUP BY label ORDER BY label
 """
 
 
+def label_contradiction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: near-identical embedding pairs whose LABELS
+    disagree, rolled up per unordered label pair — the "which classes
+    bleed into each other" matrix a dataset owner reads before trusting
+    the labels (a high-cosine pair with two different labels is either a
+    mislabel or a genuinely ambiguous example; either way it caps the
+    accuracy any classifier can reach).
+
+    Scale design: candidate pairs come from the SAME OR-of-ANDs
+    hyperplane banding every bucketed consumer shares
+    (``banded_embeddings`` — an equi-join on (band_id, bucket), never
+    all-pairs); labels join back on the vector key; the rollup is one
+    hash aggregate bounded by C(|labels|, 2) output rows.  The per-group
+    summary is (count, MAX cosine) — max is order-independent, so no
+    float ever accumulates."""
+    raw = load_table(spark, sf_dir, "embeddings", spread=True)
+    dim = len(raw.select("embedding").head()["embedding"])
+    banded = banded_embeddings(with_norm(raw), dim)
+    a, b = banded.alias("a"), banded.alias("b")
+    sim = cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.norm"),
+        F.col("b.norm"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
+        .distinct()
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = lab.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a")
+    )
+    lb = lab.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b")
+    )
+    return (
+        pairs.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .filter(F.col("label_a") != F.col("label_b"))
+        .groupBy(
+            F.least("label_a", "label_b").alias("label_lo"),
+            F.greatest("label_a", "label_b").alias("label_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("cosine_sim").alias("max_cosine"),
+        )
+        .orderBy("label_lo", "label_hi")
+    )
+
+
+def _build_label_contradiction_sql() -> str:
+    return f"""
+WITH {banded_cte_sql()},
+p AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round({_dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6)
+      AS cosine_sim
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+  WHERE {_dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+        >= {NEARDUP_COSINE}
+)
+SELECT least(la.label, lb.label) AS label_lo,
+       greatest(la.label, lb.label) AS label_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MAX(p.cosine_sim) AS max_cosine
+FROM p
+JOIN embeddings la ON p.vec_a = la.vec_id
+JOIN embeddings lb ON p.vec_b = lb.vec_id
+WHERE la.label <> lb.label
+GROUP BY 1, 2
+ORDER BY label_lo, label_hi
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
     "ann_ivf_recall": ann_ivf_recall,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "label_contradiction_matrix": label_contradiction_matrix,
     "embedding_centroid_by_label": embedding_centroid_by_label,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_similarity_histogram": embedding_similarity_histogram,
@@ -977,6 +1068,7 @@ ORACLES = {
     "ann_ivf": ANN_IVF_SQL,
     "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "embedding_neardup_pairs": EMB_NEARDUP_SQL,
+    "label_contradiction_matrix": _build_label_contradiction_sql(),
     "embedding_centroid_by_label": EMB_CENTROID_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
     "embedding_similarity_histogram": SIM_HISTOGRAM_SQL,

@@ -224,3 +224,25 @@ def test_seasonal_strength_gap_breaks_window(spark, tmp_path):
     # only days 10 (windows 7..13) qualify: exactly 1 consecutive run of
     # 7 within 7..13 -> its center day 10 alone
     assert out[0].n_days == 1
+
+
+def test_label_contradiction_on_constructed_vectors(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.similarity import (
+        label_contradiction_matrix,
+    )
+
+    # two identical vectors with DIFFERENT labels (a guaranteed
+    # contradiction: identical vectors share every LSH band bucket and
+    # cosine 1.0), plus an orthogonal singleton
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 1),
+        (3, [0.0, 1.0, 0.0, 0.0], 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = label_contradiction_matrix(spark, str(tmp_path)).collect()
+    got = {(r.label_lo, r.label_hi): r for r in out}
+    assert (0, 1) in got
+    assert got[(0, 1)].n_pairs == 1 and got[(0, 1)].max_cosine == 1.0
