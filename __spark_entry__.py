@@ -220,7 +220,8 @@ _TIER1 = [
     # entity_match_part_names, entity_blocking_stats,
     # events_autocorrelation, customer_revenue_pareto,
     # supplier_triangle_census, source_vocab_overlap,
-    # events_seasonal_strength, label_contradiction_matrix), THEN the
+    # events_seasonal_strength, label_contradiction_matrix,
+    # l_diversity_report), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

@@ -404,6 +404,59 @@ LIMIT {K_ANON_TOP}
 """
 
 
+L_DIVERSITY = 3  # classes with fewer distinct sensitive values fail
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymity report's complementary guarantee (Machanavajjhala
+    et al.'s distinct l-diversity): a QI equivalence class can be
+    k-anonymous and STILL leak — if all k users in the (day, value
+    bucket) class share one event_type, knowing someone is in the class
+    reveals their sensitive value.  Here the QI is (epoch day, coarsened
+    value bucket) and the sensitive attribute is event_type; a class
+    with fewer than L distinct types fails.
+
+    Scale design: identical to the k-anonymity row — one scan, one hash
+    aggregate on the QI key with two-phase distinct counts; output
+    top-bounded by rarity.  Same tz-free epoch-day arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 86400000000000").alias("epoch_day"),
+        F.floor(F.col("value") / K_ANON_VALUE_BUCKET).alias("value_bucket"),
+        "event_type",
+        "user_id",
+    )
+    return (
+        ev.groupBy("epoch_day", "value_bucket")
+        .agg(
+            F.countDistinct("event_type").alias("n_sensitive"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_rows"),
+        )
+        .filter(F.col("n_sensitive") < L_DIVERSITY)
+        .orderBy("n_sensitive", "epoch_day", "value_bucket")
+        .limit(K_ANON_TOP)
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH ev AS (
+  SELECT
+    CAST(epoch_us(ts) * 1000 AS BIGINT) // 86400000000000 AS epoch_day,
+    CAST(floor(value / {K_ANON_VALUE_BUCKET}) AS BIGINT) AS value_bucket,
+    event_type, user_id
+  FROM events
+)
+SELECT epoch_day, value_bucket,
+  COUNT(DISTINCT event_type) AS n_sensitive,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_rows
+FROM ev GROUP BY 1, 2
+HAVING COUNT(DISTINCT event_type) < {L_DIVERSITY}
+ORDER BY n_sensitive, epoch_day, value_bucket
+LIMIT {K_ANON_TOP}
+"""
+
+
 QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -708,6 +761,7 @@ QUERIES = {
     "events_drift_report": events_drift_report,
     "value_outliers_mad": value_outliers_mad,
     "k_anonymity_report": k_anonymity_report,
+    "l_diversity_report": l_diversity_report,
     "exact_quantiles_by_type": exact_quantiles_by_type,
     "order_to_ship_latency_quantiles": order_to_ship_latency_quantiles,
     "props_key_profile": props_key_profile,
@@ -720,6 +774,7 @@ ORACLES = {
     "events_drift_report": EVENTS_DRIFT_SQL,
     "value_outliers_mad": VALUE_OUTLIERS_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,
+    "l_diversity_report": L_DIVERSITY_SQL,
     "exact_quantiles_by_type": EXACT_QUANTILES_SQL,
     "order_to_ship_latency_quantiles": ORDER_SHIP_LATENCY_SQL,
     "props_key_profile": PROPS_KEY_PROFILE_SQL,

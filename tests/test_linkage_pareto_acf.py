@@ -246,3 +246,27 @@ def test_label_contradiction_on_constructed_vectors(spark, tmp_path):
     got = {(r.label_lo, r.label_hi): r for r in out}
     assert (0, 1) in got
     assert got[(0, 1)].n_pairs == 1 and got[(0, 1)].max_cosine == 1.0
+
+
+def test_l_diversity_flags_single_type_class(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.diagnostics import (
+        l_diversity_report,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # day 0, bucket 0: five users but ONE event type -> k-anonymous yet
+    # l-diversity fails (n_sensitive = 1)
+    for u in range(5):
+        rows.append((u, base, u, "click", 10.0, "{}"))
+    # day 1, bucket 0: three types across users -> passes (>= 3)
+    for u, t in enumerate(["click", "view", "purchase"]):
+        rows.append((10 + u, base + datetime.timedelta(days=1), u, t, 10.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    out = {(r.epoch_day, r.value_bucket): r
+           for r in l_diversity_report(spark, sf).collect()}
+    day0 = (base - datetime.datetime(1970, 1, 1)).days
+    assert (day0, 0) in out
+    r = out[(day0, 0)]
+    assert r.n_sensitive == 1 and r.n_users == 5
+    assert (day0 + 1, 0) not in out
