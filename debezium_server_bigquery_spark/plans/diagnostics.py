@@ -457,6 +457,144 @@ LIMIT {K_ANON_TOP}
 """
 
 
+T_CLOSENESS = 0.5  # classes farther than this from the corpus leak
+T_CLOSE_TOP = 100
+
+
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third privacy guarantee (Li et al.'s t-closeness, completing
+    the k-anonymity / l-diversity trilogy): a QI class can be l-diverse
+    and still leak when its sensitive-value DISTRIBUTION is far from the
+    corpus's — "3 distinct diagnoses, but 95% cancer" tells an attacker
+    plenty.  Distance is total variation (EMD under uniform ground
+    distance for categoricals): tv = ½ Σ_t |P_class(t) − P_corpus(t)|.
+
+    Exactness design: both distributions are ratios of integer counts,
+    so each term is |n_ct·G − g_t·N_c| / (N_c·G) — an EXACT integer
+    numerator (DECIMAL(38,0): n_ct·G alone overflows BIGINT at corpus
+    scale).  Types absent from a class contribute g_t·N_c each; their
+    sum folds in without materializing zero rows as
+    (G − Σ_present g_t)·N_c.  One IEEE division per class at the end.
+
+    Scale: one (QI, type) hash aggregate, one QI roll-up, the global
+    type distribution (≤ |types| rows) and corpus total (1 row) as
+    broadcasts; output rarity-bounded and top-limited."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 86400000000000").alias("epoch_day"),
+        F.floor(F.col("value") / K_ANON_VALUE_BUCKET).alias("value_bucket"),
+        "event_type",
+    )
+    ct = ev.groupBy("epoch_day", "value_bucket", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ct")
+    )
+    gt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("g_t")
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("g_all")).withColumn(
+        "__k", F.lit(1)
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # the abs-term needs N_c (the class total), which is only known after
+    # a roll-up — so aggregate class totals first, then compute the
+    # per-type terms joined back on the class key (two hash aggregates
+    # over (QI, type) / (QI), both map-side combinable)
+    nc = (
+        ct.join(F.broadcast(gt), "event_type")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .groupBy("epoch_day", "value_bucket")
+        .agg(
+            F.sum("n_ct").cast("long").alias("n_c"),
+            F.sum("g_t").cast("long").alias("g_present"),
+            F.max("g_all").alias("g_all"),
+        )
+    )
+    terms = (
+        ct.join(nc, ["epoch_day", "value_bucket"])
+        .join(F.broadcast(gt), "event_type")
+        .groupBy("epoch_day", "value_bucket")
+        .agg(
+            F.max("n_c").alias("n_c"),
+            F.max("g_present").alias("g_present"),
+            F.max("g_all").alias("g_all"),
+            F.sum(
+                F.abs(dec("n_ct") * dec("g_all") - dec("g_t") * dec("n_c"))
+            )
+            .cast("decimal(38,0)")
+            .alias("s_present"),
+        )
+    )
+    tv = (
+        (
+            F.col("s_present")
+            + (dec("g_all") - dec("g_present")) * dec("n_c")
+        ).cast("double")
+        / (F.lit(2.0) * F.col("n_c") * F.col("g_all"))
+    )
+    return (
+        terms.select(
+            "epoch_day",
+            "value_bucket",
+            F.col("n_c").alias("n_rows"),
+            F.round(tv, 6).alias("tv_distance"),
+        )
+        .filter(F.col("tv_distance") > T_CLOSENESS)
+        .orderBy(
+            F.desc("tv_distance"), "epoch_day", "value_bucket"
+        )
+        .limit(T_CLOSE_TOP)
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH ev AS (
+  SELECT
+    CAST(epoch_us(ts) * 1000 AS BIGINT) // 86400000000000 AS epoch_day,
+    CAST(floor(value / {K_ANON_VALUE_BUCKET}) AS BIGINT) AS value_bucket,
+    event_type
+  FROM events
+),
+ct AS (
+  SELECT epoch_day, value_bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_ct
+  FROM ev GROUP BY 1, 2, 3
+),
+gt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS g_t FROM ev GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS g_all FROM ev),
+nc AS (
+  SELECT epoch_day, value_bucket,
+         CAST(SUM(n_ct) AS BIGINT) AS n_c,
+         CAST(SUM(g_t) AS BIGINT) AS g_present
+  FROM ct JOIN gt USING (event_type) GROUP BY 1, 2
+),
+terms AS (
+  SELECT c.epoch_day, c.value_bucket,
+    MAX(n.n_c) AS n_c, MAX(n.g_present) AS g_present, MAX(t.g_all) AS g_all,
+    SUM(abs(CAST(c.n_ct AS DECIMAL(38,0)) * t.g_all
+            - CAST(g.g_t AS DECIMAL(38,0)) * n.n_c)) AS s_present
+  FROM ct c
+  JOIN nc n ON c.epoch_day = n.epoch_day AND c.value_bucket = n.value_bucket
+  JOIN gt g ON c.event_type = g.event_type
+  CROSS JOIN tot t
+  GROUP BY 1, 2
+)
+SELECT epoch_day, value_bucket, n_c AS n_rows,
+  round(CAST(s_present
+             + (CAST(g_all AS DECIMAL(38,0)) - g_present)
+               * CAST(n_c AS DECIMAL(38,0)) AS DOUBLE)
+        / (2.0 * n_c * g_all), 6) AS tv_distance
+FROM terms
+WHERE CAST(s_present
+           + (CAST(g_all AS DECIMAL(38,0)) - g_present)
+             * CAST(n_c AS DECIMAL(38,0)) AS DOUBLE)
+      / (2.0 * n_c * g_all) > {T_CLOSENESS}
+ORDER BY tv_distance DESC, epoch_day, value_bucket
+LIMIT {T_CLOSE_TOP}
+"""
+
+
 QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -762,6 +900,7 @@ QUERIES = {
     "value_outliers_mad": value_outliers_mad,
     "k_anonymity_report": k_anonymity_report,
     "l_diversity_report": l_diversity_report,
+    "t_closeness_report": t_closeness_report,
     "exact_quantiles_by_type": exact_quantiles_by_type,
     "order_to_ship_latency_quantiles": order_to_ship_latency_quantiles,
     "props_key_profile": props_key_profile,
@@ -775,6 +914,7 @@ ORACLES = {
     "value_outliers_mad": VALUE_OUTLIERS_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,
     "l_diversity_report": L_DIVERSITY_SQL,
+    "t_closeness_report": T_CLOSENESS_SQL,
     "exact_quantiles_by_type": EXACT_QUANTILES_SQL,
     "order_to_ship_latency_quantiles": ORDER_SHIP_LATENCY_SQL,
     "props_key_profile": PROPS_KEY_PROFILE_SQL,

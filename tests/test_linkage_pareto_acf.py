@@ -270,3 +270,42 @@ def test_l_diversity_flags_single_type_class(spark, tmp_path):
     r = out[(day0, 0)]
     assert r.n_sensitive == 1 and r.n_users == 5
     assert (day0 + 1, 0) not in out
+
+
+def test_t_closeness_skewed_class_distance(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.diagnostics import (
+        t_closeness_report,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # corpus: 10 click + 10 view; day 0 class = all 10 clicks (skewed),
+    # day 1 class = the balanced 10/10 remainder? -> build: day0 has
+    # 10 click; day1 has 10 view.  Global P = (0.5, 0.5); each one-type
+    # class has tv = 0.5 exactly -> NOT > 0.5 (boundary).  Make day0
+    # 15 click vs day1 5 click+10 view: global P(click)=25/30? keep it
+    # simple: day0 = 9 click + 1 view, day1 = 1 click + 9 view.
+    # Global = (0.5, 0.5); each class tv = |0.9-0.5| = 0.4 -> passes.
+    # day2 = 10 purchase: global becomes click 1/3, view 1/3, purch 1/3;
+    # recompute by hand below instead with the actual fixture:
+    #   day0: 9 click, 1 view; day1: 1 click, 9 view; day2: 10 purchase
+    #   global: click 10/30, view 10/30, purchase 10/30
+    #   tv(day2) = 1/2 (|1 - 1/3| + 1/3 + 1/3) = 2/3 > 0.5 -> flagged
+    #   tv(day0) = 1/2 (|0.9-1/3| + |0.1-1/3| + 1/3) = 0.566667 -> flagged
+    for i in range(9):
+        rows.append((i, base, i, "click", 10.0, "{}"))
+    rows.append((9, base, 9, "view", 10.0, "{}"))
+    rows.append((10, base + datetime.timedelta(days=1), 0, "click", 10.0, "{}"))
+    for i in range(9):
+        rows.append((11 + i, base + datetime.timedelta(days=1), i, "view",
+                     10.0, "{}"))
+    for i in range(10):
+        rows.append((20 + i, base + datetime.timedelta(days=2), i, "purchase",
+                     10.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    day0 = (base - datetime.datetime(1970, 1, 1)).days
+    out = {(r.epoch_day, r.value_bucket): r
+           for r in t_closeness_report(spark, sf).collect()}
+    assert out[(day0 + 2, 0)].tv_distance == round(2 / 3, 6)
+    assert out[(day0, 0)].tv_distance == 0.566667
+    assert out[(day0 + 1, 0)].tv_distance == 0.566667
