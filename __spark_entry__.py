@@ -221,7 +221,8 @@ _TIER1 = [
     # events_autocorrelation, customer_revenue_pareto,
     # supplier_triangle_census, source_vocab_overlap,
     # events_seasonal_strength, label_contradiction_matrix,
-    # l_diversity_report, t_closeness_report), THEN the
+    # l_diversity_report, t_closeness_report,
+    # graph_degree_assortativity), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

@@ -287,25 +287,11 @@ LIMIT {COOC_TOP}
 TRI_MAX_ORDER_SUPPLIERS = 32  # orders touching more suppliers don't pair
 
 
-def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the supplier co-supply graph (suppliers are
-    adjacent when they ship lines of the same order): node/edge/wedge/
-    triangle counts and the global clustering coefficient — the graph-
-    density audit behind "is this co-occurrence graph cliquey or
-    star-shaped".
-
-    Scale design (the MapReduce triangle-counting literature's
-    degree-orientation trick): a naive wedge join explodes as Σ deg² on
-    hub nodes.  Every edge is first ORIENTED from its (degree, id)-
-    smaller endpoint to the larger; wedges are then built only from the
-    ≺-min vertex's OUT-edges, whose out-degree is bounded by O(√m) on
-    any graph (arboricity bound) — so the wedge join is Σ outdeg², not
-    Σ deg², and each triangle is generated exactly once at its ≺-min
-    vertex.  The closing check is one equi-join against the canonical
-    (a < b) edge set.  Edge generation itself pairs suppliers only
-    WITHIN an order (C(order size, 2), df-capped like the co-occurrence
-    operator).  Wedge totals are exact integer sums; the coefficient is
-    the only float, computed once at the end."""
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b) distinct edge set of the co-supply graph:
+    suppliers adjacent when they ship lines of the same order.  Pairing
+    is confined within an order (C(order size, 2)) with a df cap on
+    giant orders — the quadratic guard both graph stats share."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -321,11 +307,127 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = os_pairs.join(small, "o")
     ka = kept.select("o", F.col("s").alias("a"))
     kb = kept.select(F.col("o").alias("o2"), F.col("s").alias("b"))
-    edges = (
+    return (
         ka.join(kb, (ka["o"] == kb["o2"]) & (ka["a"] < kb["b"]))
         .select("a", "b")
         .distinct()
     )
+
+
+_COSUPPLY_EDGES_CTE = f"""os AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+small AS (
+  SELECT o FROM os GROUP BY o
+  HAVING COUNT(*) <= {{cap}}
+),
+kept AS (SELECT os.* FROM os JOIN small USING (o)),
+edges AS (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM kept x JOIN kept y ON x.o = y.o AND x.s < y.s
+)"""
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-supply graph (Newman's r): the
+    Pearson correlation of endpoint degrees over all edges, each edge
+    counted in both orientations — positive means hubs prefer hubs
+    (a core-periphery co-supply market), negative means hubs attach to
+    leaves (star-shaped).  The one-number structural summary that tells
+    a graph-algorithm designer whether degree-based partitioning will
+    balance.
+
+    Exactness + scale: degrees are integer counts; over the
+    both-orientations multiset Σx = Σy = Σ(da+db), Σxy = 2Σ(da·db),
+    Σx² = Σy² = Σ(da²+db²), n = 2m — every moment an exact integer from
+    ONE pass over the edge list (after two degree joins), cast to
+    DOUBLE once for the final ratio.  Same df-capped edge builder as
+    the triangle census."""
+    edges = _cosupply_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ed = edges.join(da, "a").join(db, "b")
+    m = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.col("deg_a") + F.col("deg_b")).cast("long").alias("sxy_sum"),
+        F.sum(F.col("deg_a") * F.col("deg_b")).cast("long").alias("sprod"),
+        F.sum(
+            F.col("deg_a") * F.col("deg_a") + F.col("deg_b") * F.col("deg_b")
+        )
+        .cast("long")
+        .alias("ssq"),
+    )
+    n2 = m["n_edges"] * 2
+    cov = n2 * (m["sprod"] * 2) - m["sxy_sum"] * m["sxy_sum"]
+    var = n2 * m["ssq"] - m["sxy_sum"] * m["sxy_sum"]
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    k = F.lit(1).alias("__k")
+    return (
+        m.select(k, "*")
+        .join(F.broadcast(nodes.select(k, "*")), "__k")
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.when(
+                var > 0,
+                F.round(cov.cast("double") / var.cast("double"), 6),
+            ).alias("assortativity"),
+        )
+    )
+
+
+ASSORTATIVITY_SQL = f"""
+WITH {_COSUPPLY_EDGES_CTE.format(cap=TRI_MAX_ORDER_SUPPLIERS)},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+  ) GROUP BY node
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+    CAST(SUM(da.deg + db.deg) AS BIGINT) AS sxy_sum,
+    CAST(SUM(da.deg * db.deg) AS BIGINT) AS sprod,
+    CAST(SUM(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS ssq
+  FROM edges e
+  JOIN deg da ON e.a = da.node
+  JOIN deg db ON e.b = db.node
+),
+nodes AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_nodes, n_edges,
+  CASE WHEN (2 * n_edges * ssq - sxy_sum * sxy_sum) > 0
+    THEN round(
+      CAST(2 * n_edges * (2 * sprod) - sxy_sum * sxy_sum AS DOUBLE)
+      / CAST(2 * n_edges * ssq - sxy_sum * sxy_sum AS DOUBLE), 6)
+  END AS assortativity
+FROM m, nodes
+"""
+
+
+def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-supply graph (suppliers are
+    adjacent when they ship lines of the same order): node/edge/wedge/
+    triangle counts and the global clustering coefficient — the graph-
+    density audit behind "is this co-occurrence graph cliquey or
+    star-shaped".
+
+    Scale design (the MapReduce triangle-counting literature's
+    degree-orientation trick): a naive wedge join explodes as Σ deg² on
+    hub nodes.  Every edge is first ORIENTED from its (degree, id)-
+    smaller endpoint to the larger; wedges are then built only from the
+    ≺-min vertex's OUT-edges, whose out-degree is bounded by O(√m) on
+    any graph (arboricity bound) — so the wedge join is Σ outdeg², not
+    Σ deg², and each triangle is generated exactly once at its ≺-min
+    vertex.  The closing check is one equi-join against the canonical
+    (a < b) edge set from the shared ``_cosupply_edges`` builder
+    (within-order pairing, df-capped).  Wedge totals are exact integer
+    sums; the coefficient is the only float, computed once at the end."""
+    edges = _cosupply_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
@@ -383,18 +485,7 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIANGLE_SQL = f"""
-WITH os AS (
-  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
-),
-small AS (
-  SELECT o FROM os GROUP BY o
-  HAVING COUNT(*) <= {TRI_MAX_ORDER_SUPPLIERS}
-),
-kept AS (SELECT os.* FROM os JOIN small USING (o)),
-edges AS (
-  SELECT DISTINCT x.s AS a, y.s AS b
-  FROM kept x JOIN kept y ON x.o = y.o AND x.s < y.s
-),
+WITH {_COSUPPLY_EDGES_CTE.format(cap=TRI_MAX_ORDER_SUPPLIERS)},
 deg AS (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
@@ -432,9 +523,11 @@ QUERIES = {
     "pagerank_trade_graph": pagerank_trade_graph,
     "supplier_cooccurrence_topk": supplier_cooccurrence_topk,
     "supplier_triangle_census": supplier_triangle_census,
+    "graph_degree_assortativity": graph_degree_assortativity,
 }
 ORACLES = {
     "pagerank_trade_graph": PAGERANK_SQL,
     "supplier_cooccurrence_topk": COOC_SQL,
     "supplier_triangle_census": TRIANGLE_SQL,
+    "graph_degree_assortativity": ASSORTATIVITY_SQL,
 }

@@ -309,3 +309,22 @@ def test_t_closeness_skewed_class_distance(spark, tmp_path):
     assert out[(day0 + 2, 0)].tv_distance == round(2 / 3, 6)
     assert out[(day0, 0)].tv_distance == 0.566667
     assert out[(day0 + 1, 0)].tv_distance == 0.566667
+
+
+def test_assortativity_star_is_negative(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.graph import (
+        graph_degree_assortativity,
+    )
+
+    # star graph: hub 1 connected to leaves 2..5 -> perfectly
+    # disassortative? For a pure star r is undefined-to-negative; use a
+    # known value instead: a star K_{1,4} has every edge (deg 4, deg 1):
+    # x always 4 pairs with 1 and vice versa -> correlation = -1
+    rows = [(o, s) for o, s in [(1, 1), (1, 2), (2, 1), (2, 3),
+                                (3, 1), (3, 4), (4, 1), (4, 5)]]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = graph_degree_assortativity(spark, str(tmp_path)).collect()[0]
+    assert r.n_nodes == 5 and r.n_edges == 4
+    assert r.assortativity == -1.0
