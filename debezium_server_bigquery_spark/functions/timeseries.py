@@ -350,14 +350,116 @@ ORDER BY event_type
 """
 
 
+def events_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event-type pairs: does type A's
+    daily volume at day t predict type B's at day t+lag?  (the classic
+    "views lead purchases by two days" read, and the input to any
+    Granger-style causal screen).  Directional: (type_a, type_b, lag)
+    correlates A today with B ``lag`` days LATER; lag 0 is emitted once
+    per unordered pair.
+
+    Scale design mirrors ``events_autocorrelation``: lagged pairs come
+    from an equi-join of the daily aggregate with itself on the derived
+    date key (per-date fan-out bounded by |types|², a fixed domain) —
+    never an ordered window — and Pearson r derives from exact integer
+    moments cast to DOUBLE once.  Zero-variance series yield NULL."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    probes = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("d"),
+        F.col("n").alias("n_a"),
+    ).withColumn(
+        "lag_d",
+        F.explode(F.array(*[F.lit(i) for i in range(0, ACF_MAX_LAG + 1)])),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("d").alias("d_b"),
+        F.col("n").alias("n_b"),
+    )
+    joined = probes.join(
+        b, F.expr("date_add(d, lag_d)") == b["d_b"]
+    ).filter(
+        (F.col("type_a") != F.col("type_b"))
+        & ((F.col("lag_d") > 0) | (F.col("type_a") < F.col("type_b")))
+    )
+    m = joined.groupBy("type_a", "type_b", "lag_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("n_a").alias("sx"),
+        F.sum("n_b").alias("sy"),
+        F.sum(F.col("n_a") * F.col("n_b")).alias("sxy"),
+        F.sum(F.col("n_a") * F.col("n_a")).alias("sxx"),
+        F.sum(F.col("n_b") * F.col("n_b")).alias("syy"),
+    )
+    varx = m["n_pairs"] * m["sxx"] - m["sx"] * m["sx"]
+    vary = m["n_pairs"] * m["syy"] - m["sy"] * m["sy"]
+    cov = m["n_pairs"] * m["sxy"] - m["sx"] * m["sy"]
+    return m.select(
+        "type_a",
+        "type_b",
+        F.col("lag_d").cast("int").alias("lag_d"),
+        "n_pairs",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(varx.cast("double") * vary.cast("double")),
+                6,
+            ),
+        ).alias("xcorr"),
+    ).orderBy("type_a", "type_b", "lag_d")
+
+
+EVENTS_XCORR_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+probes AS (
+  SELECT d.event_type AS type_a, d.d, d.n AS n_a, l.lag_d
+  FROM daily d, unnest(range(0, {ACF_MAX_LAG + 1})) AS l(lag_d)
+),
+joined AS (
+  SELECT p.type_a, b.event_type AS type_b, p.lag_d, p.n_a, b.n AS n_b
+  FROM probes p
+  JOIN daily b ON b.d = p.d + CAST(p.lag_d AS INTEGER)
+  WHERE p.type_a <> b.event_type
+    AND (p.lag_d > 0 OR p.type_a < b.event_type)
+),
+m AS (
+  SELECT type_a, type_b, lag_d,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    SUM(n_a) AS sx, SUM(n_b) AS sy,
+    SUM(n_a * n_b) AS sxy, SUM(n_a * n_a) AS sxx, SUM(n_b * n_b) AS syy
+  FROM joined GROUP BY 1, 2, 3
+)
+SELECT type_a, type_b, CAST(lag_d AS INTEGER) AS lag_d, n_pairs,
+  CASE WHEN (n_pairs * sxx - sx * sx) > 0 AND (n_pairs * syy - sy * sy) > 0
+    THEN round(
+      CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+             * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+  END AS xcorr
+FROM m
+ORDER BY type_a, type_b, lag_d
+"""
+
+
 QUERIES = {
     "ts_similarity_topk": ts_similarity_topk,
     "events_autocorrelation": events_autocorrelation,
     "events_seasonal_strength": events_seasonal_strength,
+    "events_crosscorrelation": events_crosscorrelation,
 }
 
 ORACLES = {
     "ts_similarity_topk": TS_SIMILARITY_SQL,
     "events_autocorrelation": EVENTS_ACF_SQL,
     "events_seasonal_strength": SEASONAL_STRENGTH_SQL,
+    "events_crosscorrelation": EVENTS_XCORR_SQL,
 }

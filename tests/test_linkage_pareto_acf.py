@@ -328,3 +328,33 @@ def test_assortativity_star_is_negative(spark, tmp_path):
     r = graph_degree_assortativity(spark, str(tmp_path)).collect()[0]
     assert r.n_nodes == 5 and r.n_edges == 4
     assert r.assortativity == -1.0
+
+
+def test_crosscorrelation_shifted_series(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.timeseries import (
+        events_crosscorrelation,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # "view" alternates 10/20; "purchase" is the SAME series shifted
+    # 2 days later -> xcorr(view -> purchase, lag 2) == 1,
+    # lag 1 == -1 (anti-phase), lag 0 == -1 on the overlap
+    for d in range(14):
+        for i in range(10 if d % 2 == 0 else 20):
+            rows.append((eid, base + datetime.timedelta(days=d, minutes=i),
+                         1, "view", 1.0, "{}"))
+            eid += 1
+        for i in range(10 if (d - 2) % 2 == 0 else 20):
+            rows.append((eid, base + datetime.timedelta(days=d, hours=6,
+                                                        minutes=i),
+                         2, "purchase", 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {(r.type_a, r.type_b, r.lag_d): r
+           for r in events_crosscorrelation(spark, sf).collect()}
+    assert out[("view", "purchase", 2)].xcorr == 1.0
+    assert out[("view", "purchase", 1)].xcorr == -1.0
+    # lag 0 emitted once per unordered pair: (purchase, view) only
+    assert ("view", "purchase", 0) not in out
+    assert out[("purchase", "view", 0)].xcorr == 1.0
