@@ -222,7 +222,8 @@ _TIER1 = [
     # supplier_triangle_census, source_vocab_overlap,
     # events_seasonal_strength, label_contradiction_matrix,
     # l_diversity_report, t_closeness_report,
-    # graph_degree_assortativity, events_crosscorrelation), THEN the
+    # graph_degree_assortativity, events_crosscorrelation,
+    # orders_benford_check), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

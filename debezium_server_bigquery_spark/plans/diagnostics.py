@@ -595,6 +595,99 @@ LIMIT {T_CLOSE_TOP}
 """
 
 
+# Benford first-digit law: P(d) = log10(1 + 1/d), rounded once and
+# embedded as identical literals in BOTH engine twins
+BENFORD_EXPECTED = {
+    1: 0.30103,
+    2: 0.176091,
+    3: 0.124939,
+    4: 0.09691,
+    5: 0.079181,
+    6: 0.066947,
+    7: 0.057992,
+    8: 0.051153,
+    9: 0.045757,
+}
+
+
+def orders_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit of order totals — the forensic
+    data-quality screen for fabricated or truncated monetary columns
+    (organic multiplicative amounts follow log10(1 + 1/d); synthetic,
+    capped, or copy-pasted ones don't).  Per digit: observed count and
+    share against the Benford expectation, with the absolute deviation.
+
+    Determinism: the amount is fixed to integer cents first
+    (floor(price·100) → BIGINT — one IEEE multiply identical on both
+    engines), the leading digit is string arithmetic on that integer,
+    and the expected shares are literal constants embedded identically
+    in both twins; the only computed floats are two rounded ratios."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    digits = o.filter(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = digits.agg(F.count(F.lit(1)).cast("long").alias("total")).withColumn(
+        "__k", F.lit(1)
+    )
+    exp_share = None
+    for d, p in BENFORD_EXPECTED.items():
+        branch = F.when(F.col("digit") == d, F.lit(p))
+        exp_share = branch if exp_share is None else exp_share.when(
+            F.col("digit") == d, F.lit(p)
+        )
+    return (
+        counts.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("total").cast("double"), 6).alias(
+                "obs_share"
+            ),
+            exp_share.alias("exp_share"),
+            F.round(
+                F.abs(
+                    F.col("n_obs") / F.col("total").cast("double") - exp_share
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN digit = {d} THEN {p}" for d, p in BENFORD_EXPECTED.items()
+)
+
+BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+  WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0
+),
+counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits)
+SELECT digit, n_obs,
+  round(n_obs / CAST(total AS DOUBLE), 6) AS obs_share,
+  CASE {_BENFORD_CASE} END AS exp_share,
+  round(abs(n_obs / CAST(total AS DOUBLE)
+            - CASE {_BENFORD_CASE} END), 6) AS abs_dev
+FROM counts, tot
+ORDER BY digit
+"""
+
+
 QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -901,6 +994,7 @@ QUERIES = {
     "k_anonymity_report": k_anonymity_report,
     "l_diversity_report": l_diversity_report,
     "t_closeness_report": t_closeness_report,
+    "orders_benford_check": orders_benford_check,
     "exact_quantiles_by_type": exact_quantiles_by_type,
     "order_to_ship_latency_quantiles": order_to_ship_latency_quantiles,
     "props_key_profile": props_key_profile,
@@ -915,6 +1009,7 @@ ORACLES = {
     "k_anonymity_report": K_ANONYMITY_SQL,
     "l_diversity_report": L_DIVERSITY_SQL,
     "t_closeness_report": T_CLOSENESS_SQL,
+    "orders_benford_check": BENFORD_SQL,
     "exact_quantiles_by_type": EXACT_QUANTILES_SQL,
     "order_to_ship_latency_quantiles": ORDER_SHIP_LATENCY_SQL,
     "props_key_profile": PROPS_KEY_PROFILE_SQL,

@@ -358,3 +358,28 @@ def test_crosscorrelation_shifted_series(spark, tmp_path):
     # lag 0 emitted once per unordered pair: (purchase, view) only
     assert ("view", "purchase", 0) not in out
     assert out[("purchase", "view", 0)].xcorr == 1.0
+
+
+def test_benford_digits_and_shares(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.diagnostics import (
+        orders_benford_check,
+    )
+
+    # amounts chosen so first digits of cents are 1,1,2,9 (0.05 -> "5")
+    rows = [
+        (1, 1, 1.00),    # 100 -> digit 1
+        (2, 2, 19.99),   # 1999 -> digit 1
+        (3, 3, 2.50),    # 250 -> digit 2
+        (4, 4, 0.99),    # 99 -> digit 9
+        (5, 5, 0.05),    # 5 -> digit 5
+        (6, 6, 0.00),    # 0 cents -> excluded
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.digit: r for r in orders_benford_check(spark, str(tmp_path)).collect()}
+    assert out[1].n_obs == 2 and out[1].obs_share == 0.4
+    assert out[2].n_obs == 1 and out[5].n_obs == 1 and out[9].n_obs == 1
+    assert out[1].exp_share == 0.30103
+    assert out[9].abs_dev == round(abs(0.2 - 0.045757), 6)
+    assert 0 not in out and len(out) == 4
