@@ -960,6 +960,174 @@ FROM s
 """
 
 
+HEAPS_CHECKPOINTS = 10  # doc-count deciles along the corpus prefix
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit — the Zipf fit's companion corpus-statistics gate:
+    vocabulary size grows as V(n) ≈ K·n^β over token count n (natural
+    text sits near β ≈ 0.4–0.6).  A corpus whose β is near 0 saturates
+    (template spam re-uses one vocabulary); near 1 every document brings
+    its own words (OCR noise, random ids).  Fit is OLS of ln(vocab) on
+    ln(tokens) at 10 doc-count decile checkpoints along the doc_id
+    order.
+
+    Scale design (100 TB): the doc→decile map comes from the two-level
+    rank (``operators/rank.global_row_number`` — never a global window);
+    per-decile token counts are one narrow size() per doc + a 10-group
+    aggregate; each term's FIRST decile is one min-aggregate over the
+    (term, decile) pairs; cumulative token/vocab totals pivot the 10
+    fixed deciles into ONE row of exact integer sums (no window over an
+    aggregate), which explodes back to ≤ 10 points for the 5-sum OLS —
+    the same ≤-1-ulp log-wobble argument as the Zipf fit, 9 orders
+    below the 6-dp rounding."""
+    from debezium_server_bigquery_spark.operators.rank import (
+        global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.lower(F.col("text")).alias("ltext")
+    )
+    ranked = global_row_number(
+        docs.select("doc_id"), [F.asc("doc_id")], out="r"
+    )
+    n_docs = ranked.agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "__k", F.lit(1)
+    )
+    deciles = (
+        ranked.withColumn("__k", F.lit(1))
+        .join(F.broadcast(n_docs), "__k")
+        .select(
+            "doc_id",
+            (
+                (F.col("r") - 1) * HEAPS_CHECKPOINTS / F.col("n_docs")
+            )
+            .cast("long")
+            .alias("dec0"),
+        )
+        .select("doc_id", (F.col("dec0") + 1).alias("dec"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(words(F.col("ltext"))).alias("term")
+    ).join(deciles, "doc_id")
+    tok_per_dec = toks.groupBy("dec").agg(
+        F.count(F.lit(1)).cast("long").alias("toks")
+    )
+    first_dec = toks.groupBy("term").agg(F.min("dec").alias("fdec"))
+    new_per_dec = first_dec.groupBy(F.col("fdec").alias("dec")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    per_dec = tok_per_dec.join(new_per_dec, "dec", "full").select(
+        "dec",
+        F.coalesce("toks", F.lit(0)).alias("toks"),
+        F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+    )
+    pivot_aggs = []
+    for k in range(1, HEAPS_CHECKPOINTS + 1):
+        pivot_aggs.append(
+            F.sum(F.when(F.col("dec") <= k, F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias(f"t{k}")
+        )
+        pivot_aggs.append(
+            F.sum(F.when(F.col("dec") <= k, F.col("new_terms")).otherwise(0))
+            .cast("long")
+            .alias(f"v{k}")
+        )
+    one = per_dec.agg(*pivot_aggs)
+    pts = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"t{k}").alias("t"), F.col(f"v{k}").alias("v")
+                    )
+                    for k in range(1, HEAPS_CHECKPOINTS + 1)
+                ]
+            )
+        ).alias("p")
+    ).select(F.col("p.t").alias("t"), F.col("p.v").alias("v"))
+    xy = pts.filter((F.col("t") > 0) & (F.col("v") > 0)).select(
+        F.log(F.col("t").cast("double")).alias("x"),
+        F.log(F.col("v").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "heaps_logk"
+        ),
+    )
+
+
+HEAPS_LAW_SQL = rf"""
+WITH ranked AS (
+  SELECT doc_id,
+    CAST(ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS BIGINT) AS r,
+    (SELECT COUNT(*) FROM documents) AS n_docs
+  FROM documents
+),
+deciles AS (
+  SELECT doc_id,
+    CAST((r - 1) * {HEAPS_CHECKPOINTS} / n_docs AS BIGINT) + 1 AS dec
+  FROM ranked
+),
+toks AS (
+  SELECT d.doc_id, dd.dec, t.term
+  FROM documents d
+  JOIN deciles dd ON d.doc_id = dd.doc_id,
+  unnest(list_filter(string_split_regex(lower(d.text), '\s+'),
+                     t -> t <> '')) AS t(term)
+),
+tok_per_dec AS (
+  SELECT dec, CAST(COUNT(*) AS BIGINT) AS toks FROM toks GROUP BY dec
+),
+first_dec AS (SELECT term, MIN(dec) AS fdec FROM toks GROUP BY term),
+new_per_dec AS (
+  SELECT fdec AS dec, CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM first_dec GROUP BY fdec
+),
+per_dec AS (
+  SELECT COALESCE(t.dec, n.dec) AS dec,
+    COALESCE(t.toks, 0) AS toks, COALESCE(n.new_terms, 0) AS new_terms
+  FROM tok_per_dec t FULL JOIN new_per_dec n ON t.dec = n.dec
+),
+ks AS (SELECT unnest(range(1, {HEAPS_CHECKPOINTS + 1})) AS k),
+pts AS (
+  SELECT k.k,
+    CAST(SUM(CASE WHEN p.dec <= k.k THEN p.toks ELSE 0 END) AS BIGINT) AS t,
+    CAST(SUM(CASE WHEN p.dec <= k.k THEN p.new_terms ELSE 0 END) AS BIGINT)
+      AS v
+  FROM ks k CROSS JOIN per_dec p
+  GROUP BY k.k
+),
+xy AS (
+  SELECT ln(CAST(t AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+  FROM pts WHERE t > 0 AND v > 0
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * y) AS sxy, SUM(x * x) AS sx2
+  FROM xy
+)
+SELECT n AS n_points,
+  round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS heaps_beta,
+  round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n, 6)
+    AS heaps_logk
+FROM s
+"""
+
+
 # Cut-offs chosen so the curve is populated on the synthetic corpora
 # (vocabulary ~31 terms at every test SF) AND at the production-vocab
 # scale the operator exists for; ranks beyond the vocabulary simply
@@ -1265,6 +1433,7 @@ QUERIES = {
     "quality_percentile_by_lang": quality_percentile_by_lang,
     "boilerplate_prefix_clusters": boilerplate_prefix_clusters,
     "zipf_slope_fit": zipf_slope_fit,
+    "heaps_law_fit": heaps_law_fit,
     "vocab_coverage_curve": vocab_coverage_curve,
     "source_quality_report": source_quality_report,
     "quality_vs_dup_calibration": quality_vs_dup_calibration,
@@ -1285,6 +1454,7 @@ ORACLES = {
     "quality_percentile_by_lang": QUALITY_PERCENTILE_SQL,
     "boilerplate_prefix_clusters": BOILERPLATE_PREFIX_SQL,
     "zipf_slope_fit": ZIPF_SLOPE_SQL,
+    "heaps_law_fit": HEAPS_LAW_SQL,
     "vocab_coverage_curve": VOCAB_COVERAGE_SQL,
     "source_quality_report": SOURCE_QUALITY_SQL,
     "quality_vs_dup_calibration": QUALITY_DUP_CALIBRATION_SQL,

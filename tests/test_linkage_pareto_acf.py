@@ -383,3 +383,29 @@ def test_benford_digits_and_shares(spark, tmp_path):
     assert out[1].exp_share == 0.30103
     assert out[9].abs_dev == round(abs(0.2 - 0.045757), 6)
     assert 0 not in out and len(out) == 4
+
+
+def test_heaps_beta_saturated_vs_open_vocab(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.curation import heaps_law_fit
+
+    def write(texts, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    # saturated vocabulary: every doc reuses the same two words -> the
+    # cumulative vocab is constant -> beta == 0
+    sat = write(["alpha beta"] * 10, "sat")
+    r = heaps_law_fit(spark, sat).collect()[0]
+    assert r.n_points == 10 and r.heaps_beta == 0.0
+    # open vocabulary: every doc brings two NEW words -> V(n) = n exactly
+    # -> beta == 1, log K == 0
+    opn = write([f"w{i}a w{i}b" for i in range(10)], "opn")
+    r = heaps_law_fit(spark, opn).collect()[0]
+    assert r.n_points == 10
+    assert r.heaps_beta == 1.0 and r.heaps_logk == 0.0
