@@ -786,6 +786,84 @@ ORDER BY event_type, quantile
 LATENCY_QUANTILES = [0.5, 0.9, 0.99]
 
 
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact view→purchase latency tail per month: p50/p90/p99 of the
+    seconds between each purchase and the SAME user's most recent prior
+    view — the time-to-convert distribution (by month, so drift is a
+    row-over-row read) that the conversion-RATE funnel can't show.
+
+    Scale design (100 TB): the asof pairing is one user-partitioned
+    window (``last(view ts) IGNORE NULLS`` over preceding rows — the
+    same user-keyed exchange sessionization uses, never a global sort),
+    then the shared two-level-rank quantile machinery
+    (:func:`exact_group_quantiles`) — no per-month single-task window.
+    Determinism: event times are truncated to the micros the oracle can
+    see (the transition-matrix rule), latencies are exact integer
+    seconds, quantiles are SELECTED values with an event_id tiebreak."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("(ts_ns div 1000) * 1000").alias("tns"),
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flow = ev.withColumn(
+        "v_ts",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("tns")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    lat = flow.filter(
+        (F.col("event_type") == "purchase") & F.col("v_ts").isNotNull()
+    ).select(
+        "month",
+        F.expr("(tns - v_ts) div 1000000000").cast("long").alias("lat_s"),
+        "event_id",
+    )
+    return exact_group_quantiles(
+        lat, "month", "lat_s", ["event_id"], LATENCY_QUANTILES
+    )
+
+
+FUNNEL_LATENCY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+    CAST(epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS BIGINT) AS tns,
+    CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month
+  FROM events
+),
+flow AS (
+  SELECT *,
+    last_value(CASE WHEN event_type = 'view' THEN tns END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY tns, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_ts
+  FROM ev
+),
+lat AS (
+  SELECT month, CAST((tns - v_ts) // 1000000000 AS BIGINT) AS lat_s, event_id
+  FROM flow WHERE event_type = 'purchase' AND v_ts IS NOT NULL
+),
+ranked AS (
+  SELECT month, lat_s,
+    ROW_NUMBER() OVER (PARTITION BY month ORDER BY lat_s, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY month) AS n
+  FROM lat
+)
+SELECT month, CAST(q AS DOUBLE) AS quantile, lat_s
+FROM ranked, UNNEST([{", ".join(str(q) for q in LATENCY_QUANTILES)}]) AS t(q)
+WHERE rn = CEIL(CAST(q AS DOUBLE) * n)
+ORDER BY month, quantile
+"""
+
+
 def order_to_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order-to-ship latency tail per order priority: p50/p90/p99 of
     ``l_shipdate - o_orderdate`` in days — the SLA question ("is URGENT
@@ -995,6 +1073,7 @@ QUERIES = {
     "l_diversity_report": l_diversity_report,
     "t_closeness_report": t_closeness_report,
     "orders_benford_check": orders_benford_check,
+    "funnel_latency_quantiles": funnel_latency_quantiles,
     "exact_quantiles_by_type": exact_quantiles_by_type,
     "order_to_ship_latency_quantiles": order_to_ship_latency_quantiles,
     "props_key_profile": props_key_profile,
@@ -1010,6 +1089,7 @@ ORACLES = {
     "l_diversity_report": L_DIVERSITY_SQL,
     "t_closeness_report": T_CLOSENESS_SQL,
     "orders_benford_check": BENFORD_SQL,
+    "funnel_latency_quantiles": FUNNEL_LATENCY_SQL,
     "exact_quantiles_by_type": EXACT_QUANTILES_SQL,
     "order_to_ship_latency_quantiles": ORDER_SHIP_LATENCY_SQL,
     "props_key_profile": PROPS_KEY_PROFILE_SQL,

@@ -409,3 +409,29 @@ def test_heaps_beta_saturated_vs_open_vocab(spark, tmp_path):
     r = heaps_law_fit(spark, opn).collect()[0]
     assert r.n_points == 10
     assert r.heaps_beta == 1.0 and r.heaps_logk == 0.0
+
+
+def test_funnel_latency_known_delays(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.diagnostics import (
+        funnel_latency_quantiles,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # three users, view -> purchase delays of 10, 20, 30 seconds; one
+    # purchase with NO prior view (excluded); an older view superseded
+    # by a fresher one (latency measures the LAST prior view)
+    for u, delay in [(1, 10), (2, 20), (3, 30)]:
+        rows.append((u * 10, base, u, "view", 1.0, "{}"))
+        rows.append((u * 10 + 1,
+                     base + datetime.timedelta(seconds=delay), u,
+                     "purchase", 1.0, "{}"))
+    rows.append((90, base, 9, "purchase", 1.0, "{}"))  # no prior view
+    rows.append((50, base - datetime.timedelta(seconds=100), 1, "view",
+                 1.0, "{}"))  # stale view, superseded for user 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.quantile: r.lat_s
+           for r in funnel_latency_quantiles(spark, sf).collect()}
+    # 3 latencies {10,20,30}: p50 -> rank ceil(.5*3)=2 -> 20;
+    # p90/p99 -> rank 3 -> 30
+    assert out[0.5] == 20 and out[0.9] == 30 and out[0.99] == 30
