@@ -171,6 +171,86 @@ FROM kept GROUP BY event_type ORDER BY event_type
 """
 
 
+FANOUT_MAX_POW = 20  # buckets [2^k, 2^(k+1)) for k = 0..20, then overflow
+
+
+def _fanout_bucket_spark(col: str):
+    expr = F.when(F.col(col) >= (1 << FANOUT_MAX_POW), F.lit(1 << FANOUT_MAX_POW))
+    for k in range(FANOUT_MAX_POW - 1, -1, -1):
+        expr = expr.when(F.col(col) >= (1 << k), F.lit(1 << k))
+    return expr.cast("long")
+
+
+def _fanout_bucket_sql(col: str) -> str:
+    cases = [
+        f"WHEN {col} >= {1 << FANOUT_MAX_POW} THEN {1 << FANOUT_MAX_POW}"
+    ]
+    cases += [
+        f"WHEN {col} >= {1 << k} THEN {1 << k}"
+        for k in range(FANOUT_MAX_POW - 1, -1, -1)
+    ]
+    return "CAST(CASE " + " ".join(cases) + " END AS BIGINT)"
+
+
+def fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key fan-out datasheet: the power-of-two histogram of
+    children per parent for the three 1:N relationships
+    (customer→orders, order→lineitems, user→events) — the number a join
+    planner, a skew-salting choice, and a data modeler all read first
+    (a p99 fan-out of 2^14 on one relationship is tomorrow's hot task).
+
+    Scale + determinism: one map-side count aggregate per relationship;
+    the bucket is an integer CASE ladder generated from the SAME Python
+    constant in both engine twins (never floor(log2(n)) — libm log2 at
+    power boundaries is not contractually bit-identical across
+    engines); output bounded by 3 × (FANOUT_MAX_POW + 1) rows."""
+    rels = [
+        ("customer->orders", "orders", "o_custkey"),
+        ("order->lineitems", "lineitem", "l_orderkey"),
+        ("user->events", "events", "user_id"),
+    ]
+    out = None
+    for label, table, key in rels:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("parent"))
+            .agg(F.count(F.lit(1)).cast("long").alias("fanout"))
+        )
+        hist = (
+            counts.groupBy(_fanout_bucket_spark("fanout").alias("bucket_lo"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_parents"),
+                F.max("fanout").cast("long").alias("max_fanout"),
+            )
+            .select(F.lit(label).alias("relationship"), "bucket_lo",
+                    "n_parents", "max_fanout")
+        )
+        out = hist if out is None else out.unionByName(hist)
+    return out.orderBy("relationship", "bucket_lo")
+
+
+FK_FANOUT_SQL = f"""
+WITH rel AS (
+  SELECT 'customer->orders' AS relationship, o_custkey AS parent
+  FROM orders
+  UNION ALL
+  SELECT 'order->lineitems', l_orderkey FROM lineitem
+  UNION ALL
+  SELECT 'user->events', user_id FROM events
+),
+counts AS (
+  SELECT relationship, parent, CAST(COUNT(*) AS BIGINT) AS fanout
+  FROM rel GROUP BY 1, 2
+)
+SELECT relationship, {_fanout_bucket_sql("fanout")} AS bucket_lo,
+  CAST(COUNT(*) AS BIGINT) AS n_parents,
+  CAST(MAX(fanout) AS BIGINT) AS max_fanout
+FROM counts
+GROUP BY 1, 2
+ORDER BY relationship, bucket_lo
+"""
+
+
 MAD_K = 5  # outlier = |value - median| > MAD_K x MAD
 
 
@@ -1074,6 +1154,7 @@ QUERIES = {
     "t_closeness_report": t_closeness_report,
     "orders_benford_check": orders_benford_check,
     "funnel_latency_quantiles": funnel_latency_quantiles,
+    "fk_fanout_profile": fk_fanout_profile,
     "exact_quantiles_by_type": exact_quantiles_by_type,
     "order_to_ship_latency_quantiles": order_to_ship_latency_quantiles,
     "props_key_profile": props_key_profile,
@@ -1090,6 +1171,7 @@ ORACLES = {
     "t_closeness_report": T_CLOSENESS_SQL,
     "orders_benford_check": BENFORD_SQL,
     "funnel_latency_quantiles": FUNNEL_LATENCY_SQL,
+    "fk_fanout_profile": FK_FANOUT_SQL,
     "exact_quantiles_by_type": EXACT_QUANTILES_SQL,
     "order_to_ship_latency_quantiles": ORDER_SHIP_LATENCY_SQL,
     "props_key_profile": PROPS_KEY_PROFILE_SQL,

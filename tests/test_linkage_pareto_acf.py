@@ -435,3 +435,36 @@ def test_funnel_latency_known_delays(spark, tmp_path):
     # 3 latencies {10,20,30}: p50 -> rank ceil(.5*3)=2 -> 20;
     # p90/p99 -> rank 3 -> 30
     assert out[0.5] == 20 and out[0.9] == 30 and out[0.99] == 30
+
+
+def test_fk_fanout_power_buckets(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.diagnostics import (
+        fk_fanout_profile,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # user 1: 1 event (bucket 1); user 2: 3 events (bucket 2);
+    # user 3: 5 events (bucket 4)
+    rows, eid = [], 0
+    for u, n in [(1, 1), (2, 3), (3, 5)]:
+        for i in range(n):
+            rows.append((eid, base + datetime.timedelta(minutes=i), u,
+                         "click", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    # minimal orders/lineitem so the other two relationships exist
+    spark.createDataFrame(
+        [(1, 101, 5.0), (2, 101, 5.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 7)], "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {(r.relationship, r.bucket_lo): r
+           for r in fk_fanout_profile(spark, str(tmp_path)).collect()}
+    assert out[("user->events", 1)].n_parents == 1
+    assert out[("user->events", 2)].n_parents == 1
+    assert out[("user->events", 4)].n_parents == 1
+    assert out[("user->events", 4)].max_fanout == 5
+    assert out[("customer->orders", 2)].n_parents == 1
+    assert out[("order->lineitems", 1)].n_parents == 1
