@@ -503,12 +503,101 @@ GROUP BY lang ORDER BY lang
 SELECT_BUDGET_SQL = _budget_sql()
 
 
+def event_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy per current type — the
+    information-theoretic summary on top of the transition matrix:
+    H(next | cur) in bits, against the log2(|next types|) maximum, with
+    the ratio as a 0–1 predictability score (0 = the next event is
+    determined, 1 = uniformly unpredictable).  The one-line answer to
+    "is this journey stage a funnel or a random walk".
+
+    Scale + determinism: transition counts come from the same user-keyed
+    lag window the transition matrix uses (micros-truncated times, the
+    oracle-visibility rule); entropy is -Σ p·log2(p) over ≤ |types|
+    terms per group — the Zipf-fit wobble argument (≤1-ulp per log, ~9
+    orders below the 6-dp rounding) covers the ≤|types|-term float sum.
+    Output is |types| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("(ts_ns div 1000) * 1000").alias("tns"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tns", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_from"),
+        F.count(F.lit(1)).cast("long").alias("n_next_types"),
+    )
+    p = F.col("n") / F.col("n_from").cast("double")
+    ent = counts.join(F.broadcast(totals), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.max("n_from").alias("n_from"),
+        F.max("n_next_types").alias("n_next_types"),
+        F.sum(-p * F.log2(p)).alias("h_raw"),
+    )
+    h_max = F.log2(F.col("n_next_types").cast("double"))
+    return ent.select(
+        "event_type",
+        "n_from",
+        "n_next_types",
+        F.round("h_raw", 6).alias("entropy_bits"),
+        F.when(F.col("n_next_types") > 1, F.round(F.col("h_raw") / h_max, 6))
+        .otherwise(F.lit(0.0))
+        .alias("predictability_gap"),
+    ).orderBy("event_type")
+
+
+MARKOV_ENTROPY_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id
+      ORDER BY (epoch_us(CAST(ts AS TIMESTAMP)) * 1000 // 1000) * 1000,
+               event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+totals AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_from,
+         CAST(COUNT(*) AS BIGINT) AS n_next_types
+  FROM counts GROUP BY event_type
+),
+ent AS (
+  SELECT c.event_type, MAX(t.n_from) AS n_from,
+    MAX(t.n_next_types) AS n_next_types,
+    SUM(-(c.n / CAST(t.n_from AS DOUBLE))
+        * log2(c.n / CAST(t.n_from AS DOUBLE))) AS h_raw
+  FROM counts c JOIN totals t ON c.event_type = t.event_type
+  GROUP BY c.event_type
+)
+SELECT event_type, n_from, n_next_types,
+  round(h_raw, 6) AS entropy_bits,
+  CASE WHEN n_next_types > 1
+    THEN round(h_raw / log2(CAST(n_next_types AS DOUBLE)), 6)
+    ELSE 0.0 END AS predictability_gap
+FROM ent
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "rfm_customer_segments": rfm_customer_segments,
     "event_transition_matrix": event_transition_matrix,
     "event_next_prediction_accuracy": event_next_prediction_accuracy,
     "customer_revenue_gini": customer_revenue_gini,
     "customer_revenue_pareto": customer_revenue_pareto,
+    "event_markov_entropy": event_markov_entropy,
     "select_quality_budget": select_quality_budget,
 }
 ORACLES = {
@@ -517,5 +606,6 @@ ORACLES = {
     "event_next_prediction_accuracy": NEXT_PRED_SQL,
     "customer_revenue_gini": GINI_SQL,
     "customer_revenue_pareto": PARETO_SQL,
+    "event_markov_entropy": MARKOV_ENTROPY_SQL,
     "select_quality_budget": SELECT_BUDGET_SQL,
 }

@@ -468,3 +468,32 @@ def test_fk_fanout_power_buckets(spark, tmp_path):
     assert out[("user->events", 4)].max_fanout == 5
     assert out[("customer->orders", 2)].n_parents == 1
     assert out[("order->lineitems", 1)].n_parents == 1
+
+
+def test_markov_entropy_deterministic_vs_uniform(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.segmentation import (
+        event_markov_entropy,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user 1: strict A -> B -> A -> B ... (deterministic: H(next|A)=0)
+    for i in range(10):
+        rows.append((eid, base + datetime.timedelta(minutes=i), 1,
+                     "A" if i % 2 == 0 else "B", 1.0, "{}"))
+        eid += 1
+    # user 2: C followed equally often by D and E (types disjoint from
+    # user 1's, so nothing leaks into A/B's distributions)
+    # -> H(next|C) = 1 bit
+    for i in range(8):
+        rows.append((eid, base + datetime.timedelta(hours=1, minutes=2 * i),
+                     2, "C", 1.0, "{}"))
+        eid += 1
+        rows.append((eid,
+                     base + datetime.timedelta(hours=1, minutes=2 * i + 1),
+                     2, "D" if i % 2 == 0 else "E", 1.0, "{}"))
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in event_markov_entropy(spark, sf).collect()}
+    assert out["A"].entropy_bits == 0.0 and out["A"].predictability_gap == 0.0
+    assert out["C"].entropy_bits == 1.0 and out["C"].predictability_gap == 1.0
