@@ -224,7 +224,8 @@ _TIER1 = [
     # l_diversity_report, t_closeness_report,
     # graph_degree_assortativity, events_crosscorrelation,
     # orders_benford_check, heaps_law_fit, funnel_latency_quantiles,
-    # fk_fanout_profile, event_markov_entropy), THEN the
+    # fk_fanout_profile, event_markov_entropy,
+    # discount_quantity_elasticity), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

@@ -106,6 +106,81 @@ FROM sums ORDER BY segment
 """
 
 
+def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation between line discount and quantity —
+    the "does discounting actually move volume" read, per brand so a
+    category manager sees which lines respond.  Near 0 on independent
+    columns (the synthetic data's truth); a real price-elastic catalog
+    shows positive r.
+
+    Scale + determinism: both columns fix to exact integers first
+    (quantity is integral; discount → cents via one IEEE round), the six
+    Pearson moments are exact BIGINT sums per brand (map-side
+    combinable after one fact×dim equi-join with the part table), and
+    the only float is the final ratio.  Zero-variance brands yield
+    NULL."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = li.join(F.broadcast(part), "l_partkey")
+    m = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("disc").alias("sx"),
+        F.sum("qty").alias("sy"),
+        F.sum(F.col("disc") * F.col("qty")).alias("sxy"),
+        F.sum(F.col("disc") * F.col("disc")).alias("sxx"),
+        F.sum(F.col("qty") * F.col("qty")).alias("syy"),
+    )
+    varx = m["n_lines"] * m["sxx"] - m["sx"] * m["sx"]
+    vary = m["n_lines"] * m["syy"] - m["sy"] * m["sy"]
+    cov = m["n_lines"] * m["sxy"] - m["sx"] * m["sy"]
+    return m.select(
+        "p_brand",
+        "n_lines",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(varx.cast("double") * vary.cast("double")),
+                6,
+            ),
+        ).alias("corr_disc_qty"),
+    ).orderBy("p_brand")
+
+
+ELASTICITY_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+    CAST(l_quantity AS BIGINT) AS qty,
+    CAST(round(l_discount * 100, 0) AS BIGINT) AS disc
+  FROM lineitem
+),
+j AS (SELECT p.p_brand, li.qty, li.disc
+      FROM li JOIN part p ON li.l_partkey = p.p_partkey),
+m AS (
+  SELECT p_brand,
+    CAST(COUNT(*) AS BIGINT) AS n_lines,
+    SUM(disc) AS sx, SUM(qty) AS sy,
+    SUM(disc * qty) AS sxy, SUM(disc * disc) AS sxx, SUM(qty * qty) AS syy
+  FROM j GROUP BY p_brand
+)
+SELECT p_brand, n_lines,
+  CASE WHEN (n_lines * sxx - sx * sx) > 0 AND (n_lines * syy - sy * sy) > 0
+    THEN round(
+      CAST(n_lines * sxy - sx * sy AS DOUBLE)
+      / sqrt(CAST(n_lines * sxx - sx * sx AS DOUBLE)
+             * CAST(n_lines * syy - sy * sy AS DOUBLE)), 6)
+  END AS corr_disc_qty
+FROM m
+ORDER BY p_brand
+"""
+
+
 def revenue_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekday seasonal profile of daily order revenue: per ISO weekday
     (0 = Monday), the mean DAILY revenue and its index against the
@@ -161,8 +236,10 @@ FROM wk, overall ORDER BY weekday
 QUERIES = {
     "revenue_trend_by_segment": revenue_trend_by_segment,
     "revenue_weekday_seasonality": revenue_weekday_seasonality,
+    "discount_quantity_elasticity": discount_quantity_elasticity,
 }
 ORACLES = {
     "revenue_trend_by_segment": REVENUE_TREND_SQL,
     "revenue_weekday_seasonality": WEEKDAY_SEASONALITY_SQL,
+    "discount_quantity_elasticity": ELASTICITY_SQL,
 }

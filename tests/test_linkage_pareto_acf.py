@@ -497,3 +497,25 @@ def test_markov_entropy_deterministic_vs_uniform(spark, tmp_path):
     out = {r.event_type: r for r in event_markov_entropy(spark, sf).collect()}
     assert out["A"].entropy_bits == 0.0 and out["A"].predictability_gap == 0.0
     assert out["C"].entropy_bits == 1.0 and out["C"].predictability_gap == 1.0
+
+
+def test_elasticity_perfect_and_zero_variance(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.regression import (
+        discount_quantity_elasticity,
+    )
+
+    spark.createDataFrame(
+        [(1, "Brand#A"), (2, "Brand#B")], "p_partkey long, p_brand string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    # Brand#A: qty = disc exactly -> r = 1; Brand#B: constant disc -> NULL
+    li = [
+        (1, 1.0, 0.01), (1, 2.0, 0.02), (1, 3.0, 0.03),
+        (2, 1.0, 0.05), (2, 9.0, 0.05),
+    ]
+    spark.createDataFrame(
+        li, "l_partkey long, l_quantity double, l_discount double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.p_brand: r
+           for r in discount_quantity_elasticity(spark, str(tmp_path)).collect()}
+    assert out["Brand#A"].corr_disc_qty == 1.0
+    assert out["Brand#B"].corr_disc_qty is None
