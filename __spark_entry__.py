@@ -74,6 +74,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.sharding",),
         ("debezium_server_bigquery_spark.functions.geo",),
         ("debezium_server_bigquery_spark.functions.linkage",),
+        ("debezium_server_bigquery_spark.functions.stattests",),
         ("debezium_server_bigquery_spark.operators.zorder",),
         ("debezium_server_bigquery_spark.plans.funnel",),
         ("debezium_server_bigquery_spark.plans.behavior",),
@@ -225,7 +226,9 @@ _TIER1 = [
     # graph_degree_assortativity, events_crosscorrelation,
     # orders_benford_check, heaps_law_fit, funnel_latency_quantiles,
     # fk_fanout_profile, event_markov_entropy,
-    # discount_quantity_elasticity), THEN the
+    # discount_quantity_elasticity, split_ks_statistic,
+    # label_agreement_kappa, events_ewma_forecast_error,
+    # encoding_anomaly_report), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

@@ -1061,12 +1061,15 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
     )
+    # + 0.0 after rounding: IEEE −0.0 + 0.0 = +0.0, so a slope that rounds
+    # to zero prints '0.0' on both engines (repr('-0.0') would hash-differ).
     return s.select(
         F.col("n").alias("n_points"),
-        F.round(slope, 6).alias("heaps_beta"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "heaps_logk"
-        ),
+        (F.round(slope, 6) + F.lit(0.0)).alias("heaps_beta"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+            + F.lit(0.0)
+        ).alias("heaps_logk"),
     )
 
 
@@ -1121,8 +1124,8 @@ s AS (
   FROM xy
 )
 SELECT n AS n_points,
-  round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS heaps_beta,
-  round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n, 6)
+  round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) + 0.0 AS heaps_beta,
+  round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n, 6) + 0.0
     AS heaps_logk
 FROM s
 """

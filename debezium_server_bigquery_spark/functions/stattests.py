@@ -1,0 +1,423 @@
+"""Distribution-shift and agreement statistics for corpus governance.
+
+Four audits a training-data pipeline runs before a corpus ships, all
+exact-integer-moment shapes (PAPERS.md: data-validation systems for ML —
+TFX-style skew/drift gates):
+
+- ``split_ks_statistic`` — the exact two-sample Kolmogorov–Smirnov
+  statistic between the train and test splits' document-length
+  distributions, per language.  THE standard skew gate between data
+  slices: a deterministic 90/5/5 id-hash split should be distribution-
+  free, so a large D flags a hash bug or a stratification leak.
+- ``label_agreement_kappa`` — Cohen's kappa between two independent weak
+  labelers (a length gate and a punctuation-density gate), per language.
+  The weak-supervision sanity check: kappa near 0 means the heuristics
+  carry independent signal, near 1 means they are redundant.
+- ``events_ewma_forecast_error`` — one-step-ahead truncated-EWMA
+  forecast error of daily event volume per type: the residual scale that
+  anomaly thresholds (CUSUM, MAD gates) should be calibrated against.
+- ``encoding_anomaly_report`` — mojibake/underflow hygiene per source:
+  replacement characters, raw control bytes, unbroken >40-char tokens,
+  and non-ASCII presence.  The first filter a web-scale text corpus runs.
+
+Scale designs (100 TB):
+- KS: the corpus-sized work is ONE map-side-combinable
+  ``groupBy(lang, n_chars)``; the cumulative CDFs run in a window
+  partitioned BY LANGUAGE over the *grouped distinct values* (bounded by
+  the support of the length distribution, not the corpus), never a
+  global single-partition sort.  Cross-engine exactness: cumulative
+  counts are integers; D is maximized on the integer cross-product
+  ``|cum_t·n_s − cum_s·n_t|`` in DECIMAL(38,0) (overflow-safe past
+  BIGINT at trillion-doc scale) and divided by ``n_t·n_s`` exactly once.
+- kappa: one scan, one combinable aggregate of four integer counters per
+  language; kappa is assembled from integer products with a single final
+  double division (denominator 0 → NULL, not an error).
+- EWMA: daily counts are one map-side aggregate; the 14 lags run in a
+  TYPE-partitioned window (never global) with a gap-aware guard (the
+  trailing 14 rows must span exactly 14 consecutive days, so sparse
+  streams never misalign lags).  Weights are the exact integer
+  numerators of 0.3·0.7^(k−1) at denominator 10^14, products accumulate
+  in DECIMAL(38,0) (a 10^9/day stream stays ~10^22, inside 38 digits),
+  and the only floats are the two final divisions.
+- encoding report: embarrassingly parallel row-local predicates + one
+  combinable aggregate per source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from debezium_server_bigquery_spark.functions.curation import (
+    split_case_sql,
+    split_of,
+)
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# split_ks_statistic
+# --------------------------------------------------------------------------
+
+
+def split_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (train vs test n_chars CDFs) per
+    language; see module docstring for the scale/exactness design."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "lang", split_of(F.col("doc_id")).alias("split"), "n_chars"
+    ).filter(F.col("split").isin("train", "test"))
+    g = labeled.groupBy("lang", "n_chars").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("cs"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "lang",
+        F.sum("ct").over(w).alias("cum_t"),
+        F.sum("cs").over(w).alias("cum_s"),
+    )
+    totals = g.groupBy("lang").agg(
+        F.sum("ct").alias("n_train"), F.sum("cs").alias("n_test")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d = (
+        cum.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "n_train",
+            "n_test",
+            F.abs(dec("cum_t") * dec("n_test") - dec("cum_s") * dec("n_train")).alias(
+                "gap"
+            ),
+        )
+        .groupBy("lang", "n_train", "n_test")
+        .agg(F.max("gap").alias("d_num"))
+    )
+    return d.select(
+        "lang",
+        "n_train",
+        "n_test",
+        F.when(
+            (F.col("n_train") > 0) & (F.col("n_test") > 0),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_train").cast("double") * F.col("n_test").cast("double")),
+                6,
+            ),
+        ).alias("ks_stat"),
+    ).orderBy("lang")
+
+
+_SPLIT_CASE = split_case_sql("doc_id")
+
+SPLIT_KS_SQL = f"""
+WITH labeled AS (
+  SELECT lang, n_chars, {_SPLIT_CASE} AS split FROM documents
+),
+g AS (
+  SELECT lang, n_chars,
+    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+    CAST(SUM(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS BIGINT) AS cs
+  FROM labeled WHERE split IN ('train', 'test')
+  GROUP BY lang, n_chars
+),
+cum AS (
+  SELECT lang,
+    SUM(ct) OVER (PARTITION BY lang ORDER BY n_chars
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t,
+    SUM(cs) OVER (PARTITION BY lang ORDER BY n_chars
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+  FROM g
+),
+totals AS (
+  SELECT lang, SUM(ct) AS n_train, SUM(cs) AS n_test FROM g GROUP BY lang
+),
+d AS (
+  SELECT c.lang, t.n_train, t.n_test,
+    MAX(abs(CAST(c.cum_t AS DECIMAL(38,0)) * CAST(t.n_test AS DECIMAL(38,0))
+            - CAST(c.cum_s AS DECIMAL(38,0)) * CAST(t.n_train AS DECIMAL(38,0))))
+      AS d_num
+  FROM cum c JOIN totals t ON c.lang = t.lang
+  GROUP BY c.lang, t.n_train, t.n_test
+)
+SELECT lang, CAST(n_train AS BIGINT) AS n_train, CAST(n_test AS BIGINT) AS n_test,
+  CASE WHEN n_train > 0 AND n_test > 0 THEN
+    round(CAST(d_num AS DOUBLE)
+          / (CAST(n_train AS DOUBLE) * CAST(n_test AS DOUBLE)), 6)
+  END AS ks_stat
+FROM d ORDER BY lang
+"""
+
+# --------------------------------------------------------------------------
+# label_agreement_kappa
+# --------------------------------------------------------------------------
+
+LEN_GATE = 400  # labeler A: document length in chars
+PUNCT_CHARS_PER_PERIOD = 200  # labeler B: ≥ one '.' per 200 chars
+
+
+def label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per language between the length gate and the
+    punctuation-density gate; integer counters, one final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    periods = F.length("text") - F.length(F.replace(F.col("text"), F.lit(".")))
+    a = (F.col("n_chars") >= LEN_GATE).cast("long")
+    b = (periods * PUNCT_CHARS_PER_PERIOD >= F.col("n_chars")).cast("long")
+    m = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a).alias("na"),
+        F.sum(b).alias("nb"),
+        F.sum(a * b).alias("nab"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    po_num = dec("n") - dec("na") - dec("nb") + F.lit(2) * dec("nab")
+    pe_num = dec("na") * dec("nb") + (dec("n") - dec("na")) * (dec("n") - dec("nb"))
+    kap_num = po_num * dec("n") - pe_num
+    kap_den = dec("n") * dec("n") - pe_num
+    return m.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("na").cast("double") / F.col("n").cast("double"), 6).alias(
+            "p_len_gate"
+        ),
+        F.round(F.col("nb").cast("double") / F.col("n").cast("double"), 6).alias(
+            "p_punct_gate"
+        ),
+        F.when(
+            kap_den != 0,
+            F.round(kap_num.cast("double") / kap_den.cast("double"), 6),
+        ).alias("kappa"),
+    ).orderBy("lang")
+
+
+LABEL_KAPPA_SQL = f"""
+WITH m AS (
+  SELECT lang,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN n_chars >= {LEN_GATE} THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN (length(text) - length(replace(text, '.', '')))
+                       * {PUNCT_CHARS_PER_PERIOD} >= n_chars
+             THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(SUM(CASE WHEN n_chars >= {LEN_GATE}
+                   AND (length(text) - length(replace(text, '.', '')))
+                       * {PUNCT_CHARS_PER_PERIOD} >= n_chars
+             THEN 1 ELSE 0 END) AS BIGINT) AS nab
+  FROM documents GROUP BY lang
+),
+k AS (
+  SELECT lang, n, na, nb,
+    (CAST(n AS DECIMAL(38,0)) - na - nb + 2 * CAST(nab AS DECIMAL(38,0)))
+      * CAST(n AS DECIMAL(38,0))
+    - (CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+       + (CAST(n AS DECIMAL(38,0)) - na) * (CAST(n AS DECIMAL(38,0)) - nb))
+      AS kap_num,
+    CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+    - (CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+       + (CAST(n AS DECIMAL(38,0)) - na) * (CAST(n AS DECIMAL(38,0)) - nb))
+      AS kap_den
+  FROM m
+)
+SELECT lang, n AS n_docs,
+  round(CAST(na AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_len_gate,
+  round(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_punct_gate,
+  CASE WHEN kap_den <> 0
+    THEN round(CAST(kap_num AS DOUBLE) / CAST(kap_den AS DOUBLE), 6)
+  END AS kappa
+FROM k ORDER BY lang
+"""
+
+# --------------------------------------------------------------------------
+# events_ewma_forecast_error
+# --------------------------------------------------------------------------
+
+EWMA_LAGS = 14
+# Integer numerators of alpha·(1−alpha)^(k−1) with alpha = 3/10 at the
+# common denominator 10^14: W_k = 3 · 7^(k−1) · 10^(14−k), exactly.
+_EWMA_W = [3 * 7 ** (k - 1) * 10 ** (EWMA_LAGS - k) for k in range(1, EWMA_LAGS + 1)]
+_EWMA_DEN = sum(_EWMA_W)  # = 10^14 − 7^14
+
+
+def events_ewma_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step truncated-EWMA forecast error of daily volume per type;
+    see module docstring for the lag-window and exactness design."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    trail = w.rowsBetween(-EWMA_LAGS, -1)
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(trail).alias("cnt"),
+        F.min("d").over(trail).alias("dmin"),
+        *[
+            F.lag("x", k).over(w).alias(f"x{k}")
+            for k in range(1, EWMA_LAGS + 1)
+        ],
+    ).filter(
+        (F.col("cnt") == EWMA_LAGS)
+        & (F.datediff(F.col("d"), F.col("dmin")) == EWMA_LAGS)
+    )
+    num = None
+    for k, wk in enumerate(_EWMA_W, start=1):
+        term = F.col(f"x{k}").cast("decimal(38,0)") * F.lit(wk).cast("decimal(38,0)")
+        num = term if num is None else (num + term)
+    err = (
+        F.col("x").cast("decimal(38,0)") * F.lit(_EWMA_DEN).cast("decimal(38,0)")
+        - num
+    )
+    scored = lagged.select("event_type", err.alias("err_num"))
+    den_f = float(_EWMA_DEN)
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+            F.sum(F.abs(F.col("err_num"))).alias("sae"),
+            F.sum("err_num").alias("se"),
+        )
+        .select(
+            "event_type",
+            "n_days_scored",
+            F.round(
+                F.col("sae").cast("double")
+                / F.col("n_days_scored").cast("double")
+                / F.lit(den_f),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.col("se").cast("double")
+                / F.col("n_days_scored").cast("double")
+                / F.lit(den_f),
+                6,
+            ).alias("mean_bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EWMA_NUM_SQL = " + ".join(
+    f"CAST(x{k} AS DECIMAL(38,0)) * CAST({wk} AS DECIMAL(38,0))"
+    for k, wk in enumerate(_EWMA_W, start=1)
+)
+_EWMA_LAG_COLS = ", ".join(
+    f"LAG(x, {k}) OVER (PARTITION BY event_type ORDER BY d) AS x{k}"
+    for k in range(1, EWMA_LAGS + 1)
+)
+
+EWMA_FORECAST_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, d, x,
+    COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN {EWMA_LAGS} PRECEDING AND 1 PRECEDING) AS cnt,
+    MIN(d) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN {EWMA_LAGS} PRECEDING AND 1 PRECEDING) AS dmin,
+    {_EWMA_LAG_COLS}
+  FROM daily
+),
+scored AS (
+  SELECT event_type,
+    CAST(x AS DECIMAL(38,0)) * CAST({_EWMA_DEN} AS DECIMAL(38,0))
+      - ({_EWMA_NUM_SQL}) AS err_num
+  FROM lagged
+  WHERE cnt = {EWMA_LAGS} AND d - dmin = {EWMA_LAGS}
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+  round(CAST(SUM(abs(err_num)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        / {float(_EWMA_DEN)!r}, 6) AS mae,
+  round(CAST(SUM(err_num) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        / {float(_EWMA_DEN)!r}, 6) AS mean_bias
+FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+# --------------------------------------------------------------------------
+# encoding_anomaly_report
+# --------------------------------------------------------------------------
+
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+_LONGWORD_RE = r"\S{41,}"
+_NONASCII_RE = r"[^\x00-\x7F]"
+
+
+def encoding_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding hygiene counters (replacement chars, raw
+    control bytes, unbroken >40-char tokens, non-ASCII presence) —
+    row-local predicates, one combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    flag = lambda c: c.cast("long")  # noqa: E731
+    rep = flag(F.col("text").contains("�"))
+    ctrl = flag(F.col("text").rlike(_CTRL_RE))
+    longw = flag(F.col("text").rlike(_LONGWORD_RE))
+    nonascii = flag(F.col("text").rlike(_NONASCII_RE))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(rep).alias("n_replacement_char"),
+            F.sum(ctrl).alias("n_control_chars"),
+            F.sum(longw).alias("n_long_token"),
+            F.sum(nonascii).alias("n_non_ascii"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_replacement_char",
+            "n_control_chars",
+            "n_long_token",
+            "n_non_ascii",
+            F.round(
+                F.col("n_long_token").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("frac_long_token"),
+        )
+        .orderBy("source")
+    )
+
+
+ENCODING_ANOMALY_SQL = f"""
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_replacement_char,
+  CAST(SUM(CASE WHEN regexp_matches(text, '{_CTRL_RE}') THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_control_chars,
+  CAST(SUM(CASE WHEN regexp_matches(text, '{_LONGWORD_RE}') THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_long_token,
+  CAST(SUM(CASE WHEN regexp_matches(text, '{_NONASCII_RE}') THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_non_ascii,
+  round(CAST(SUM(CASE WHEN regexp_matches(text, '{_LONGWORD_RE}') THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_long_token
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+QUERIES = {
+    "split_ks_statistic": split_ks_statistic,
+    "label_agreement_kappa": label_agreement_kappa,
+    "events_ewma_forecast_error": events_ewma_forecast_error,
+    "encoding_anomaly_report": encoding_anomaly_report,
+}
+
+ORACLES = {
+    "split_ks_statistic": SPLIT_KS_SQL,
+    "label_agreement_kappa": LABEL_KAPPA_SQL,
+    "events_ewma_forecast_error": EWMA_FORECAST_SQL,
+    "encoding_anomaly_report": ENCODING_ANOMALY_SQL,
+}
