@@ -228,7 +228,8 @@ _TIER1 = [
     # fk_fanout_profile, event_markov_entropy,
     # discount_quantity_elasticity, split_ks_statistic,
     # label_agreement_kappa, events_ewma_forecast_error,
-    # encoding_anomaly_report), THEN the
+    # encoding_anomaly_report, ngram_novelty_by_split,
+    # retrieval_self_mrr, stream_static_enrich_e2e), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

@@ -174,5 +174,198 @@ LIMIT {top_k}
 BM25_SQL = _bm25_sql(QUERY_TERMS, K1, B, TOP_K)
 
 
-QUERIES = {"bm25_search_topk": bm25_search_topk}
-ORACLES = {"bm25_search_topk": BM25_SQL}
+
+
+# --------------------------------------------------------------------------
+# Retrieval quality eval: self-retrieval MRR.
+# --------------------------------------------------------------------------
+N_PROBES = 20  # lowest doc_ids form the query set
+QUERY_LEN = 6  # first distinct terms of each probe doc become its query
+
+
+def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-retrieval eval for the BM25 ranker: each probe document's
+    first ``QUERY_LEN`` distinct terms become a query, the full corpus is
+    ranked, and the probe's own rank is reported with its reciprocal
+    rank — the standard MRR probe (a ranker that cannot find a document
+    from its own opening words is broken; rank distribution >> 1 flags
+    boilerplate-dominated corpora).  Follows EVALS.md: the exact ranker
+    IS the system under test, the relevance oracle is identity.
+
+    Scale design (100 TB): the query set is O(probes·terms) and
+    broadcasts everywhere; corpus postings are filtered BY that broadcast
+    *before* the per-(doc, term) aggregate, so the candidate set is the
+    union of ≤ ``N_PROBES × QUERY_LEN`` posting lists, never the corpus;
+    doc lengths and corpus stats are one map-side aggregate (avgdl is a
+    one-row broadcast).  Rank is counted per query against the probe's
+    own row (a ≤-candidates equi-join on qid), not a global sort.
+
+    Cross-engine determinism: each term's score rounds to 12 dp and
+    accumulates in DECIMAL(38,12) — an order-independent exact sum, so
+    data-dependent aggregation order cannot wobble ranks; ties break on
+    doc_id (same convention as ``bm25_search_topk``).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(words(F.lower(F.col("text")))).alias("pos", "term"),
+    )
+    from pyspark.sql.window import Window
+
+    probe_ids = docs.select("doc_id").orderBy("doc_id").limit(N_PROBES)
+    probe_toks = toks.join(
+        F.broadcast(probe_ids.withColumnRenamed("doc_id", "qid")),
+        toks["doc_id"] == F.col("qid"),
+    ).select("qid", "pos", "term")
+    first_pos = probe_toks.groupBy("qid", "term").agg(
+        F.min("pos").alias("fpos")
+    )
+    wq = Window.partitionBy("qid").orderBy("fpos", "term")
+    qterms = (
+        first_pos.withColumn("qrank", F.row_number().over(wq))
+        .filter(F.col("qrank") <= QUERY_LEN)
+        .select("qid", "term")
+    )
+    # corpus-side: postings restricted to query terms BEFORE aggregation
+    cand_toks = toks.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    postings = cand_toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        qterms.join(postings, "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(idf * tfn, 12).cast("decimal(38,12)").alias("tscore"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("tscore").alias("score"))
+    )
+    self_rows = scored.filter(F.col("qid") == F.col("doc_id")).select(
+        F.col("qid").alias("p_qid"),
+        F.col("score").alias("p_score"),
+    )
+    ranked = (
+        scored.join(
+            F.broadcast(self_rows), scored["qid"] == self_rows["p_qid"]
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            (
+                F.lit(1)
+                + F.sum(
+                    (
+                        (F.col("score") > F.col("p_score"))
+                        | (
+                            (F.col("score") == F.col("p_score"))
+                            & (F.col("doc_id") < F.col("qid"))
+                        )
+                    ).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("self_rank"),
+        )
+    )
+    return ranked.select(
+        "qid",
+        "n_candidates",
+        "self_rank",
+        F.round(F.lit(1.0) / F.col("self_rank").cast("double"), 6).alias("rr"),
+    ).orderBy("qid")
+
+
+RETRIEVAL_MRR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, r.i - 1 AS pos, d.w[r.i] AS term
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+        FROM documents) d,
+  UNNEST(range(1, len(d.w) + 1)) AS r(i)
+),
+probe_ids AS (
+  SELECT doc_id AS qid FROM documents ORDER BY doc_id LIMIT {N_PROBES}
+),
+first_pos AS (
+  SELECT p.qid, t.term, MIN(t.pos) AS fpos
+  FROM toks t JOIN probe_ids p ON t.doc_id = p.qid
+  GROUP BY p.qid, t.term
+),
+qterms AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY fpos, term) AS qrank
+    FROM first_pos
+  ) WHERE qrank <= {QUERY_LEN}
+),
+postings AS (
+  SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t
+  WHERE t.term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY t.doc_id, t.term
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT q.qid, p.doc_id,
+    SUM(CAST(round(
+      ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      * ((p.tf * ({K1} + 1.0))
+         / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))), 12)
+      AS DECIMAL(38,12))) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  JOIN dfreq f ON f.term = p.term
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+)
+SELECT s.qid,
+  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+  CAST(1 + SUM(CASE WHEN s.score > p.p_score
+                     OR (s.score = p.p_score AND s.doc_id < s.qid)
+               THEN 1 ELSE 0 END) AS BIGINT) AS self_rank,
+  round(1.0 / CAST(1 + SUM(CASE WHEN s.score > p.p_score
+                     OR (s.score = p.p_score AND s.doc_id < s.qid)
+               THEN 1 ELSE 0 END) AS DOUBLE), 6) AS rr
+FROM scored s
+JOIN (SELECT qid AS p_qid, score AS p_score FROM scored WHERE qid = doc_id) p
+  ON s.qid = p.p_qid
+GROUP BY s.qid
+ORDER BY s.qid
+"""
+
+
+QUERIES = {
+    "bm25_search_topk": bm25_search_topk,
+    "retrieval_self_mrr": retrieval_self_mrr,
+}
+ORACLES = {
+    "bm25_search_topk": BM25_SQL,
+    "retrieval_self_mrr": RETRIEVAL_MRR_SQL,
+}

@@ -48,6 +48,7 @@ from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
     MINHASH_BAND_CTES,
     _lsh_candidate_pairs,
     _shingled,
+    shingles,
     stop_shingled_index,
 )
 from debezium_server_bigquery_spark.sources.tables import load_table
@@ -234,14 +235,86 @@ GROUP BY source ORDER BY source
 """
 
 
+def ngram_novelty_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-vs-generalization audit: the fraction of the TEST
+    split's distinct word-trigram vocabulary that never occurs in the
+    TRAIN split, per language.  Low novelty means eval perplexity mostly
+    measures recall of training n-grams; the number to report next to
+    any held-out metric (complement of the pairwise decontamination
+    view: corpus-level mass, not per-document culprits).
+
+    Scale design (100 TB): NO join anywhere — one explode of the shared
+    trigram shingler feeds ONE hash aggregate keyed on (lang, shingle)
+    whose per-split presence flags are MAX(0/1) (map-side combinable),
+    then an O(langs) rollup.  Shuffle volume is the distinct-shingle
+    count, the same order as the dedup index builds; no df-cap is
+    applied because membership, not pairing, is the question — there is
+    no quadratic blow-up to guard against."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    ex = docs.select(
+        "lang",
+        split_of(F.col("doc_id")).alias("split"),
+        F.explode(shingles(F.col("text"))).alias("sh"),
+    )
+    g = ex.groupBy("lang", "sh").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("in_train"),
+        F.max((F.col("split") == "test").cast("int")).alias("in_test"),
+    )
+    return (
+        g.filter(F.col("in_test") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_shingles"),
+            F.sum(F.lit(1) - F.col("in_train")).cast("long").alias("n_novel"),
+        )
+        .select(
+            "lang",
+            "n_test_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_test_shingles").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+ex AS (
+  SELECT d.lang, {split_case_sql("d.doc_id")} AS split, u.sh
+  FROM shingled s
+  JOIN documents d ON d.doc_id = s.doc_id,
+  unnest(s.sh) AS u(sh)
+),
+g AS (
+  SELECT lang, sh,
+    MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+    MAX(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS in_test
+  FROM ex GROUP BY lang, sh
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_test_shingles,
+  CAST(SUM(1 - in_train) AS BIGINT) AS n_novel,
+  round(CAST(SUM(1 - in_train) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS novelty_rate
+FROM g WHERE in_test = 1
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "decontaminate_test_overlap": decontaminate_test_overlap,
     "split_leakage_matrix": split_leakage_matrix,
     "decontamination_report": decontamination_report,
+    "ngram_novelty_by_split": ngram_novelty_by_split,
 }
 
 ORACLES = {
     "decontaminate_test_overlap": DECONTAMINATE_SQL,
     "split_leakage_matrix": SPLIT_LEAKAGE_SQL,
     "decontamination_report": DECONTAMINATION_REPORT_SQL,
+    "ngram_novelty_by_split": NGRAM_NOVELTY_SQL,
 }

@@ -1304,7 +1304,70 @@ ORDER BY user_id
 """
 
 
+def stream_static_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment under the gate — the remaining
+    Structured Streaming join shape (stream-stream and windowed aggs are
+    graded elsewhere): orders flow through REAL ``readStream`` as 4
+    micro-batches (maxFilesPerTrigger=1, availableNow drain) and every
+    micro-batch inner-joins the STATIC customer dimension — the
+    canonical "enrich facts with a broadcast dim at ingest" topology; no
+    watermark is required because the static side never grows stale
+    within a run.
+
+    Determinism contract: enrichment is row-local (each order meets the
+    same dimension row in whatever micro-batch it arrives), so the
+    graded per-segment rollup of the enriched append output is exact
+    regardless of file-to-batch assignment.  Decimal sums per the repo
+    convention; the batch oracle is the plain join + GROUP BY."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    src = scratch_dir("dsbq_sse_src_")
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "c_mktsegment", "o_totalprice")
+    out_dir = scratch_dir("dsbq_sse_out_")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT c.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
 QUERIES = {
+    "stream_static_enrich_e2e": stream_static_enrich_e2e,
     "pipeline_upsert_e2e": pipeline_upsert_e2e,
     "pipeline_append_e2e": pipeline_append_e2e,
     "pipeline_keep_deletes_e2e": pipeline_keep_deletes_e2e,
@@ -1352,4 +1415,5 @@ ORACLES = {
     "pipeline_backfill_e2e": PIPELINE_BACKFILL_SQL,
     "pipeline_composite_key_e2e": PIPELINE_COMPOSITE_KEY_SQL,
     "incremental_snapshot_e2e": INCREMENTAL_SNAPSHOT_SQL,
+    "stream_static_enrich_e2e": STREAM_STATIC_ENRICH_SQL,
 }
