@@ -229,7 +229,9 @@ _TIER1 = [
     # discount_quantity_elasticity, split_ks_statistic,
     # label_agreement_kappa, events_ewma_forecast_error,
     # encoding_anomaly_report, ngram_novelty_by_split,
-    # retrieval_self_mrr, stream_static_enrich_e2e), THEN the
+    # retrieval_self_mrr, stream_static_enrich_e2e,
+    # mann_whitney_source_shift, join_cardinality_profile,
+    # funnel_survival_km), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

@@ -421,3 +421,139 @@ ORACLES = {
     "events_ewma_forecast_error": EWMA_FORECAST_SQL,
     "encoding_anomaly_report": ENCODING_ANOMALY_SQL,
 }
+
+# --------------------------------------------------------------------------
+# mann_whitney_source_shift
+# --------------------------------------------------------------------------
+
+
+def mann_whitney_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum z-score of each source's document-length
+    distribution against the REST of its language — the nonparametric
+    one-vs-rest drift screen (KS asks "are the split CDFs equal?"; this
+    asks "does one SOURCE stochastically dominate its peers?", the
+    per-provider intake question).
+
+    Scale/exactness design: the corpus-sized work is ONE
+    ``groupBy(lang, n_chars, source)`` count; midranks come from a
+    LANGUAGE-partitioned window over the grouped distinct values
+    (doubled to stay integral: 2·midrank = 2·cum_before + t + 1), and
+    every moment — rank sums, tie correction Σ(t³−t) — accumulates in
+    DECIMAL(38,0), exact at any corpus size.  The only floats are the
+    final sqrt and one division; zero variance (a single tied value)
+    yields NULL.  z is signed: positive means the source's documents
+    are LONGER than its language peers'.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "n_chars", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vals = g.groupBy("lang", "n_chars").agg(F.sum("c").alias("t"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    vals = vals.select(
+        "lang",
+        "n_chars",
+        "t",
+        # 2*midrank = 2*(cum - t) + t + 1 = 2*cum - t + 1
+        (F.lit(2) * F.sum("t").over(w) - F.col("t") + F.lit(1)).alias("mr2"),
+    )
+    per_sv = g.join(vals, ["lang", "n_chars"]).groupBy("lang", "source").agg(
+        F.sum("c").cast("long").alias("n_s"),
+        F.sum(dec("c") * dec("mr2")).alias("r2"),
+    )
+    lang_tot = vals.groupBy("lang").agg(
+        F.sum("t").cast("long").alias("n_all"),
+        F.sum(dec("t") * dec("t") * dec("t") - dec("t")).alias("tie3"),
+    )
+    j = per_sv.join(F.broadcast(lang_tot), "lang")
+    n_s, n_r = dec("n_s"), (dec("n_all") - dec("n_s"))
+    # 2U = R2_s - 2*n_s(n_s+1)/2 = R2_s - n_s(n_s+1); 2*mU = n_s*n_r
+    u2_minus_2mu = F.col("r2") - n_s * (n_s + F.lit(1)) - n_s * n_r
+    n_all = dec("n_all")
+    # var = n_s*n_r/12 * [(N+1) - tie3/(N(N-1))]  (double at the end)
+    var = (
+        (n_s * n_r).cast("double")
+        / 12.0
+        * (
+            (n_all + F.lit(1)).cast("double")
+            - F.col("tie3").cast("double")
+            / (n_all * (n_all - F.lit(1))).cast("double")
+        )
+    )
+    return (
+        j.select(
+            "lang",
+            "source",
+            "n_s",
+            (F.col("n_all") - F.col("n_s")).cast("long").alias("n_rest"),
+            F.when(
+                (var > 0) & (F.col("n_s") > 0) & (F.col("n_all") > F.col("n_s")),
+                F.round(
+                    u2_minus_2mu.cast("double") / (F.lit(2.0) * F.sqrt(var)), 6
+                )
+                + F.lit(0.0),
+            ).alias("z_mw"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+MANN_WHITNEY_SQL = """
+WITH g AS (
+  SELECT lang, n_chars, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, n_chars, source
+),
+vals AS (
+  SELECT lang, n_chars, CAST(SUM(c) AS BIGINT) AS t
+  FROM g GROUP BY lang, n_chars
+),
+mr AS (
+  SELECT lang, n_chars, t,
+    2 * SUM(t) OVER (PARTITION BY lang ORDER BY n_chars
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - t + 1 AS mr2
+  FROM vals
+),
+per_sv AS (
+  SELECT g.lang, g.source,
+    CAST(SUM(g.c) AS BIGINT) AS n_s,
+    CAST(SUM(CAST(g.c AS DECIMAL(38,0)) * CAST(m.mr2 AS DECIMAL(38,0)))
+      AS DECIMAL(38,0)) AS r2
+  FROM g JOIN mr m ON g.lang = m.lang AND g.n_chars = m.n_chars
+  GROUP BY g.lang, g.source
+),
+lang_tot AS (
+  SELECT lang, CAST(SUM(t) AS BIGINT) AS n_all,
+    CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+             * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)))
+      AS DECIMAL(38,0)) AS tie3
+  FROM vals GROUP BY lang
+)
+SELECT p.lang, p.source, p.n_s,
+  CAST(l.n_all - p.n_s AS BIGINT) AS n_rest,
+  CASE WHEN p.n_s > 0 AND l.n_all > p.n_s AND
+    (CAST(p.n_s AS DECIMAL(38,0)) * (l.n_all - p.n_s))::DOUBLE / 12.0
+      * ((l.n_all + 1)::DOUBLE
+         - tie3::DOUBLE / (CAST(l.n_all AS DECIMAL(38,0)) * (l.n_all - 1))::DOUBLE)
+    > 0
+  THEN round(
+    (p.r2 - CAST(p.n_s AS DECIMAL(38,0)) * (p.n_s + 1)
+          - CAST(p.n_s AS DECIMAL(38,0)) * (l.n_all - p.n_s))::DOUBLE
+    / (2.0 * sqrt(
+        (CAST(p.n_s AS DECIMAL(38,0)) * (l.n_all - p.n_s))::DOUBLE / 12.0
+        * ((l.n_all + 1)::DOUBLE
+           - tie3::DOUBLE
+             / (CAST(l.n_all AS DECIMAL(38,0)) * (l.n_all - 1))::DOUBLE))), 6)
+    + 0.0
+  END AS z_mw
+FROM per_sv p JOIN lang_tot l ON p.lang = l.lang
+ORDER BY p.lang, p.source
+"""
+
+QUERIES["mann_whitney_source_shift"] = mann_whitney_source_shift
+ORACLES["mann_whitney_source_shift"] = MANN_WHITNEY_SQL

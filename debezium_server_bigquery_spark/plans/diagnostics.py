@@ -1143,6 +1143,104 @@ ORDER BY start_weekday, quantile
 """
 
 
+
+# --------------------------------------------------------------------------
+# join_cardinality_profile — exact join-size prediction WITHOUT the join.
+# --------------------------------------------------------------------------
+_FK_EDGES = [
+    ("customer->orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders->lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part->lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier->lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ("nation->customer", "nation", "n_nationkey", "customer", "c_nationkey"),
+]
+
+
+def join_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact output cardinality of every FK join edge computed WITHOUT
+    executing the join — the planner-grade "will this join explode?"
+    profile: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k) over per-key count tables.
+    A cost-based optimizer estimates this from histograms; on a curated
+    star schema the engine can afford the exact number, and a join_rows
+    that disagrees with the later materialized join is a data bug
+    (duplicate keys on the dim side) this query catches first.
+
+    Scale design (100 TB): per edge, TWO map-side-combinable per-key
+    counts and ONE equi-join between count tables whose size is the
+    DISTINCT key count, not the row count; the Σ of products accumulates
+    in DECIMAL(38,0) (a many-to-many edge can exceed BIGINT long before
+    it exceeds 38 digits).  The five edges are independent branches
+    unioned as O(edges) one-row aggregates."""
+    out = None
+    for edge, lt, lk, rt, rk in _FK_EDGES:
+        lc = (
+            load_table(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cl"))
+        )
+        rc = (
+            load_table(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+        )
+        j = lc.join(rc, "k")
+        row = (
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys_matched"),
+                F.sum(
+                    F.col("cl").cast("decimal(38,0)")
+                    * F.col("cr").cast("decimal(38,0)")
+                )
+                .cast("decimal(38,0)")
+                .alias("join_rows"),
+                F.max("cr").alias("max_right_fanout"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    lc.agg(F.sum("cl").cast("long").alias("n_left"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    rc.agg(F.sum("cr").cast("long").alias("n_right"))
+                )
+            )
+            .select(
+                F.lit(edge).alias("edge"),
+                "n_left",
+                "n_right",
+                "n_keys_matched",
+                F.coalesce(
+                    "join_rows", F.lit(0).cast("decimal(38,0)")
+                ).alias("join_rows"),
+                F.coalesce("max_right_fanout", F.lit(0)).cast("long").alias(
+                    "max_right_fanout"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("edge")
+
+
+def _edge_sql(edge: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+SELECT '{edge}' AS edge,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {lt}) AS n_left,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {rt}) AS n_right,
+  CAST(COUNT(*) AS BIGINT) AS n_keys_matched,
+  COALESCE(CAST(SUM(CAST(cl AS DECIMAL(38,0)) * CAST(cr AS DECIMAL(38,0)))
+    AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0))) AS join_rows,
+  COALESCE(CAST(MAX(cr) AS BIGINT), 0) AS max_right_fanout
+FROM (SELECT {lk} AS k, CAST(COUNT(*) AS BIGINT) AS cl FROM {lt} GROUP BY {lk}) a
+JOIN (SELECT {rk} AS k, CAST(COUNT(*) AS BIGINT) AS cr FROM {rt} GROUP BY {rk}) b
+  ON a.k = b.k"""
+
+
+JOIN_CARDINALITY_SQL = (
+    "\nUNION ALL\n".join(_edge_sql(*e) for e in _FK_EDGES)
+    + "\nORDER BY edge"
+)
+
 QUERIES = {
     "skew_report_lineitem_suppkey": skew_report_lineitem_suppkey,
     "events_value_histogram": events_value_histogram,
@@ -1158,7 +1256,7 @@ QUERIES = {
     "exact_quantiles_by_type": exact_quantiles_by_type,
     "order_to_ship_latency_quantiles": order_to_ship_latency_quantiles,
     "props_key_profile": props_key_profile,
-    "session_duration_quantiles": session_duration_quantiles,
+    "session_duration_quantiles": session_duration_quantiles,    "join_cardinality_profile": join_cardinality_profile,
 }
 ORACLES = {
     "skew_report_lineitem_suppkey": SKEW_REPORT_SQL,
@@ -1176,4 +1274,5 @@ ORACLES = {
     "order_to_ship_latency_quantiles": ORDER_SHIP_LATENCY_SQL,
     "props_key_profile": PROPS_KEY_PROFILE_SQL,
     "session_duration_quantiles": _session_duration_sql(),
+    "join_cardinality_profile": JOIN_CARDINALITY_SQL,
 }

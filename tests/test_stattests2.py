@@ -1,0 +1,117 @@
+"""Semantics pins for Mann-Whitney, join-cardinality profile, and the
+Kaplan-Meier funnel survival curve on constructed fixtures."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from debezium_server_bigquery_spark.functions.stattests import (
+    mann_whitney_source_shift,
+)
+from debezium_server_bigquery_spark.plans.diagnostics import (
+    join_cardinality_profile,
+)
+from debezium_server_bigquery_spark.plans.funnel import funnel_survival_km
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_mann_whitney_separated_sources(spark, tmp_path):
+    # source A strictly shorter than source B: no ties, closed-form z.
+    rows = [(i, "t", "en", "A", n) for i, n in enumerate([1, 2, 3])]
+    rows += [(10 + i, "t", "en", "B", n) for i, n in enumerate([4, 5, 6])]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in mann_whitney_source_shift(spark, sf).collect()}
+    n_s, n_r, n = 3, 3, 6
+    # A holds ranks 1..3: R=6, U = R - n_s(n_s+1)/2 = 0
+    u, mu = 0.0, n_s * n_r / 2.0
+    var = n_s * n_r / 12.0 * (n + 1)  # no ties
+    z = round((u - mu) / math.sqrt(var), 6)
+    assert out["A"].n_s == 3 and out["A"].n_rest == 3
+    assert abs(out["A"].z_mw - z) < 1e-9
+    assert abs(out["B"].z_mw + z) < 1e-9  # symmetric one-vs-rest
+
+
+def test_mann_whitney_identical_sources_z_zero(spark, tmp_path):
+    rows = [(i, "t", "en", "A", 5) for i in range(3)]
+    rows += [(10 + i, "t", "en", "B", 5) for i in range(3)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in mann_whitney_source_shift(spark, sf).collect()}
+    # every value tied: variance collapses to zero -> NULL
+    assert out["A"].z_mw is None and out["B"].z_mw is None
+
+
+def test_join_cardinality_exact_products(spark, tmp_path):
+    def w(name, schema, rows):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+
+    w("customer", "c_custkey long, c_nationkey long", [(1, 7), (2, 7), (3, 8)])
+    w("orders", "o_orderkey long, o_custkey long",
+      [(10, 1), (11, 1), (12, 2), (13, 99)])  # custkey 99 unmatched
+    w("lineitem", "l_orderkey long, l_partkey long, l_suppkey long",
+      [(10, 100, 200), (10, 101, 200), (11, 100, 201)])
+    w("part", "p_partkey long", [(100,), (101,), (102,)])
+    w("supplier", "s_suppkey long", [(200,), (201,)])
+    w("nation", "n_nationkey long", [(7,), (8,)])
+    out = {r.edge: r for r in join_cardinality_profile(spark, str(tmp_path)).collect()}
+    co = out["customer->orders"]
+    assert (co.n_left, co.n_right, co.n_keys_matched) == (3, 4, 2)
+    assert int(co.join_rows) == 3  # cust1 x 2 orders + cust2 x 1
+    assert co.max_right_fanout == 2
+    ol = out["orders->lineitem"]
+    assert int(ol.join_rows) == 3 and ol.max_right_fanout == 2
+    nc = out["nation->customer"]
+    assert int(nc.join_rows) == 3 and nc.max_right_fanout == 2
+
+
+def _ts(d: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+
+
+def test_km_survival_with_censoring(spark, tmp_path):
+    rows = [
+        (0, _ts(0), 1, "view", 1.0, "{}"),
+        (1, _ts(2), 1, "purchase", 1.0, "{}"),
+        (2, _ts(0), 2, "view", 1.0, "{}"),
+        (3, _ts(2), 2, "purchase", 1.0, "{}"),
+        (4, _ts(0), 3, "view", 1.0, "{}"),  # never purchases
+        (5, _ts(5), 4, "click", 1.0, "{}"),  # horizon extender only
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = funnel_survival_km(spark, sf).collect()
+    assert len(out) == 1  # only day 2 has conversions
+    r = out[0]
+    assert r.cohort == "2024-01" and r.t_days == 2
+    assert r.n_at_risk == 3 and r.n_events == 2
+    assert abs(r.survival - round(1 / 3, 6)) < 1e-9
+
+
+def test_km_risk_set_exhaustion_yields_zero(spark, tmp_path):
+    rows = [
+        (0, _ts(0), 1, "view", 1.0, "{}"),
+        (1, _ts(1), 1, "purchase", 1.0, "{}"),
+        (2, _ts(0), 2, "view", 1.0, "{}"),
+        (3, _ts(1), 2, "purchase", 1.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = funnel_survival_km(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0].n_at_risk == 2 and out[0].n_events == 2
+    assert out[0].survival == 0.0
