@@ -76,6 +76,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.functions.linkage",),
         ("debezium_server_bigquery_spark.functions.stattests",),
         ("debezium_server_bigquery_spark.operators.zorder",),
+        ("debezium_server_bigquery_spark.operators.bucketing",),
         ("debezium_server_bigquery_spark.plans.funnel",),
         ("debezium_server_bigquery_spark.plans.behavior",),
         ("debezium_server_bigquery_spark.plans.segmentation",),
@@ -231,7 +232,8 @@ _TIER1 = [
     # encoding_anomaly_report, ngram_novelty_by_split,
     # retrieval_self_mrr, stream_static_enrich_e2e,
     # mann_whitney_source_shift, join_cardinality_profile,
-    # funnel_survival_km), THEN the
+    # funnel_survival_km, rbo_ranker_agreement, bucketed_join_e2e),
+    # THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

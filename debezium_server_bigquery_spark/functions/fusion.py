@@ -140,3 +140,130 @@ ORDER BY rrf DESC, doc_id ASC LIMIT {TOP_DOCS}
 
 QUERIES = {"quality_rank_fusion": quality_rank_fusion}
 ORACLES = {"quality_rank_fusion": QUALITY_RRF_SQL}
+
+
+# --------------------------------------------------------------------------
+# rbo_ranker_agreement — rank-biased overlap between two curation rankers.
+# --------------------------------------------------------------------------
+RBO_K = 20  # truncation depth of each ranked list
+RBO_P = "0.9"  # persistence: weight of depth d is (1-p)·p^(d-1)
+
+
+def _rbo_weights() -> list[str]:
+    """(1−p)·p^(d−1)/d for d = 1..K as exact 18-dp decimal literal strings
+    (division by d is quantized half-even ONCE here; both engines then
+    consume the identical literal, so no runtime pow/div can wobble)."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    p = Decimal(RBO_P)
+    return [
+        str(
+            ((1 - p) * p ** (d - 1) / Decimal(d)).quantize(
+                Decimal("1e-18"), rounding=ROUND_HALF_EVEN
+            )
+        )
+        for d in range(1, RBO_K + 1)
+    ]
+
+
+def rbo_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated at K=20, p=0.9)
+    between the two cheap curation rankers — heuristic quality score vs
+    raw document length — per language.  The ranker-redundancy check
+    before spending on a third signal: RBO ≈ 1 means the quality gate is
+    just a length gate in disguise; ≈ 0 means independent orderings.
+
+    Scale design (100 TB): both rankings are LANGUAGE-partitioned
+    windows (never global; per-lang top-K is the object of interest);
+    every doc in both top-K lists contributes to depths d ≥ max(ra, rb),
+    so the depth explosion is bounded by K·K rows per language.
+    Exactness: depth weights are fixed 18-dp DECIMAL literals summed
+    exactly (order-independent); the only float is the final cast."""
+    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    j = docs.join(q, "doc_id")
+    wa = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    wb = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = j.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    both = ranked.filter(
+        (F.col("ra") <= RBO_K) & (F.col("rb") <= RBO_K)
+    ).select("lang", F.greatest("ra", "rb").alias("m"))
+    warr = F.array(
+        *[F.lit(w).cast("decimal(38,18)") for w in _rbo_weights()]
+    )
+    contrib = both.select(
+        "lang", F.explode(F.sequence(F.col("m"), F.lit(RBO_K))).alias("d")
+    ).select("lang", F.element_at(warr, F.col("d")).alias("w"))
+    counts = both.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    rbo = contrib.groupBy("lang").agg(F.sum("w").alias("rbo_dec"))
+    return (
+        counts.join(rbo, "lang")
+        .select(
+            "lang",
+            "n_both",
+            (F.round(F.col("rbo_dec").cast("double"), 6) + F.lit(0.0)).alias(
+                "rbo"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _rbo_sql() -> str:
+    from debezium_server_bigquery_spark.functions.curation import _QUALITY_CTE
+
+    arr = ", ".join(f"'{w}'::DECIMAL(38,18)" for w in _rbo_weights())
+    return f"""
+WITH quality AS ({_QUALITY_CTE}),
+j AS (
+  SELECT d.lang, d.doc_id, d.n_chars, q.quality_score
+  FROM documents d JOIN quality q USING (doc_id)
+),
+ranked AS (
+  SELECT lang, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY quality_score DESC, doc_id) AS ra,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS rb
+  FROM j
+),
+both_l AS (
+  SELECT lang, greatest(ra, rb) AS m FROM ranked
+  WHERE ra <= {RBO_K} AND rb <= {RBO_K}
+),
+contrib AS (
+  SELECT lang, ([{arr}])[CAST(r.d AS INT)] AS w
+  FROM both_l, UNNEST(range(m, {RBO_K} + 1)) AS r(d)
+),
+counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_both FROM both_l GROUP BY lang
+),
+rbo AS (
+  SELECT lang, CAST(SUM(w) AS DECIMAL(38,18)) AS rbo_dec
+  FROM contrib GROUP BY lang
+)
+SELECT c.lang, c.n_both,
+  round(CAST(r.rbo_dec AS DOUBLE), 6) + 0.0 AS rbo
+FROM counts c JOIN rbo r ON c.lang = r.lang
+ORDER BY c.lang
+"""
+
+
+RBO_SQL = _rbo_sql()
+
+QUERIES["rbo_ranker_agreement"] = rbo_ranker_agreement
+ORACLES["rbo_ranker_agreement"] = RBO_SQL

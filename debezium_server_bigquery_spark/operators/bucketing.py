@@ -53,3 +53,69 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Catalog read — Spark attaches the bucket spec so joins/aggregations
     on the bucket key plan without an exchange."""
     return spark.table(table_name)
+
+
+# --------------------------------------------------------------------------
+# Registered gate query: bucketed co-located join, exchange-free by layout.
+# --------------------------------------------------------------------------
+def bucketed_join_e2e(spark, sf_dir: str):
+    """The fact-fact join (orders ⋈ lineitem on orderkey) through REAL
+    bucketed tables: both sides are physically written ``bucketBy`` the
+    join key into the session catalog, read back, joined, and rolled up
+    to revenue per order priority.  At 100 TB this layout removes the
+    single biggest shuffle in the workload — the whole point of the
+    write-once bucket cost — and the companion test asserts the plan
+    contains NO Exchange on either join input (the co-location is
+    verified from the plan text, not assumed).
+
+    The batch oracle is the plain join + GROUP BY: bucketing is a pure
+    LAYOUT change, so any result drift versus the unbucketed twin is a
+    correctness bug in the layout path (bucket pruning, bucket hashing).
+    Decimal revenue per the repo convention."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.sources.tables import (
+        load_table,
+        scratch_dir,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    base = scratch_dir("dsbq_bktjoin_")
+    write_bucketed(orders, "bkt_orders", base + "/orders", ["o_orderkey"], 8)
+    write_bucketed(li, "bkt_lineitem", base + "/lineitem", ["l_orderkey"], 8)
+    o = read_bucketed(spark, "bkt_orders")
+    l = read_bucketed(spark, "bkt_lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    revenue = F.sum(
+        dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(5,2)") - F.col("l_discount").cast("decimal(5,2)"))
+    )
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            revenue.cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o.o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2))))
+    AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+QUERIES = {"bucketed_join_e2e": bucketed_join_e2e}
+ORACLES = {"bucketed_join_e2e": BUCKETED_JOIN_SQL}

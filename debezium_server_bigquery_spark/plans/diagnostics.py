@@ -760,7 +760,7 @@ counts AS (
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits)
 SELECT digit, n_obs,
   round(n_obs / CAST(total AS DOUBLE), 6) AS obs_share,
-  CASE {_BENFORD_CASE} END AS exp_share,
+  CAST(CASE {_BENFORD_CASE} END AS DOUBLE) AS exp_share,
   round(abs(n_obs / CAST(total AS DOUBLE)
             - CASE {_BENFORD_CASE} END), 6) AS abs_dev
 FROM counts, tot

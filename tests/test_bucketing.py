@@ -73,3 +73,32 @@ def test_bucketed_groupby_on_bucket_key_no_exchange(spark, sf_dir, tmp_path):
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li2")
+
+
+def test_bucketed_join_e2e_gate_plan_and_rows(spark, sf_dir):
+    """The registered gate query: co-located join (single post-join
+    exchange in the plan) and the same rollup as the unbucketed twin."""
+    from debezium_server_bigquery_spark.operators.bucketing import (
+        bucketed_join_e2e,
+    )
+
+    out = bucketed_join_e2e(spark, sf_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    rows = {r.o_orderpriority: r for r in out.collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    expect = {
+        r.o_orderpriority: r.n
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {k: v.n_items for k, v in rows.items()} == expect
