@@ -1366,7 +1366,97 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
 
 
+def denormalized_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-table training-data export under the gate: the star schema
+    denormalizes (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ supplier ⋈
+    part) into ONE physical parquet table — the layout an ML feature
+    pipeline actually trains from — then the graded summary re-reads the
+    EXPORTED files, so the row grades the write+read round trip, not the
+    in-memory join.
+
+    Scale design (100 TB): one fact-sized join pipeline (dims broadcast
+    by AQE at this SF; orders⋈lineitem is the bucketed-layout candidate
+    graded separately in bucketed_join_e2e), one pass out to columnar
+    files partitioned by the natural slice key (customer nation), and a
+    map-side-combinable summary over the export.  Decimal revenue per
+    the repo convention; the oracle recomputes the same rollup from the
+    normalized tables, so any drift is a loss in the export path."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    wide = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            "l_orderkey",
+            "o_custkey",
+            F.col("n_name").alias("cust_nation"),
+            "s_name",
+            "p_brand",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    out_dir = scratch_dir("dsbq_denorm_")
+    wide.write.mode("overwrite").partitionBy("cust_nation").parquet(out_dir)
+    exported = spark.read.parquet(out_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        exported.groupBy("cust_nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.countDistinct("p_brand").cast("long").alias("n_brands"),
+            F.sum(
+                dec("l_extendedprice")
+                * (
+                    F.lit(1).cast("decimal(5,2)")
+                    - F.col("l_discount").cast("decimal(5,2)")
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("cust_nation")
+    )
+
+
+DENORM_EXPORT_SQL = """
+SELECT n.n_name AS cust_nation,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+  CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2))))
+    AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY n.n_name ORDER BY cust_nation
+"""
+
+
 QUERIES = {
+    "denormalized_export_e2e": denormalized_export_e2e,
     "stream_static_enrich_e2e": stream_static_enrich_e2e,
     "pipeline_upsert_e2e": pipeline_upsert_e2e,
     "pipeline_append_e2e": pipeline_append_e2e,
@@ -1416,4 +1506,5 @@ ORACLES = {
     "pipeline_composite_key_e2e": PIPELINE_COMPOSITE_KEY_SQL,
     "incremental_snapshot_e2e": INCREMENTAL_SNAPSHOT_SQL,
     "stream_static_enrich_e2e": STREAM_STATIC_ENRICH_SQL,
+    "denormalized_export_e2e": DENORM_EXPORT_SQL,
 }

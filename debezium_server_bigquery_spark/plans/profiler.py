@@ -111,3 +111,72 @@ PROFILE_SQL = (
 
 QUERIES = {"profile_table_columns": profile_table_columns}
 ORACLES = {"profile_table_columns": PROFILE_SQL}
+
+
+# --------------------------------------------------------------------------
+# functional_dependency_audit — exact FD check over candidate pairs.
+# --------------------------------------------------------------------------
+# (table, LHS cols, RHS col, why it is interesting)
+_FD_CANDIDATES = [
+    ("orders", ["o_orderkey"], "o_custkey"),          # PK -> attr: must hold
+    ("customer", ["c_custkey"], "c_nationkey"),       # PK -> attr: must hold
+    ("documents", ["doc_id"], "lang"),                # PK -> attr: must hold
+    ("lineitem", ["l_orderkey", "l_linenumber"], "l_partkey"),  # composite PK
+    ("lineitem", ["l_orderkey"], "l_suppkey"),        # expected to FAIL
+    ("lineitem", ["l_partkey"], "l_suppkey"),         # expected to FAIL
+]
+
+
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact functional-dependency check over a declared candidate list —
+    the schema-mining side of the profiler: ``LHS → RHS`` holds iff every
+    LHS group maps to exactly one RHS value, i.e. ``|distinct(LHS)| =
+    |distinct(LHS, RHS)|``.  PK→attribute rows double as replication
+    integrity checks (a violated PK dependency means the CDC pipeline
+    merged two sources of truth); the deliberately-false candidates pin
+    that the audit can actually fail.
+
+    Scale design (100 TB): each candidate is ONE aggregate of two exact
+    distinct counts (hash-partial distinct, map-side combinable); no
+    joins, no windows; the union output is O(candidates)."""
+    out = None
+    for table, lhs, rhs in _FD_CANDIDATES:
+        df = load_table(spark, sf_dir, table)
+        row = df.agg(
+            F.countDistinct(*[F.col(c) for c in lhs]).alias("n_lhs"),
+            F.countDistinct(*([F.col(c) for c in lhs] + [F.col(rhs)])).alias(
+                "n_lhs_rhs"
+            ),
+        ).select(
+            F.lit(f"{table}: {','.join(lhs)} -> {rhs}").alias("fd"),
+            F.col("n_lhs").cast("long").alias("n_lhs_groups"),
+            (F.col("n_lhs_rhs") - F.col("n_lhs")).cast("long").alias(
+                "n_violating_groups"
+            ),
+            (F.col("n_lhs_rhs") == F.col("n_lhs")).alias("holds"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("fd")
+
+
+def _fd_sql(table: str, lhs: list[str], rhs: str) -> str:
+    lhs_expr = ", ".join(lhs)
+    return f"""
+SELECT '{table}: {','.join(lhs)} -> {rhs}' AS fd,
+  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {lhs_expr} FROM {table}))
+    AS BIGINT) AS n_lhs_groups,
+  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {lhs_expr}, {rhs} FROM {table}))
+    - (SELECT COUNT(*) FROM (SELECT DISTINCT {lhs_expr} FROM {table}))
+    AS BIGINT) AS n_violating_groups,
+  (SELECT COUNT(*) FROM (SELECT DISTINCT {lhs_expr}, {rhs} FROM {table}))
+    = (SELECT COUNT(*) FROM (SELECT DISTINCT {lhs_expr} FROM {table}))
+    AS holds"""
+
+
+FD_AUDIT_SQL = (
+    "\nUNION ALL\n".join(_fd_sql(t, l, r) for t, l, r in _FD_CANDIDATES)
+    + "\nORDER BY fd"
+)
+
+QUERIES["functional_dependency_audit"] = functional_dependency_audit
+ORACLES["functional_dependency_audit"] = FD_AUDIT_SQL

@@ -277,3 +277,27 @@ def test_pipeline_transform_hook_order_and_scope(spark, sf_dir):
             assert r.props == "<redacted>"
         else:
             assert r.props != "<redacted>"
+
+
+def test_denormalized_export_matches_direct_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.plans.pipeline_queries import (
+        denormalized_export_e2e,
+    )
+
+    out = {r.cust_nation: r for r in denormalized_export_e2e(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    direct = {
+        r.n_name: r.n
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {k: v.n_rows for k, v in out.items()} == direct

@@ -31,3 +31,34 @@ def test_profile_flags_real_keys(spark, sf_dir):
     assert rows[("customer", "c_custkey")].is_unique
     assert not rows[("orders", "o_orderstatus")].is_unique
     assert all(r.n_null == 0 for r in rows.values())  # synthetic data has no nulls
+
+
+def test_fd_audit_detects_violations(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.profiler import (
+        functional_dependency_audit,
+    )
+
+    # orders: o_orderkey -> o_custkey violated for key 2 (two custkeys)
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21), (3, 30)],
+        "o_orderkey long, o_custkey long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 7), (20, 7)], "c_custkey long, c_nationkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 100, 200), (1, 2, 101, 200), (2, 1, 100, 201)],
+        "l_orderkey long, l_linenumber long, l_partkey long, l_suppkey long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.fd: r for r in functional_dependency_audit(spark, str(tmp_path)).collect()}
+    o = out["orders: o_orderkey -> o_custkey"]
+    assert not o.holds and o.n_lhs_groups == 3 and o.n_violating_groups == 1
+    assert out["customer: c_custkey -> c_nationkey"].holds
+    assert out["lineitem: l_orderkey,l_linenumber -> l_partkey"].holds
+    # l_partkey 100 maps to suppkeys {200, 201}: violated
+    lp = out["lineitem: l_partkey -> l_suppkey"]
+    assert not lp.holds and lp.n_violating_groups == 1
