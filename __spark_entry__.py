@@ -233,7 +233,8 @@ _TIER1 = [
     # retrieval_self_mrr, stream_static_enrich_e2e,
     # mann_whitney_source_shift, join_cardinality_profile,
     # funnel_survival_km, rbo_ranker_agreement, bucketed_join_e2e,
-    # functional_dependency_audit, denormalized_export_e2e), THEN the
+    # functional_dependency_audit, denormalized_export_e2e,
+    # asof_purchase_last_view_7d, orders_lineitem_consistency), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

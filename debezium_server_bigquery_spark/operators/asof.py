@@ -131,3 +131,71 @@ ORDER BY p.event_id
 
 QUERIES = {"asof_purchase_last_view": asof_purchase_last_view}
 ORACLES = {"asof_purchase_last_view": ASOF_SQL}
+
+
+TOLERANCE_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+
+def asof_purchase_last_view_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (the pandas ``merge_asof(tolerance=)``
+    semantics): each purchase matches its most recent preceding view
+    ONLY if it happened within 7 days — staler context is attribution
+    noise, so the match is dropped, not kept.  Because the as-of match
+    is already the NEAREST preceding row, the tolerance is a row-local
+    post-filter on the same single-pass union-window plan (no second
+    join, no extra shuffle at any scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("view_event_id", "ts"),
+    )
+    gap = epoch_micros(F.col("ts"), ts_type) - epoch_micros(
+        F.col("asof_ts"), ts_type
+    )
+    in_tol = F.col("asof_ts").isNotNull() & (gap <= TOLERANCE_US)
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, F.col("asof_view_event_id"))
+        .otherwise(F.lit(-1))
+        .alias("prev_view_event_id"),
+        F.when(in_tol, gap).otherwise(F.lit(-1)).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+ASOF_7D_SQL = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT p.event_id, p.user_id,
+  CASE WHEN v.ts IS NOT NULL
+        AND epoch_us(p.ts) - epoch_us(v.ts) <= {TOLERANCE_US}
+    THEN v.view_event_id ELSE -1 END AS prev_view_event_id,
+  CASE WHEN v.ts IS NOT NULL
+        AND epoch_us(p.ts) - epoch_us(v.ts) <= {TOLERANCE_US}
+    THEN epoch_us(p.ts) - epoch_us(v.ts) ELSE -1 END AS gap_us
+FROM purchases p
+  ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+QUERIES["asof_purchase_last_view_7d"] = asof_purchase_last_view_7d
+ORACLES["asof_purchase_last_view_7d"] = ASOF_7D_SQL

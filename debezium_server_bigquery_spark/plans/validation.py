@@ -191,3 +191,91 @@ ORACLES = {
     "validate_rowcounts_all_tables": VALIDATE_ROWCOUNTS_SQL,
     "validate_referential_integrity": VALIDATE_FK_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# orders_lineitem_consistency — cross-table derived-field audit.
+# --------------------------------------------------------------------------
+
+
+def orders_lineitem_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field business-rule audit: TPC-H defines
+    ``o_totalprice = Σ l_extendedprice·(1+l_tax)·(1−l_discount)`` over
+    the order's line items — the denormalized header field the fact rows
+    must re-derive.  After replication this is the strongest cheap
+    corruption probe there is: a single dropped/duplicated/garbled line
+    item breaks its order's equality.  Reported per order status so a
+    drift localizes.
+
+    Scale/exactness design: the line side is ONE fact-sized
+    shuffle-join-free aggregate keyed on l_orderkey (map-side
+    combinable) that then equi-joins the orders header — the canonical
+    fact→header shape; the derived sum runs entirely in DECIMAL
+    (18,2 × 5,2 × 5,2 products, exact), the header price is cast to
+    DECIMAL(18,2) once, and the match predicate compares |diff| to a
+    half-cent in DECIMAL — no float enters the decision."""
+    li = load_table(spark, sf_dir, "lineitem")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(5,2)")
+                + F.col("l_tax").cast("decimal(5,2)")
+            )
+            * (
+                F.lit(1).cast("decimal(5,2)")
+                - F.col("l_discount").cast("decimal(5,2)")
+            )
+        ).alias("derived_total")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    j = orders.join(derived, orders["o_orderkey"] == derived["l_orderkey"])
+    diff = F.abs(
+        F.col("derived_total")
+        - F.col("o_totalprice").cast("decimal(18,2)").cast(
+            "decimal(38,6)"
+        )
+    )
+    tol = F.lit("0.005").cast("decimal(38,6)")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum((diff <= tol).cast("long")).cast("long").alias("n_consistent"),
+            F.sum((diff > tol).cast("long")).cast("long").alias("n_inconsistent"),
+            F.round(F.max(diff).cast("double"), 6).alias("max_abs_diff"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDERS_CONSISTENCY_SQL = """
+WITH derived AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))
+             * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))))
+      AS DECIMAL(38,6)) AS derived_total
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderstatus,
+    abs(d.derived_total
+        - CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+      AS diff
+  FROM orders o JOIN derived d ON o.o_orderkey = d.l_orderkey
+)
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CASE WHEN diff <= CAST('0.005' AS DECIMAL(38,6))
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+  CAST(SUM(CASE WHEN diff > CAST('0.005' AS DECIMAL(38,6))
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_inconsistent,
+  round(CAST(MAX(diff) AS DOUBLE), 6) AS max_abs_diff
+FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_lineitem_consistency"] = orders_lineitem_consistency
+ORACLES["orders_lineitem_consistency"] = ORDERS_CONSISTENCY_SQL
