@@ -234,7 +234,9 @@ _TIER1 = [
     # mann_whitney_source_shift, join_cardinality_profile,
     # funnel_survival_km, rbo_ranker_agreement, bucketed_join_e2e,
     # functional_dependency_audit, denormalized_export_e2e,
-    # asof_purchase_last_view_7d, orders_lineitem_consistency), THEN the
+    # asof_purchase_last_view_7d, orders_lineitem_consistency,
+    # stream_checkpoint_resume_e2e, dedup_exact_keep_priority_source),
+    # THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

@@ -788,3 +788,74 @@ ORACLES = {
     "cross_source_dup_matrix": CROSS_SOURCE_DUP_SQL,
     "dedup_lsh_recall": DEDUP_LSH_RECALL_SQL,
 }
+
+
+def dedup_exact_keep_priority_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based survivor selection for exact dedup: instead of plain
+    keep-first (``dedup_exact``'s min doc_id), each content-hash cluster
+    keeps the copy from the HIGHEST-PRIORITY source (the declared mirror
+    order — here the lexicographic source rank stands in for a curation
+    team's priority list), doc_id ascending as the final tiebreak.  Any
+    TEXT-derived score is constant within an exact-dup cluster by
+    definition, so a meaningful survivor policy must rank METADATA —
+    which mirror, which snapshot — and this is that operator.  Output is
+    the per-keeper-source policy summary with the cross-source cluster
+    count (the only clusters where the policy differs from keep-first).
+
+    Scale design: ONE min_by-style struct-min aggregate per content hash
+    (map-side combinable — no window, no self-join), then an O(sources)
+    rollup.  Deterministic: both engines take the field-wise MIN of the
+    (source, doc_id) struct — the same lexicographic order."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    hashed = docs.select(
+        "doc_id", "source", F.md5("text").alias("text_hash")
+    )
+    best = hashed.groupBy("text_hash").agg(
+        F.min(
+            F.struct(
+                F.col("source").alias("keeper_source"),
+                F.col("doc_id").alias("keeper_id"),
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return (
+        best.select(
+            F.col("b.keeper_source").alias("keeper_source"),
+            "n_copies",
+            "n_sources",
+        )
+        .groupBy("keeper_source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.col("n_copies") - 1).cast("long").alias("n_dropped"),
+            F.sum((F.col("n_sources") > 1).cast("long"))
+            .cast("long")
+            .alias("n_cross_source_clusters"),
+        )
+        .orderBy("keeper_source")
+    )
+
+
+DEDUP_KEEP_PRIORITY_SQL = """
+WITH hashed AS (
+  SELECT doc_id, source, md5(text) AS text_hash FROM documents
+),
+best AS (
+  SELECT text_hash,
+    min(struct_pack(keeper_source := source, keeper_id := doc_id)) AS b,
+    CAST(COUNT(*) AS BIGINT) AS n_copies,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM hashed GROUP BY text_hash
+)
+SELECT b.keeper_source AS keeper_source,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(n_copies - 1) AS BIGINT) AS n_dropped,
+  CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_cross_source_clusters
+FROM best GROUP BY b.keeper_source ORDER BY keeper_source
+"""
+
+QUERIES["dedup_exact_keep_priority_source"] = dedup_exact_keep_priority_source
+ORACLES["dedup_exact_keep_priority_source"] = DEDUP_KEEP_PRIORITY_SQL

@@ -1455,7 +1455,70 @@ GROUP BY n.n_name ORDER BY cust_nation
 """
 
 
+def stream_checkpoint_resume_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume under the gate — the exactly-once property the
+    offset store exists for (reference analog: BatchUtil offset commit +
+    restart, debezium-server-bigquery's resume-from-offsets contract):
+    the source lands in TWO arrivals; the stream drains arrival 1 with
+    availableNow against a checkpoint, STOPS (a planned shutdown — same
+    state as a crash after commit), more files land, and a SECOND stream
+    started from the SAME checkpoint processes ONLY the new arrival.
+    The graded rollup re-reads the physical output: row counts equal the
+    batch oracle exactly — nothing duplicated across the restart,
+    nothing lost.
+
+    Determinism: routing of documents to arrival 1 vs 2 is a pure
+    doc_id-hash split; the output aggregate is arrival-order independent
+    (append-only enrichless pass-through), so file-to-batch assignment
+    cannot move the graded numbers."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    first = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    second = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    src = scratch_dir("dsbq_ckres_src_")
+    out_dir = scratch_dir("dsbq_ckres_out_")
+    ckpt = os.path.join(out_dir, "_ckpt")
+    first.repartition(2).write.mode("append").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # arrival 1 committed, stream stopped
+    second.repartition(2).write.mode("append").parquet(src)
+    drain()  # resume from the same checkpoint: arrival 2 only
+    exported = spark.read.parquet(out_dir)
+    return (
+        exported.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+STREAM_CKPT_RESUME_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
+    "stream_checkpoint_resume_e2e": stream_checkpoint_resume_e2e,
     "denormalized_export_e2e": denormalized_export_e2e,
     "stream_static_enrich_e2e": stream_static_enrich_e2e,
     "pipeline_upsert_e2e": pipeline_upsert_e2e,
@@ -1507,4 +1570,5 @@ ORACLES = {
     "incremental_snapshot_e2e": INCREMENTAL_SNAPSHOT_SQL,
     "stream_static_enrich_e2e": STREAM_STATIC_ENRICH_SQL,
     "denormalized_export_e2e": DENORM_EXPORT_SQL,
+    "stream_checkpoint_resume_e2e": STREAM_CKPT_RESUME_SQL,
 }

@@ -141,3 +141,32 @@ def test_dup_cluster_size_histogram_planted(spark, tmp_path):
     assert out[2].n_clusters == 1 and out[2].n_docs == 2
     assert out[3].n_clusters == 1 and out[3].n_docs == 3
     assert abs(sum(r.doc_share for r in out.values()) - 1.0) < 1e-6
+
+
+def test_keep_priority_source_survivor_policy(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+        dedup_exact_keep_priority_source,
+    )
+
+    rows = [
+        # one text duplicated across two sources: keeper = source "alpha"
+        (5, "same text here", "en", "beta", 14),
+        (9, "same text here", "en", "alpha", 14),
+        # same-source duplicate: keeper = min doc_id, not cross-source
+        (3, "other text", "en", "beta", 10),
+        (4, "other text", "en", "beta", 10),
+        # unique doc
+        (7, "unique", "en", "beta", 6),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.keeper_source: r
+        for r in dedup_exact_keep_priority_source(spark, str(tmp_path)).collect()
+    }
+    a, b = out["alpha"], out["beta"]
+    assert a.n_clusters == 1 and a.n_dropped == 1
+    assert a.n_cross_source_clusters == 1
+    assert b.n_clusters == 2 and b.n_dropped == 1
+    assert b.n_cross_source_clusters == 0

@@ -301,3 +301,19 @@ def test_denormalized_export_matches_direct_join(spark, sf_dir):
         .collect()
     }
     assert {k: v.n_rows for k, v in out.items()} == direct
+
+
+def test_stream_checkpoint_resume_no_dupes_no_loss(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.pipeline_queries import (
+        stream_checkpoint_resume_e2e,
+    )
+
+    rows = [(i, f"text {i}", "en" if i % 2 else "fr", "s", 10 + i) for i in range(40)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in stream_checkpoint_resume_e2e(spark, str(tmp_path)).collect()}
+    # exact equality against the batch truth: nothing lost, nothing doubled
+    assert out["en"].n_docs == 20 and out["fr"].n_docs == 20
+    assert out["en"].n_chars == sum(10 + i for i in range(40) if i % 2)
+    assert out["fr"].n_chars == sum(10 + i for i in range(40) if not i % 2)
