@@ -222,3 +222,107 @@ ORACLES = {
     "entity_match_part_names": ENTITY_MATCH_SQL,
     "entity_blocking_stats": ENTITY_BLOCKING_SQL,
 }
+
+
+def entity_reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best-match filtering over the blocked candidate pairs:
+    a pair survives only if each name is the OTHER's single best match
+    (lowest edit distance, lexicographic tiebreak) — the classic
+    high-precision cut for unsupervised record linkage (one-sided best
+    matches chain A→B→C through hub names; mutual bests cannot).
+
+    Scale design (100 TB): candidates come from the same df-capped token
+    postings as ``entity_match_part_names`` (never all-pairs); per-name
+    argmin is ONE struct-MIN aggregate (map-side combinable) over the
+    symmetrized pair list, and mutuality is an equi-join of the
+    |names|-sized best table with itself on (name, best) = (best, name).
+    Both engines take the field-wise struct minimum, so tie handling is
+    identical."""
+    toks = _name_tokens(spark, sf_dir)
+    post = _capped_postings(toks)
+    a = post.select(F.col("tok"), F.col("name").alias("name_a"))
+    b = post.select(F.col("tok"), F.col("name").alias("name_b"))
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("name_a") != F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    scored = cand.withColumn("lev", lev.cast("int")).filter(
+        (F.col("lev") <= MAX_LEV)
+        & (F.col("lev") < F.least(F.length("name_a"), F.length("name_b")))
+    )
+    best = scored.groupBy("name_a").agg(
+        F.min(F.struct(F.col("lev"), F.col("name_b").alias("best"))).alias("b")
+    ).select(
+        F.col("name_a").alias("name"),
+        F.col("b.best").alias("best"),
+        F.col("b.lev").alias("lev"),
+    )
+    b2 = best.select(
+        F.col("name").alias("r_name"), F.col("best").alias("r_best")
+    )
+    return (
+        best.join(
+            b2,
+            (F.col("best") == F.col("r_name"))
+            & (F.col("r_best") == F.col("name")),
+        )
+        .filter(F.col("name") < F.col("best"))
+        .select(
+            F.col("name").alias("name_a"),
+            F.col("best").alias("name_b"),
+            "lev",
+            F.round(
+                F.lit(1.0)
+                - F.col("lev")
+                / F.greatest(F.length("name"), F.length("best")).cast("double"),
+                6,
+            ).alias("sim"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+ENTITY_RBM_SQL = f"""
+WITH names AS (
+  SELECT p_name AS name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+),
+toks AS (
+  SELECT DISTINCT n.name, t.tok
+  FROM names n, unnest(string_split(n.name, ' ')) AS t(tok)
+  WHERE length(t.tok) > 0
+),
+tok_df AS (
+  SELECT tok FROM toks GROUP BY tok
+  HAVING COUNT(DISTINCT name) <= {DF_CAP}
+),
+capped AS (SELECT t.* FROM toks t JOIN tok_df USING (tok)),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM capped a JOIN capped b ON a.tok = b.tok
+  WHERE a.name <> b.name
+),
+scored AS (
+  SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS lev
+  FROM cand
+  WHERE levenshtein(name_a, name_b) <= {MAX_LEV}
+    AND levenshtein(name_a, name_b) < least(length(name_a), length(name_b))
+),
+best AS (
+  SELECT name_a AS name,
+    min(struct_pack(lev := lev, best := name_b)) AS b
+  FROM scored GROUP BY name_a
+),
+flat AS (SELECT name, b.best AS best, b.lev AS lev FROM best)
+SELECT f.name AS name_a, f.best AS name_b, f.lev,
+  round(1.0 - f.lev::DOUBLE / greatest(length(f.name), length(f.best)), 6)
+    AS sim
+FROM flat f JOIN flat g ON f.best = g.name AND g.best = f.name
+WHERE f.name < f.best
+ORDER BY name_a, name_b
+"""
+
+QUERIES["entity_reciprocal_best_match"] = entity_reciprocal_best_match
+ORACLES["entity_reciprocal_best_match"] = ENTITY_RBM_SQL

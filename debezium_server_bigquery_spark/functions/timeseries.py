@@ -463,3 +463,71 @@ ORACLES = {
     "events_seasonal_strength": SEASONAL_STRENGTH_SQL,
     "events_crosscorrelation": EVENTS_XCORR_SQL,
 }
+
+
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion index of daily volume per event type —
+    variance-to-mean ratio of the daily counts (D ≈ 1 for a Poisson
+    arrival stream, D ≫ 1 for bursty/machine traffic, D < 1 for
+    rate-limited schedulers).  The one-number companion to the per-user
+    burstiness audit and the calibration input CUSUM thresholds assume.
+
+    Scale/exactness: one map-side daily count, one O(types) aggregate of
+    exact integer moments (n, Σx, Σx² — counts are integers, sums exact
+    and order-independent); the variance/mean assemble in DECIMAL and
+    divide once at the end.  n < 2 or a zero mean yields NULL."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    var_num = dec("n_days") * dec("sxx") - dec("sx") * dec("sx")
+    # D = var/mean = [n·Σx² − (Σx)²] / (n−1) / (Σx/n) ·(1/n) — written as
+    # one fixed expression: var_num · n / ((n−1) · n · Σx) = var_num / ((n−1)·Σx)
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("sx").cast("double") / F.col("n_days").cast("double"), 6)
+        .alias("mean_daily"),
+        F.when(
+            (F.col("n_days") > 1) & (F.col("sx") > 0),
+            F.round(
+                var_num.cast("double")
+                / ((F.col("n_days") - 1).cast("double") * F.col("sx").cast("double")),
+                6,
+            ),
+        ).alias("dispersion"),
+    ).orderBy("event_type")
+
+
+EVENTS_DISPERSION_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+  round(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_daily,
+  CASE WHEN n_days > 1 AND sx > 0 THEN
+    round(CAST(CAST(n_days AS DECIMAL(38,0)) * sxx
+               - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+          / (CAST(n_days - 1 AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+  END AS dispersion
+FROM m ORDER BY event_type
+"""
+
+QUERIES["events_dispersion_index"] = events_dispersion_index
+ORACLES["events_dispersion_index"] = EVENTS_DISPERSION_SQL

@@ -519,3 +519,24 @@ def test_elasticity_perfect_and_zero_variance(spark, tmp_path):
            for r in discount_quantity_elasticity(spark, str(tmp_path)).collect()}
     assert out["Brand#A"].corr_disc_qty == 1.0
     assert out["Brand#B"].corr_disc_qty is None
+
+
+def test_reciprocal_best_match_breaks_chains(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.linkage import (
+        entity_reciprocal_best_match,
+    )
+
+    # "aa bb" <-> "aa bc" are mutual bests (lev 1 both ways).
+    # "aa bd" chains to "aa bb"/"aa bc" (lev 1) but THEIR best is each
+    # other... all three are lev-1 apart pairwise; the struct tiebreak
+    # (lev, name) makes best("aa bb")="aa bc", best("aa bc")="aa bb",
+    # best("aa bd")="aa bb" -> one-sided, dropped by mutuality.
+    rows = [(f"aa {s}",) for s in ("bb", "bc", "bd")]
+    spark.createDataFrame(rows, "p_name string").selectExpr(
+        "p_name", "1 as p_partkey"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = [
+        (r.name_a, r.name_b, r.lev)
+        for r in entity_reciprocal_best_match(spark, str(tmp_path)).collect()
+    ]
+    assert out == [("aa bb", "aa bc", 1)]

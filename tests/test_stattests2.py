@@ -115,3 +115,32 @@ def test_km_risk_set_exhaustion_yields_zero(spark, tmp_path):
     assert len(out) == 1
     assert out[0].n_at_risk == 2 and out[0].n_events == 2
     assert out[0].survival == 0.0
+
+
+def test_dispersion_index_poisson_vs_constant(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.stattests import (  # noqa: F401
+        split_ks_statistic,
+    )
+    from debezium_server_bigquery_spark.functions.timeseries import (
+        events_dispersion_index,
+    )
+
+    rows = []
+    eid = 0
+    # type "const": 3 events every day for 10 days -> variance 0, D = 0
+    for d in range(10):
+        for _ in range(3):
+            rows.append((eid, _ts(d), 1, "const", 1.0, "{}"))
+            eid += 1
+    # type "ramp": day d has d+1 events, days 0..4 -> known moments
+    for d in range(5):
+        for _ in range(d + 1):
+            rows.append((eid, _ts(d), 1, "ramp", 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in events_dispersion_index(spark, sf).collect()}
+    assert out["const"].dispersion == 0.0
+    # x = 1..5: n=5, sx=15, sxx=55 -> var_num = 5*55-225 = 50
+    # D = 50 / (4 * 15) = 0.833333
+    assert abs(out["ramp"].dispersion - round(50 / 60, 6)) < 1e-9
+    assert out["ramp"].mean_daily == 3.0
