@@ -236,7 +236,8 @@ _TIER1 = [
     # functional_dependency_audit, denormalized_export_e2e,
     # asof_purchase_last_view_7d, orders_lineitem_consistency,
     # stream_checkpoint_resume_e2e, dedup_exact_keep_priority_source,
-    # entity_reciprocal_best_match, events_dispersion_index), THEN the
+    # entity_reciprocal_best_match, events_dispersion_index,
+    # graph_kcore_supply, dp_noisy_histogram_eval), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

@@ -63,3 +63,28 @@ def test_pagerank_trade_graph_shape(spark, sf_dir):
     ranks = [r.pagerank for r in rows]
     assert ranks == sorted(ranks, reverse=True)
     assert {r.node_type for r in rows} <= {"customer", "supplier"}
+
+
+def test_kcore_peels_tail_keeps_clique(spark, tmp_path):
+    """A 4-clique of suppliers (all in one order) survives k=3 peeling;
+    a pendant supplier attached through a 2-supplier order peels off in
+    round 1."""
+    from debezium_server_bigquery_spark.functions.graph import (
+        KCORE_ROUNDS,
+        graph_kcore_supply,
+    )
+
+    rows = []
+    # order 1: suppliers 1..4 -> C(4,2) edges, every degree 3 (a 3-core)
+    for s in (1, 2, 3, 4):
+        rows.append((1, s))
+    # order 2: suppliers 4 and 99 -> 99 has degree 1, peels immediately
+    rows.append((2, 4))
+    rows.append((2, 99))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.round: r.n_active for r in graph_kcore_supply(spark, str(tmp_path)).collect()}
+    assert out[0] == 5
+    assert out[1] == 4  # 99 gone
+    assert all(out[i] == 4 for i in range(2, KCORE_ROUNDS + 1))

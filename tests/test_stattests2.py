@@ -144,3 +144,34 @@ def test_dispersion_index_poisson_vs_constant(spark, tmp_path):
     # D = 50 / (4 * 15) = 0.833333
     assert abs(out["ramp"].dispersion - round(50 / 60, 6)) < 1e-9
     assert out["ramp"].mean_daily == 3.0
+
+
+def test_dp_histogram_noise_is_seeded_laplace(spark, tmp_path):
+    import math
+
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import hash60  # noqa: F401
+    from debezium_server_bigquery_spark.plans.diagnostics import (
+        _DP_U_SCALE,
+        dp_noisy_histogram_eval,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "t", "en" if i < 7 else "fr", "s", 5) for i in range(10)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.lang: r for r in dp_noisy_histogram_eval(spark, sf).collect()}
+    assert out["en"].n_true == 7 and out["fr"].n_true == 3
+    # replicate the seeded draw for 'en' through the same hash column
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import hash60 as h60
+
+    u_row = (
+        spark.range(1)
+        .select(
+            (F.pmod(h60(F.lit("dp:en")), F.lit(_DP_U_SCALE)).cast("double")
+             / F.lit(float(_DP_U_SCALE))).alias("u")
+        )
+        .collect()[0]
+    )
+    u = u_row.u
+    expected = round(-1.0 * math.copysign(1.0, u - 0.5) * math.log(1.0 - 2.0 * abs(u - 0.5)), 6)
+    assert abs(out["en"].noise - expected) < 1e-9
+    assert abs(out["en"].n_released - round(7 + expected + 0.0, 6)) < 1e-6
