@@ -110,3 +110,42 @@ def test_salted_join_partitions_by_salt(spark, sf_dir):
     )
     # the exchange must spread each key across salts
     assert "__salt" in plan
+
+
+def test_attribution_three_models_disagree_correctly(spark, tmp_path):
+    import datetime
+
+    from debezium_server_bigquery_spark.operators.rangejoin import (
+        attribution_model_comparison,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def mins_before(m):
+        return t0 - datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1: view (30 min before), click (10 min before), purchase.
+        # first touch -> view, last touch -> click, linear 0.5 each.
+        (1, mins_before(30), 1, "view", 1.0, "{}"),
+        (2, mins_before(10), 1, "click", 1.0, "{}"),
+        (3, t0, 1, "purchase", 1.0, "{}"),
+        # user 2: single view touch -> all models credit view fully.
+        (4, mins_before(5), 2, "view", 1.0, "{}"),
+        (5, t0, 2, "purchase", 1.0, "{}"),
+        # user 3: touch outside the 1h window -> no credits anywhere.
+        (6, mins_before(90), 3, "click", 1.0, "{}"),
+        (7, t0, 3, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.t_type: r for r in attribution_model_comparison(spark, str(tmp_path)).collect()}
+    assert out["view"].first_touch_credits == 2
+    assert out["view"].last_touch_credits == 1
+    assert abs(out["view"].linear_credits - 1.5) < 1e-9
+    assert out["click"].first_touch_credits == 0
+    assert out["click"].last_touch_credits == 1
+    assert abs(out["click"].linear_credits - 0.5) < 1e-9
