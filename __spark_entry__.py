@@ -79,6 +79,7 @@ def _collect(attr: str) -> dict:
         ("debezium_server_bigquery_spark.operators.bucketing",),
         ("debezium_server_bigquery_spark.operators.skyline",),
         ("debezium_server_bigquery_spark.plans.funnel",),
+        ("debezium_server_bigquery_spark.plans.experiments",),
         ("debezium_server_bigquery_spark.plans.behavior",),
         ("debezium_server_bigquery_spark.plans.segmentation",),
         ("debezium_server_bigquery_spark.plans.diagnostics",),
@@ -239,7 +240,8 @@ _TIER1 = [
     # stream_checkpoint_resume_e2e, dedup_exact_keep_priority_source,
     # entity_reciprocal_best_match, events_dispersion_index,
     # graph_kcore_supply, dp_noisy_histogram_eval,
-    # skyline_parts_price_size, attribution_model_comparison), THEN the
+    # skyline_parts_price_size, attribution_model_comparison,
+    # ab_test_proportion_z, cuped_adjusted_lift), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

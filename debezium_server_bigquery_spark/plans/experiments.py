@@ -1,0 +1,260 @@
+"""Experimentation analytics: A/B assignment, tests, variance reduction.
+
+An analytics engine that feeds a product team needs the experimentation
+readout path, not just descriptive rollups.  Both operators assign users
+to arms with the same deterministic id-hash discipline as
+``dataset_splits`` (assignment is a pure column function — reproducible,
+join-free) and reduce to EXACT integer/decimal moments with floats only
+in the final scalar algebra, so the hash gate holds without tolerance.
+
+- ``ab_test_proportion_z`` — the two-proportion z-test on user-level
+  conversion (≥ 1 purchase) between hash-assigned arms.  Under a null
+  A/A split (which a content-independent hash gives on this synthetic
+  corpus) z should hover near 0 — the aa-test sanity readout an
+  experimentation platform runs continuously.
+- ``cuped_adjusted_lift`` — CUPED (Deng et al., WSDM'13): reduce metric
+  variance with a pre-period covariate.  θ = cov(pre, post)/var(pre) is
+  assembled from exact decimal sums; the adjusted lift needs NO per-user
+  float row math because mean(y − θx) = ȳ − θ·x̄ by linearity, and
+  var(y − θx) = var(y) − 2θ·cov + θ²·var(x) from the same moments.
+
+Scale design (100 TB): each operator is ONE map-side-combinable
+per-user aggregate followed by ONE O(arms) rollup; assignment adds no
+join; every Σ runs in DECIMAL (value is cast to DECIMAL(18,2) once, the
+repo convention), counts are integers, and the z/θ/lift algebra runs on
+a one-row frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+    _hash60_sql,
+    hash60,
+)
+from debezium_server_bigquery_spark.sources.tables import load_table
+
+SPLIT_DATE = "1997-01-01"  # pre-period | post-period boundary for CUPED
+
+
+def _arm(user_col) -> F.Column:
+    return F.when(
+        F.pmod(hash60(F.concat(F.lit("ab:"), user_col)), F.lit(2)) == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+
+
+_ARM_SQL = (
+    f"CASE WHEN {_hash60_sql(chr(39) + 'ab:' + chr(39) + ' || user_id')} % 2 = 0"
+    " THEN 'A' ELSE 'B' END"
+)
+
+
+def ab_test_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z on user conversion between hash-assigned arms."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv")
+    )
+    arms = per_user.select(_arm(F.col("user_id")).alias("arm"), "conv")
+    m = arms.groupBy().agg(
+        F.sum((F.col("arm") == "A").cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == "B").cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return m.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        (F.round(p_a, 6) + F.lit(0.0)).alias("p_a"),
+        (F.round(p_b, 6) + F.lit(0.0)).alias("p_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0),
+            F.round((p_a - p_b) / se, 6) + F.lit(0.0),
+        ).alias("z"),
+    )
+
+
+AB_TEST_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (SELECT {_ARM_SQL} AS arm, conv FROM per_user),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM arms
+)
+SELECT n_a, n_b, conv_a, conv_b,
+  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) + 0.0 AS p_a,
+  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) + 0.0 AS p_b,
+  CASE WHEN n_a > 0 AND n_b > 0 AND
+    sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+  THEN round(
+    (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) + 0.0
+  END AS z
+FROM m
+"""
+
+
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted lift of per-user post-period spend, θ pooled from
+    exact decimal moments; see module docstring."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    pre = F.to_date("ts") < F.lit(SPLIT_DATE)
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(pre, dec)), F.lit(0).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(~pre, dec)), F.lit(0).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    arms = per_user.select(_arm(F.col("user_id")).alias("arm"), "x", "y")
+    d38 = lambda c: F.col(c).cast("decimal(38,4)")  # noqa: E731
+    m = arms.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x"))).alias("sx_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y"))).alias("sy_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x"))).alias("sx_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y"))).alias("sy_b"),
+    )
+    n = F.col("n").cast("double")
+    # pooled moments (population form — n divides out of theta)
+    cov = F.col("sxy").cast("double") / n - (
+        F.col("sx").cast("double") / n
+    ) * (F.col("sy").cast("double") / n)
+    varx = F.col("sxx").cast("double") / n - (
+        F.col("sx").cast("double") / n
+    ) * (F.col("sx").cast("double") / n)
+    vary = F.col("syy").cast("double") / n - (
+        F.col("sy").cast("double") / n
+    ) * (F.col("sy").cast("double") / n)
+    theta = cov / varx
+    mean = lambda s, c: F.col(s).cast("double") / F.col(c).cast("double")  # noqa: E731
+    lift_raw = mean("sy_a", "n_a") - mean("sy_b", "n_b")
+    lift_cuped = lift_raw - theta * (mean("sx_a", "n_a") - mean("sx_b", "n_b"))
+    var_adj = vary - F.lit(2.0) * theta * cov + theta * theta * varx
+    return m.select(
+        "n_a",
+        "n_b",
+        F.when(varx > 0, F.round(theta, 6) + F.lit(0.0)).alias("theta"),
+        (F.round(lift_raw, 6) + F.lit(0.0)).alias("lift_unadjusted"),
+        F.when(varx > 0, F.round(lift_cuped, 6) + F.lit(0.0)).alias(
+            "lift_cuped"
+        ),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(var_adj / vary, 6) + F.lit(0.0),
+        ).alias("var_ratio"),
+    )
+
+
+CUPED_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{SPLIT_DATE}'
+      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS x,
+    CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{SPLIT_DATE}'
+      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY user_id
+),
+arms AS (SELECT {_ARM_SQL.replace("user_id", "user_id")} AS arm, x, y
+         FROM per_user),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+    CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+    CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sxy,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sxx,
+    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS syy,
+    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 'A' THEN x END) AS DECIMAL(38,2)) AS sx_a,
+    CAST(SUM(CASE WHEN arm = 'A' THEN y END) AS DECIMAL(38,2)) AS sy_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN arm = 'B' THEN x END) AS DECIMAL(38,2)) AS sx_b,
+    CAST(SUM(CASE WHEN arm = 'B' THEN y END) AS DECIMAL(38,2)) AS sy_b
+  FROM arms
+),
+alg AS (
+  SELECT n_a, n_b,
+    CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov,
+    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS varx,
+    CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vary,
+    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS lift_raw,
+    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS xdiff
+  FROM m
+)
+SELECT n_a, n_b,
+  CASE WHEN varx > 0 THEN round(cov / varx, 6) + 0.0 END AS theta,
+  round(lift_raw, 6) + 0.0 AS lift_unadjusted,
+  CASE WHEN varx > 0
+    THEN round(lift_raw - (cov / varx) * xdiff, 6) + 0.0 END AS lift_cuped,
+  CASE WHEN varx > 0 AND vary > 0
+    THEN round((vary - 2.0 * (cov / varx) * cov
+                + (cov / varx) * (cov / varx) * varx) / vary, 6) + 0.0
+  END AS var_ratio
+FROM alg
+"""
+
+
+QUERIES = {
+    "ab_test_proportion_z": ab_test_proportion_z,
+    "cuped_adjusted_lift": cuped_adjusted_lift,
+}
+ORACLES = {
+    "ab_test_proportion_z": AB_TEST_SQL,
+    "cuped_adjusted_lift": CUPED_SQL,
+}
