@@ -241,7 +241,8 @@ _TIER1 = [
     # entity_reciprocal_best_match, events_dispersion_index,
     # graph_kcore_supply, dp_noisy_histogram_eval,
     # skyline_parts_price_size, attribution_model_comparison,
-    # ab_test_proportion_z, cuped_adjusted_lift), THEN the
+    # ab_test_proportion_z, cuped_adjusted_lift, target_encoding_loo,
+    # conformal_volume_intervals), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

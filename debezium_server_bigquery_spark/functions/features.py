@@ -69,3 +69,67 @@ FROM bucketed GROUP BY doc_id ORDER BY doc_id
 
 QUERIES = {"doc_hashed_features": doc_hashed_features}
 ORACLES = {"doc_hashed_features": DOC_HASHED_FEATURES_SQL}
+
+
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the classic high-cardinality categorical encoder with the
+    classic leakage bug REMOVED: row i's encoding averages every OTHER
+    row's target in its category, enc_i = (Σ_cat y − y_i)/(n_cat − 1),
+    so a model trained on the feature never sees its own label.
+    Singleton categories yield NULL (no peers to average).
+
+    Scale design (100 TB): ONE map-side-combinable per-category
+    aggregate broadcast back onto the fact rows (O(categories) rows);
+    the encoding is then a row-local decimal expression — no window, no
+    self-join.  Sums stay in DECIMAL(38,2); the single division is the
+    only float, rounded once."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    per_cat = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cat"),
+        F.sum("y").cast("decimal(38,2)").alias("sum_y"),
+    )
+    return (
+        orders.join(F.broadcast(per_cat), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(
+                F.col("n_cat") > 1,
+                F.round(
+                    (F.col("sum_y") - F.col("y")).cast("double")
+                    / (F.col("n_cat") - 1).cast("double"),
+                    6,
+                ),
+            ).alias("loo_encoding"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+TARGET_ENCODING_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders
+),
+per_cat AS (
+  SELECT o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_cat,
+    CAST(SUM(y) AS DECIMAL(38,2)) AS sum_y
+  FROM o GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+  CASE WHEN p.n_cat > 1 THEN
+    round(CAST(p.sum_y - o.y AS DOUBLE) / CAST(p.n_cat - 1 AS DOUBLE), 6)
+  END AS loo_encoding
+FROM o JOIN per_cat p ON o.o_orderpriority = p.o_orderpriority
+ORDER BY o.o_orderkey
+"""
+
+QUERIES["target_encoding_loo"] = target_encoding_loo
+ORACLES["target_encoding_loo"] = TARGET_ENCODING_SQL

@@ -531,3 +531,153 @@ FROM m ORDER BY event_type
 
 QUERIES["events_dispersion_index"] = events_dispersion_index
 ORACLES["events_dispersion_index"] = EVENTS_DISPERSION_SQL
+
+
+CONFORMAL_SPLIT = "2024-01-22"  # 3 calibration weeks, then test days
+CONFORMAL_ALPHA_NUM = 9  # 1 - alpha = 9/10 target coverage
+
+
+def conformal_volume_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for daily volume per event
+    type, evaluated: a day-of-week mean forecaster fits on the
+    calibration window, q̂ is the ⌈0.9·(n+1)⌉-th smallest absolute
+    calibration residual (the finite-sample-valid conformal quantile),
+    and the row reports the realized TEST coverage of pred ± q̂ — the
+    distribution-free uncertainty readout (Vovk et al.; Angelopoulos &
+    Bates survey) that anomaly SLOs should quote instead of Gaussian
+    bands.  Days are the OBSERVED daily lattice (these streams have no
+    gaps; a gapped stream would need the filled lattice first).
+
+    Scale/exactness: daily counts are one map-side aggregate; the
+    forecaster is an O(types × 7) broadcast; residual ranking runs in a
+    TYPE-partitioned window over ≤ calibration-days rows with a date
+    tiebreak; every float derives from exact integers through the same
+    written expressions on both engines, so comparisons agree exactly."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    cal = daily.filter(F.col("d") < F.lit(CONFORMAL_SPLIT))
+    test = daily.filter(F.col("d") >= F.lit(CONFORMAL_SPLIT))
+    pred = cal.groupBy("event_type", F.dayofweek("d").alias("dow")).agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "pred"
+        )
+    )
+    cal_r = (
+        cal.withColumn("dow", F.dayofweek("d"))
+        .join(F.broadcast(pred), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "d",
+            F.abs(F.col("x").cast("double") - F.col("pred")).alias("r"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("r", "d")
+    ranked = cal_r.select(
+        "event_type",
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_cal"),
+    )
+    k = F.least(
+        F.ceil(
+            (F.col("n_cal") + 1).cast("double")
+            * F.lit(CONFORMAL_ALPHA_NUM)
+            / F.lit(10.0)
+        ).cast("long"),
+        F.col("n_cal"),
+    )
+    qhat = ranked.filter(F.col("rn") == k).select(
+        "event_type", F.col("r").alias("q_hat"), "n_cal"
+    )
+    scored = (
+        test.withColumn("dow", F.dayofweek("d"))
+        .join(F.broadcast(pred), ["event_type", "dow"])
+        .join(F.broadcast(qhat), "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "q_hat",
+            (
+                F.abs(F.col("x").cast("double") - F.col("pred"))
+                <= F.col("q_hat")
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return (
+        scored.groupBy("event_type", "n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("covered").cast("long").alias("n_covered"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            (F.round("q_hat", 6) + F.lit(0.0)).alias("q_hat"),
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CONFORMAL_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+cal AS (SELECT * FROM daily WHERE d < DATE '{CONFORMAL_SPLIT}'),
+test AS (SELECT * FROM daily WHERE d >= DATE '{CONFORMAL_SPLIT}'),
+pred AS (
+  SELECT event_type, dayofweek(d) + 1 AS dow,
+    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pred
+  FROM cal GROUP BY 1, 2
+),
+cal_r AS (
+  SELECT c.event_type, c.d,
+    abs(CAST(c.x AS DOUBLE) - p.pred) AS r
+  FROM cal c JOIN pred p
+    ON c.event_type = p.event_type AND dayofweek(c.d) + 1 = p.dow
+),
+ranked AS (
+  SELECT event_type, r,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, d) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal
+  FROM cal_r
+),
+qhat AS (
+  SELECT event_type, r AS q_hat, n_cal FROM ranked
+  WHERE rn = least(CAST(ceil(CAST(n_cal + 1 AS DOUBLE)
+                             * {CONFORMAL_ALPHA_NUM} / 10.0) AS BIGINT), n_cal)
+),
+scored AS (
+  SELECT t.event_type, q.n_cal, q.q_hat,
+    CASE WHEN abs(CAST(t.x AS DOUBLE) - p.pred) <= q.q_hat
+         THEN 1 ELSE 0 END AS covered
+  FROM test t
+  JOIN pred p ON t.event_type = p.event_type AND dayofweek(t.d) + 1 = p.dow
+  JOIN qhat q ON t.event_type = q.event_type
+)
+SELECT event_type, n_cal,
+  CAST(COUNT(*) AS BIGINT) AS n_test,
+  round(q_hat, 6) + 0.0 AS q_hat,
+  round(CAST(SUM(covered) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS coverage
+FROM scored GROUP BY event_type, n_cal, q_hat
+ORDER BY event_type
+"""
+
+QUERIES["conformal_volume_intervals"] = conformal_volume_intervals
+ORACLES["conformal_volume_intervals"] = CONFORMAL_SQL

@@ -42,3 +42,24 @@ def test_hashed_features_deterministic_buckets(spark):
     vec2 = [rows[2][f"f{k}"] for k in range(N_FEATURES)]
     assert sum(v > 0 for v in vec1) == 1  # one word -> one bucket
     assert [v * 3 for v in vec2] == vec1
+
+
+def test_target_encoding_loo_excludes_own_label(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.features import (
+        target_encoding_loo,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, "HIGH", 10.0),
+            (2, "HIGH", 20.0),
+            (3, "HIGH", 30.0),
+            (4, "LOW", 5.0),  # singleton -> NULL encoding
+        ],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.o_orderkey: r for r in target_encoding_loo(spark, str(tmp_path)).collect()}
+    assert out[1].loo_encoding == 25.0  # (20+30)/2
+    assert out[2].loo_encoding == 20.0  # (10+30)/2
+    assert out[3].loo_encoding == 15.0  # (10+20)/2
+    assert out[4].loo_encoding is None

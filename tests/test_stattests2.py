@@ -175,3 +175,34 @@ def test_dp_histogram_noise_is_seeded_laplace(spark, tmp_path):
     expected = round(-1.0 * math.copysign(1.0, u - 0.5) * math.log(1.0 - 2.0 * abs(u - 0.5)), 6)
     assert abs(out["en"].noise - expected) < 1e-9
     assert abs(out["en"].n_released - round(7 + expected + 0.0, 6)) < 1e-6
+
+
+def test_conformal_coverage_on_constructed_series(spark, tmp_path):
+    """Constant calibration series -> residuals 0 -> q_hat 0; a test day
+    matching the dow mean is covered, a bursty one is not."""
+    from debezium_server_bigquery_spark.functions.timeseries import (
+        conformal_volume_intervals,
+    )
+
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    # 21 calibration days with exactly 2 events each
+    for d in range(21):
+        for _ in range(2):
+            rows.append((eid, base + datetime.timedelta(days=d), 1, "view", 1.0, "{}"))
+            eid += 1
+    # 4 test days: three at the fitted rate, one burst of 9 events
+    for d in (21, 22, 23):
+        for _ in range(2):
+            rows.append((eid, base + datetime.timedelta(days=d), 1, "view", 1.0, "{}"))
+            eid += 1
+    for _ in range(9):
+        rows.append((eid, base + datetime.timedelta(days=24), 1, "view", 1.0, "{}"))
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = conformal_volume_intervals(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_cal == 21 and r.n_test == 4
+    assert r.q_hat == 0.0
+    assert abs(r.coverage - 0.75) < 1e-9  # the burst day escapes the band
