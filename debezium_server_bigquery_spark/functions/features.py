@@ -133,3 +133,121 @@ ORDER BY o.o_orderkey
 
 QUERIES["target_encoding_loo"] = target_encoding_loo
 ORACLES["target_encoding_loo"] = TARGET_ENCODING_SQL
+
+
+WOE_EDGES = [0.25, 0.5, 0.75]  # quartile bins of event value
+
+
+def woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning of event value against the purchase
+    label — the standard scorecard-feature audit: per value quartile,
+    WOE = ln((events_share)/(non-events_share)), with the bin's
+    information-value contribution.  Completes the feature-engineering
+    trio (hashed features, LOO target encoding, WOE/IV).
+
+    Scale/exactness design: quartile edges are exact order statistics
+    (percentile_disc — actual data values, no interpolation) computed
+    once and broadcast as a one-row frame; bin assignment is a
+    row-local comparison count; per-bin tallies are ONE combinable
+    aggregate.  Counts are integers; WOE/IV are fixed-order expressions
+    over four integer totals (bins with a zero cell yield NULL rather
+    than ±inf)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").cast("long").alias("y")
+    )
+    edges = ev.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"e{i}")
+            for i, q in enumerate(WOE_EDGES)
+        ]
+    )
+    binned = ev.crossJoin(F.broadcast(edges)).select(
+        (
+            (F.col("value") > F.col("e0")).cast("int")
+            + (F.col("value") > F.col("e1")).cast("int")
+            + (F.col("value") > F.col("e2")).cast("int")
+        ).alias("bin"),
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("n_event"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_nonevent"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_event").cast("long").alias("te"),
+        F.sum("n_nonevent").cast("long").alias("tn"),
+    )
+    pe = F.col("n_event").cast("double") / F.col("te").cast("double")
+    pn = F.col("n_nonevent").cast("double") / F.col("tn").cast("double")
+    woe = F.log(pe / pn)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_event",
+            "n_nonevent",
+            F.when(
+                (F.col("n_event") > 0) & (F.col("n_nonevent") > 0),
+                F.round(woe, 6) + F.lit(0.0),
+            ).alias("woe"),
+            F.when(
+                (F.col("n_event") > 0) & (F.col("n_nonevent") > 0),
+                F.round((pe - pn) * woe, 6) + F.lit(0.0),
+            ).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+WOE_SQL = f"""
+WITH ev AS (
+  SELECT value,
+    CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM events
+),
+edges AS (
+  SELECT
+    {", ".join(
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY value) AS e{i}"
+        for i, q in enumerate(WOE_EDGES)
+    )}
+  FROM ev
+),
+binned AS (
+  SELECT
+    CAST(CASE WHEN value > e0 THEN 1 ELSE 0 END
+       + CASE WHEN value > e1 THEN 1 ELSE 0 END
+       + CASE WHEN value > e2 THEN 1 ELSE 0 END AS INTEGER) AS bin,
+    y
+  FROM ev CROSS JOIN edges
+),
+per_bin AS (
+  SELECT bin,
+    CAST(SUM(y) AS BIGINT) AS n_event,
+    CAST(SUM(1 - y) AS BIGINT) AS n_nonevent
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_event) AS BIGINT) AS te,
+         CAST(SUM(n_nonevent) AS BIGINT) AS tn
+  FROM per_bin
+)
+SELECT bin, n_event, n_nonevent,
+  CASE WHEN n_event > 0 AND n_nonevent > 0 THEN
+    round(ln((CAST(n_event AS DOUBLE) / CAST(te AS DOUBLE))
+             / (CAST(n_nonevent AS DOUBLE) / CAST(tn AS DOUBLE))), 6) + 0.0
+  END AS woe,
+  CASE WHEN n_event > 0 AND n_nonevent > 0 THEN
+    round((CAST(n_event AS DOUBLE) / CAST(te AS DOUBLE)
+           - CAST(n_nonevent AS DOUBLE) / CAST(tn AS DOUBLE))
+          * ln((CAST(n_event AS DOUBLE) / CAST(te AS DOUBLE))
+               / (CAST(n_nonevent AS DOUBLE) / CAST(tn AS DOUBLE))), 6) + 0.0
+  END AS iv_contrib
+FROM per_bin CROSS JOIN tot
+ORDER BY bin
+"""
+
+QUERIES["woe_value_bins"] = woe_value_bins
+ORACLES["woe_value_bins"] = WOE_SQL

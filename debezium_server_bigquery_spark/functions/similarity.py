@@ -1074,3 +1074,132 @@ ORACLES = {
     "embedding_similarity_histogram": SIM_HISTOGRAM_SQL,
     "embedding_label_knn_accuracy": KNN_ACCURACY_SQL,
 }
+
+
+TRUNC_DIM = 32  # Matryoshka-style prefix truncation: first half of 64
+
+
+def ann_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval: how much of the full-dimension
+    top-K does cosine retrieval on the FIRST 32 of 64 dimensions keep?
+    The question every embedding-serving team asks before halving index
+    memory (MRL training makes prefixes usable; this measures whether
+    THIS table's embeddings tolerate it).  Output: per probe, the
+    overlap between the full-dim and truncated-dim top-K neighbor sets.
+
+    Scale design (100 TB): both rankings reuse the brute-force probe
+    shape (broadcast probes × one scan — the exact baseline the ANN
+    family calibrates against); truncation is a row-local array slice,
+    the overlap an equi-join of two ≤K-row-per-probe sets.  Same
+    fixed-fold dot product and rounded-tie conventions as
+    ``ann_cosine_topk``."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    full = with_norm(emb)
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, TRUNC_DIM).alias("embedding")
+    )
+    trunc = with_norm(trunc)
+
+    def topk(normed: DataFrame) -> DataFrame:
+        queries = normed.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+        joined = broadcast(queries).join(
+            normed, F.col("query_id") != F.col("vec_id")
+        )
+        sim = cosine(
+            F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("norm")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+        return (
+            joined.withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    full_k = topk(full)
+    trunc_k = topk(trunc).withColumnRenamed("neighbor_id", "t_neighbor")
+    hits = (
+        full_k.join(
+            trunc_k,
+            (full_k["query_id"] == trunc_k["query_id"])
+            & (full_k["neighbor_id"] == trunc_k["t_neighbor"]),
+        )
+        .groupBy(full_k["query_id"].alias("query_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    base = full_k.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.col("k").cast("double"),
+                6,
+            ).alias("overlap_frac"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_TRUNC_SQL = f"""
+WITH full_n AS (
+  SELECT vec_id, embedding,
+    sqrt({_dot_sql("embedding", "embedding")}) AS norm
+  FROM embeddings
+),
+trunc0 AS (
+  SELECT vec_id, list_slice(embedding, 1, {TRUNC_DIM}) AS embedding
+  FROM embeddings
+),
+trunc_n AS (
+  SELECT vec_id, embedding,
+    sqrt({_dot_sql("embedding", "embedding")}) AS norm
+  FROM trunc0
+),
+full_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY {_dot_sql("q.embedding", "e.embedding")} / (q.norm * e.norm)
+          DESC, e.vec_id ASC) AS rank
+    FROM full_n q JOIN full_n e ON q.vec_id <> e.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rank <= {TOPK}
+),
+trunc_k AS (
+  SELECT query_id, neighbor_id AS t_neighbor FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY {_dot_sql("q.embedding", "e.embedding")} / (q.norm * e.norm)
+          DESC, e.vec_id ASC) AS rank
+    FROM trunc_n q JOIN trunc_n e ON q.vec_id <> e.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rank <= {TOPK}
+),
+hits AS (
+  SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM full_k f JOIN trunc_k t
+    ON f.query_id = t.query_id AND f.neighbor_id = t.t_neighbor
+  GROUP BY f.query_id
+),
+base AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM full_k GROUP BY query_id
+)
+SELECT b.query_id,
+  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+  round(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / CAST(b.k AS DOUBLE), 6)
+    AS overlap_frac
+FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+ORDER BY b.query_id
+"""
+
+QUERIES["ann_dim_truncation_eval"] = ann_dim_truncation_eval
+ORACLES["ann_dim_truncation_eval"] = ANN_TRUNC_SQL

@@ -63,3 +63,51 @@ def test_target_encoding_loo_excludes_own_label(spark, tmp_path):
     assert out[2].loo_encoding == 20.0  # (10+30)/2
     assert out[3].loo_encoding == 15.0  # (10+20)/2
     assert out[4].loo_encoding is None
+
+
+def test_woe_bins_hand_computed(spark, tmp_path):
+    import datetime
+    import math
+
+    from debezium_server_bigquery_spark.functions.features import woe_value_bins
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # values 1..8; purchases concentrated in the top quartile
+    rows = []
+    for i, v in enumerate(range(1, 9)):
+        etype = "purchase" if v >= 7 else "view"
+        rows.append((i, t0, 1, etype, float(v), "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.bin: r for r in woe_value_bins(spark, str(tmp_path)).collect()}
+    # percentile_disc quartile edges of 1..8: e0=2, e1=4, e2=6
+    # bin 3 = values 7,8 -> both purchases; bins 0..2 all non-events
+    assert out[3].n_event == 2 and out[3].n_nonevent == 0
+    assert out[3].woe is None  # zero cell -> NULL, not inf
+    assert out[0].n_event == 0 and out[0].n_nonevent == 2
+    assert out[1].woe is None and out[0].woe is None
+
+
+def test_ann_truncation_full_dim_is_identity(spark, tmp_path):
+    """Truncating to the FULL dimension must reproduce the full top-K
+    exactly (overlap 1.0) — pin via monkeypatched TRUNC_DIM."""
+    import debezium_server_bigquery_spark.functions.similarity as sim
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(8)], 0)
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    orig = sim.TRUNC_DIM
+    sim.TRUNC_DIM = 8
+    try:
+        out = sim.ann_dim_truncation_eval(spark, str(tmp_path)).collect()
+    finally:
+        sim.TRUNC_DIM = orig
+    assert len(out) == 10
+    assert all(r.overlap_frac == 1.0 for r in out)

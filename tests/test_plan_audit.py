@@ -45,6 +45,9 @@ _BNLJ_BOUNDED_BY_CONSTRUCTION = {
     # ≤10-row probe set: vec_id < 10 range predicate on the unique key,
     # pushed into the broadcast-side scan (functions/similarity.py)
     "ann_cosine_topk",
+    # same ≤10-row probe set, used twice (full-dim and truncated-dim
+    # rankings share the vec_id < 10 bound)
+    "ann_dim_truncation_eval",
     # k-row centroid table from the bounded-key iterative aggregate
     # (functions/kmeans.py)
     "kmeans_clusters",
