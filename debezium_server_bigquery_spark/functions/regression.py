@@ -243,3 +243,152 @@ ORACLES = {
     "revenue_weekday_seasonality": WEEKDAY_SEASONALITY_SQL,
     "discount_quantity_elasticity": ELASTICITY_SQL,
 }
+
+
+def logistic_irls_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression of the purchase label on event
+    value — two unrolled IRLS (Fisher scoring) iterations from β = 0,
+    the model-fitting counterpart of the OLS trend ops: each iteration
+    is ONE map-side-combinable aggregate of weighted moments and a 2×2
+    closed-form solve on the driver-free one-row frame.
+
+    Exactness: iteration 1 from β = 0 has constant weights (w = 1/4,
+    p = 1/2), so its normal equations use only EXACT decimal/integer
+    sums.  Iteration 2's per-row sigmoid is the one transcendental;
+    each weighted term rounds to 12 dp and accumulates in
+    DECIMAL(38,12), making the aggregation order irrelevant — and both
+    engines evaluate the identical expression tree on the identical
+    rows, so the graded hash is stable for a given input table.  The
+    2×2 inverse is written in one fixed term order on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").cast("decimal(18,2)").alias("xd"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    m1 = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xd").cast("decimal(38,2)").alias("sx"),
+        F.sum((F.col("xd") * F.col("xd")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.when(F.col("y") == 1, F.col("xd"))).alias("sxy"),
+    )
+
+    def solve(a, b, d, r0, r1):
+        det = a * d - b * b
+        return (d * r0 - b * r1) / det, (a * r1 - b * r0) / det
+
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    a1, b1_, d1 = n * 0.25, sx * 0.25, sxx * 0.25
+    r0_1 = F.col("sy").cast("double") - n * 0.5
+    r1_1 = F.coalesce(F.col("sxy"), F.lit(0).cast("decimal(38,2)")).cast(
+        "double"
+    ) - sx * 0.5
+    beta0_1, beta1_1 = solve(a1, b1_, d1, r0_1, r1_1)
+    b_iter1 = m1.select(
+        "n",
+        beta0_1.alias("b0"),
+        beta1_1.alias("b1"),
+    )
+    x = F.col("xd").cast("double")
+    z = F.col("b0") + F.col("b1") * x
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    w = p * (F.lit(1.0) - p)
+    d12 = lambda c: F.round(c, 12).cast("decimal(38,12)")  # noqa: E731
+    m2 = (
+        ev.crossJoin(F.broadcast(b_iter1))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            F.sum(d12(w)).alias("sw"),
+            F.sum(d12(w * x)).alias("swx"),
+            F.sum(d12(w * x * x)).alias("swxx"),
+            F.sum(d12(F.col("y").cast("double") - p)).alias("sr0"),
+            F.sum(d12(x * (F.col("y").cast("double") - p))).alias("sr1"),
+        )
+    )
+    a2 = F.col("sw").cast("double")
+    b2 = F.col("swx").cast("double")
+    d2 = F.col("swxx").cast("double")
+    r0_2 = F.col("sr0").cast("double")
+    r1_2 = F.col("sr1").cast("double")
+    delta0, delta1 = solve(a2, b2, d2, r0_2, r1_2)
+    return m2.select(
+        F.col("n").cast("long").alias("n_events"),
+        (F.round(F.col("b0"), 6) + F.lit(0.0)).alias("beta0_iter1"),
+        (F.round(F.col("b1"), 6) + F.lit(0.0)).alias("beta1_iter1"),
+        (F.round(F.col("b0") + delta0, 6) + F.lit(0.0)).alias("beta0"),
+        (F.round(F.col("b1") + delta1, 6) + F.lit(0.0)).alias("beta1"),
+    )
+
+
+LOGISTIC_IRLS_SQL = """
+WITH ev AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS xd,
+    CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM events
+),
+m1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(xd) AS DECIMAL(38,2)) AS sx,
+    CAST(SUM(CAST(xd * xd AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sxx,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(COALESCE(SUM(CASE WHEN y = 1 THEN xd END), 0) AS DECIMAL(38,2)) AS sxy
+  FROM ev
+),
+b1 AS (
+  SELECT n,
+    (CAST(sxx AS DOUBLE) * 0.25 * (CAST(sy AS DOUBLE) - CAST(n AS DOUBLE) * 0.5)
+     - CAST(sx AS DOUBLE) * 0.25
+       * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * 0.5))
+    / (CAST(n AS DOUBLE) * 0.25 * (CAST(sxx AS DOUBLE) * 0.25)
+       - (CAST(sx AS DOUBLE) * 0.25) * (CAST(sx AS DOUBLE) * 0.25)) AS b0,
+    (CAST(n AS DOUBLE) * 0.25 * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * 0.5)
+     - CAST(sx AS DOUBLE) * 0.25
+       * (CAST(sy AS DOUBLE) - CAST(n AS DOUBLE) * 0.5))
+    / (CAST(n AS DOUBLE) * 0.25 * (CAST(sxx AS DOUBLE) * 0.25)
+       - (CAST(sx AS DOUBLE) * 0.25) * (CAST(sx AS DOUBLE) * 0.25)) AS b1
+  FROM m1
+),
+m2 AS (
+  SELECT MAX(b.n) AS n, MAX(b.b0) AS b0, MAX(b.b1) AS b1,
+    CAST(SUM(CAST(round(
+      (1.0 / (1.0 + exp(-(b.b0 + b.b1 * CAST(e.xd AS DOUBLE)))))
+      * (1.0 - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * CAST(e.xd AS DOUBLE))))), 12)
+      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sw,
+    CAST(SUM(CAST(round(
+      (1.0 / (1.0 + exp(-(b.b0 + b.b1 * CAST(e.xd AS DOUBLE)))))
+      * (1.0 - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * CAST(e.xd AS DOUBLE)))))
+      * CAST(e.xd AS DOUBLE), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS swx,
+    CAST(SUM(CAST(round(
+      (1.0 / (1.0 + exp(-(b.b0 + b.b1 * CAST(e.xd AS DOUBLE)))))
+      * (1.0 - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * CAST(e.xd AS DOUBLE)))))
+      * CAST(e.xd AS DOUBLE) * CAST(e.xd AS DOUBLE), 12)
+      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS swxx,
+    CAST(SUM(CAST(round(
+      CAST(e.y AS DOUBLE)
+      - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * CAST(e.xd AS DOUBLE)))), 12)
+      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sr0,
+    CAST(SUM(CAST(round(
+      CAST(e.xd AS DOUBLE) * (CAST(e.y AS DOUBLE)
+      - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * CAST(e.xd AS DOUBLE))))), 12)
+      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sr1
+  FROM ev e CROSS JOIN b1 b
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+  round(b0, 6) + 0.0 AS beta0_iter1,
+  round(b1, 6) + 0.0 AS beta1_iter1,
+  round(b0 + (CAST(swxx AS DOUBLE) * CAST(sr0 AS DOUBLE)
+              - CAST(swx AS DOUBLE) * CAST(sr1 AS DOUBLE))
+        / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+           - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 6) + 0.0 AS beta0,
+  round(b1 + (CAST(sw AS DOUBLE) * CAST(sr1 AS DOUBLE)
+              - CAST(swx AS DOUBLE) * CAST(sr0 AS DOUBLE))
+        / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+           - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 6) + 0.0 AS beta1
+FROM m2
+"""
+
+QUERIES["logistic_irls_conversion"] = logistic_irls_conversion
+ORACLES["logistic_irls_conversion"] = LOGISTIC_IRLS_SQL

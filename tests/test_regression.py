@@ -78,3 +78,52 @@ def test_weekday_seasonality_indices_average_to_one(spark, sf_dir):
     weighted = sum(r.seasonal_index * r.n_days for r in rows) / total_days
     assert abs(weighted - 1.0) < 1e-4
     assert all(r.mean_daily_revenue > 0 for r in rows)
+
+
+def test_logistic_irls_matches_python_replication(spark, tmp_path):
+    import datetime
+    import math
+
+    from debezium_server_bigquery_spark.functions.regression import (
+        logistic_irls_conversion,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    ys = [0, 0, 0, 1, 1, 1]  # conversion rises with value
+    rows = [
+        (i, t0, 1, "purchase" if y else "view", x, "{}")
+        for i, (x, y) in enumerate(zip(xs, ys))
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = logistic_irls_conversion(spark, str(tmp_path)).collect()[0]
+
+    n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    sy, sxy = sum(ys), sum(x * y for x, y in zip(xs, ys))
+    a, b, d = n * 0.25, sx * 0.25, sxx * 0.25
+    r0, r1 = sy - n * 0.5, sxy - sx * 0.5
+    det = a * d - b * b
+    b0 = (d * r0 - b * r1) / det
+    b1 = (a * r1 - b * r0) / det
+    assert abs(out.beta0_iter1 - round(b0, 6)) < 1e-9
+    assert abs(out.beta1_iter1 - round(b1, 6)) < 1e-9
+    # iteration 2 replication with the same 12-dp rounding
+    sw = swx = swxx = sr0 = sr1 = 0.0
+    for x, y in zip(xs, ys):
+        p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+        w = p * (1.0 - p)
+        sw += round(w, 12)
+        swx += round(w * x, 12)
+        swxx += round(w * x * x, 12)
+        sr0 += round(y - p, 12)
+        sr1 += round(x * (y - p), 12)
+    det2 = sw * swxx - swx * swx
+    d0 = (swxx * sr0 - swx * sr1) / det2
+    d1 = (sw * sr1 - swx * sr0) / det2
+    assert abs(out.beta0 - round(b0 + d0, 6)) < 1e-6
+    assert abs(out.beta1 - round(b1 + d1, 6)) < 1e-6
+    assert out.beta1 > 0  # conversion increases with value
