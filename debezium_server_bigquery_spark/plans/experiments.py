@@ -258,3 +258,186 @@ ORACLES = {
     "ab_test_proportion_z": AB_TEST_SQL,
     "cuped_adjusted_lift": CUPED_SQL,
 }
+
+
+def did_revenue_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on per-user spend: (post − pre) change
+    in arm A minus the same change in arm B — the observational
+    companion to the randomized lift, sharing the CUPED operator's
+    pre/post boundary and hash arms.  Four cell means from ONE
+    combinable aggregate of exact decimal sums; the DiD is a fixed
+    expression over eight exact numbers."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    pre = F.to_date("ts") < F.lit(SPLIT_DATE)
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(pre, dec)), F.lit(0).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(~pre, dec)), F.lit(0).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    arms = per_user.select(_arm(F.col("user_id")).alias("arm"), "x", "y")
+    m = arms.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("arm") == a, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{a.lower()}")
+            for a in ("A", "B")
+        ],
+        *[
+            F.sum(F.when(F.col("arm") == a, F.col(c))).alias(f"s{c}_{a.lower()}")
+            for a in ("A", "B")
+            for c in ("x", "y")
+        ],
+    )
+    mean = lambda s, c: F.col(s).cast("double") / F.col(c).cast("double")  # noqa: E731
+    chg_a = mean("sy_a", "n_a") - mean("sx_a", "n_a")
+    chg_b = mean("sy_b", "n_b") - mean("sx_b", "n_b")
+    return m.select(
+        "n_a",
+        "n_b",
+        (F.round(chg_a, 6) + F.lit(0.0)).alias("change_a"),
+        (F.round(chg_b, 6) + F.lit(0.0)).alias("change_b"),
+        (F.round(chg_a - chg_b, 6) + F.lit(0.0)).alias("did"),
+    )
+
+
+DID_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{SPLIT_DATE}'
+      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS x,
+    CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{SPLIT_DATE}'
+      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY user_id
+),
+arms AS (SELECT {_ARM_SQL} AS arm, x, y FROM per_user),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN arm = 'A' THEN x END) AS DECIMAL(38,2)) AS sx_a,
+    CAST(SUM(CASE WHEN arm = 'A' THEN y END) AS DECIMAL(38,2)) AS sy_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN x END) AS DECIMAL(38,2)) AS sx_b,
+    CAST(SUM(CASE WHEN arm = 'B' THEN y END) AS DECIMAL(38,2)) AS sy_b
+  FROM arms
+)
+SELECT n_a, n_b,
+  round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) + 0.0 AS change_a,
+  round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) + 0.0 AS change_b,
+  round((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        - (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)), 6) + 0.0 AS did
+FROM m
+"""
+
+
+# two-sided alpha = 0.05, power = 0.8: the canonical pair of normal
+# quantiles, embedded as fixed literals (both engines consume the same
+# numbers; no inverse-CDF evaluation at runtime).
+Z_ALPHA = 1.959963984540054
+Z_BETA = 0.8416212335729143
+
+
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the per-user spend metric at the
+    CURRENT sample sizes (alpha 0.05 two-sided, power 0.8):
+    MDE = (z_α/2 + z_β)·σ·√(1/n_A + 1/n_B), with σ² the pooled
+    per-user variance from exact decimal moments — the pre-experiment
+    sizing number, computed on the live table instead of a spreadsheet.
+    Reported both absolute and as a fraction of the pooled mean."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(dec), F.lit(0).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("y")
+    )
+    arms = per_user.select(_arm(F.col("user_id")).alias("arm"), "y")
+    m = arms.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sy").cast("double") / n
+    var = F.col("syy").cast("double") / n - mean * mean
+    mde = (
+        F.lit(Z_ALPHA + Z_BETA)
+        * F.sqrt(var)
+        * F.sqrt(
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_spend"),
+        F.when((var > 0) & (F.col("n_a") > 0) & (F.col("n_b") > 0),
+               F.round(mde, 6) + F.lit(0.0)).alias("mde_abs"),
+        F.when(
+            (var > 0) & (mean > 0) & (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(mde / mean, 6) + F.lit(0.0),
+        ).alias("mde_rel"),
+    )
+
+
+AB_POWER_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY user_id
+),
+arms AS (SELECT {_ARM_SQL} AS arm, y FROM per_user),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS syy,
+    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM arms
+)
+SELECT n_a, n_b,
+  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS mean_spend,
+  CASE WHEN (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+        AND n_a > 0 AND n_b > 0
+  THEN round({Z_ALPHA + Z_BETA!r}
+    * sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+    * sqrt(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)), 6) + 0.0
+  END AS mde_abs,
+  CASE WHEN (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+        AND CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        AND n_a > 0 AND n_b > 0
+  THEN round(({Z_ALPHA + Z_BETA!r}
+    * sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+    * sqrt(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+    / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0
+  END AS mde_rel
+FROM m
+"""
+
+
+QUERIES["did_revenue_readout"] = did_revenue_readout
+ORACLES["did_revenue_readout"] = DID_SQL
+QUERIES["ab_power_mde"] = ab_power_mde
+ORACLES["ab_power_mde"] = AB_POWER_SQL

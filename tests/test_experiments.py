@@ -87,3 +87,53 @@ def test_cuped_removes_preperiod_confound(spark, tmp_path):
         / max(sum(1 for u in users if arms[u] == a), 1)
     )
     assert abs(out.lift_unadjusted - round(mean("A") - mean("B"), 6)) < 1e-6
+
+
+def test_did_cancels_shared_trend(spark, tmp_path):
+    """Both arms shift up by +10 post (shared trend), arm A gets +5 on
+    top: DiD isolates the +5."""
+    from debezium_server_bigquery_spark.plans.experiments import (
+        did_revenue_readout,
+    )
+
+    users = list(range(1, 21))
+    arms = _arms_of(spark, users)
+    pre = datetime.datetime(1996, 6, 1)
+    post = datetime.datetime(1997, 6, 1)
+    rows, eid = [], 0
+    for u in users:
+        base = float(u % 5)
+        rows.append((eid, pre, u, "view", base, "{}")); eid += 1
+        treat = 5.0 if arms[u] == "A" else 0.0
+        rows.append((eid, post, u, "view", base + 10.0 + treat, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = did_revenue_readout(spark, sf).collect()[0]
+    assert abs(out.change_a - 15.0) < 1e-9
+    assert abs(out.change_b - 10.0) < 1e-9
+    assert abs(out.did - 5.0) < 1e-9
+
+
+def test_mde_closed_form(spark, tmp_path):
+    import math
+
+    from debezium_server_bigquery_spark.plans.experiments import (
+        Z_ALPHA,
+        Z_BETA,
+        ab_power_mde,
+    )
+
+    users = list(range(1, 13))
+    arms = _arms_of(spark, users)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0, u, "view", float(u), "{}") for i, u in enumerate(users)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = ab_power_mde(spark, sf).collect()[0]
+    n = len(users)
+    mean = sum(users) / n
+    var = sum(u * u for u in users) / n - mean * mean
+    n_a = sum(1 for u in users if arms[u] == "A")
+    n_b = n - n_a
+    mde = (Z_ALPHA + Z_BETA) * math.sqrt(var) * math.sqrt(1 / n_a + 1 / n_b)
+    assert (out.n_a, out.n_b) == (n_a, n_b)
+    assert abs(out.mde_abs - round(mde, 6)) < 1e-6
+    assert abs(out.mde_rel - round(mde / mean, 6)) < 1e-6
