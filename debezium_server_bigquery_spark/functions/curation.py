@@ -1463,3 +1463,92 @@ ORACLES = {
     "quality_vs_dup_calibration": QUALITY_DUP_CALIBRATION_SQL,
     "cluster_safe_splits": CLUSTER_SAFE_SPLITS_SQL,
 }
+
+
+NEYMAN_BUDGET = 10_000  # total sample budget to allocate across strata
+
+
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sampling allocation over languages:
+    the variance-minimizing share of a fixed budget is
+    n_h ∝ N_h·σ_h (stratum size × stratum std-dev of the measured
+    variable, here document length) — the survey-sampling upgrade to
+    ``sample_stratified``'s equal quotas, and the plan a labeling-budget
+    owner actually wants.  Sampling fractions above 1 are clipped and
+    reported (a tiny high-variance stratum can demand more than it has).
+
+    Scale/exactness: one combinable aggregate of integer moments per
+    language (n, Σx, Σx² — n_chars is integral, so σ_h derives from
+    exact integers); the allocation algebra runs on the O(langs) frame
+    against a one-row broadcast total.  Population σ (divides by N_h)
+    keeps the formula total-order-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    var_num = dec("n_docs") * dec("sxx") - dec("sx") * dec("sx")
+    # N_h * sigma_h = sqrt(n*sxx - sx^2) exactly (sigma = sqrt(num)/n)
+    weight = F.sqrt(var_num.cast("double"))
+    weighted = m.select("lang", "n_docs", weight.alias("w"))
+    tot = weighted.agg(
+        F.sum(F.round(F.col("w"), 6).cast("decimal(38,6)")).alias("tw")
+    )
+    share = (
+        F.round(F.col("w"), 6).cast("decimal(38,6)").cast("double")
+        / F.col("tw").cast("double")
+    )
+    alloc_raw = share * F.lit(float(NEYMAN_BUDGET))
+    alloc = F.least(
+        F.round(alloc_raw, 0).cast("long"), F.col("n_docs")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            (F.round(share, 6) + F.lit(0.0)).alias("neyman_share"),
+            alloc.alias("n_alloc"),
+            (F.round(alloc_raw, 0).cast("long") > F.col("n_docs")).alias(
+                "clipped"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+NEYMAN_SQL = f"""
+WITH m AS (
+  SELECT lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS sx,
+    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY lang
+),
+weighted AS (
+  SELECT lang, n_docs,
+    sqrt(CAST(CAST(n_docs AS DECIMAL(38,0)) * sxx
+              - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)) AS w
+  FROM m
+),
+tot AS (
+  SELECT CAST(SUM(CAST(round(w, 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS tw
+  FROM weighted
+)
+SELECT lang, n_docs,
+  round(CAST(CAST(round(w, 6) AS DECIMAL(38,6)) AS DOUBLE)
+        / CAST(tw AS DOUBLE), 6) + 0.0 AS neyman_share,
+  least(CAST(round((CAST(CAST(round(w, 6) AS DECIMAL(38,6)) AS DOUBLE)
+                    / CAST(tw AS DOUBLE)) * {float(NEYMAN_BUDGET)!r}, 0)
+             AS BIGINT), n_docs) AS n_alloc,
+  CAST(round((CAST(CAST(round(w, 6) AS DECIMAL(38,6)) AS DOUBLE)
+              / CAST(tw AS DOUBLE)) * {float(NEYMAN_BUDGET)!r}, 0) AS BIGINT)
+    > n_docs AS clipped
+FROM weighted CROSS JOIN tot
+ORDER BY lang
+"""
+
+QUERIES["neyman_allocation_plan"] = neyman_allocation_plan
+ORACLES["neyman_allocation_plan"] = NEYMAN_SQL

@@ -211,3 +211,28 @@ def test_quality_percentile_by_lang_exact_ranks(spark, sf_dir):
         assert members[-1].pct_rank == 1.0  # the top doc is the 100th pctile
         scores = [m.quality_score for m in members]
         assert scores == sorted(scores)  # rank follows score within lang
+
+
+def test_neyman_allocation_favors_variance(spark, tmp_path):
+    import math
+
+    from debezium_server_bigquery_spark.functions.curation import (
+        NEYMAN_BUDGET,
+        neyman_allocation_plan,
+    )
+
+    rows = []
+    # lang aa: 4 docs, constant length -> sigma 0 -> zero allocation
+    for i in range(4):
+        rows.append((i, "t", "aa", "s", 100))
+    # lang bb: 4 docs, spread lengths -> all of the budget (clipped to 4)
+    for i, n in enumerate([10, 200, 400, 800]):
+        rows.append((10 + i, "t", "bb", "s", n))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in neyman_allocation_plan(spark, str(tmp_path)).collect()}
+    assert out["aa"].neyman_share == 0.0 and out["aa"].n_alloc == 0
+    assert out["bb"].neyman_share == 1.0
+    assert out["bb"].n_alloc == 4 and out["bb"].clipped  # budget >> stratum
+    assert NEYMAN_BUDGET > 4
