@@ -681,3 +681,134 @@ ORDER BY event_type
 
 QUERIES["conformal_volume_intervals"] = conformal_volume_intervals
 ORACLES["conformal_volume_intervals"] = CONFORMAL_SQL
+
+
+def forecast_mase_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error, Hyndman & Koehler 2006) of the
+    day-of-week mean forecaster on the conformal split: model MAE on
+    test days divided by the in-sample MAE of the seasonal-naive
+    (lag-7) baseline — the scale-free forecast-accuracy number that
+    lets event types of very different volumes share one leaderboard
+    (MASE < 1 = beats naive).
+
+    Scale/exactness: reuses the conformal operator's daily-count and
+    dow-mean shapes (one aggregate each, O(types×7) broadcast); the
+    lag-7 baseline is a self-join of the daily table on (type, d−7) —
+    an equi-join on a derived key, never a window over the series.
+    Numerators/denominators are sums of |integer − deterministic
+    double| accumulated per type and divided once."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    cal = daily.filter(F.col("d") < F.lit(CONFORMAL_SPLIT))
+    test = daily.filter(F.col("d") >= F.lit(CONFORMAL_SPLIT))
+    pred = cal.groupBy("event_type", F.dayofweek("d").alias("dow")).agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "pred"
+        )
+    )
+    model_err = (
+        test.withColumn("dow", F.dayofweek("d"))
+        .join(F.broadcast(pred), ["event_type", "dow"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.round(
+                    F.abs(F.col("x").cast("double") - F.col("pred")), 9
+                ).cast("decimal(38,9)")
+            ).alias("sae_model"),
+        )
+    )
+    a = cal.select(
+        F.col("event_type").alias("et_a"), F.col("d").alias("d_a"),
+        F.col("x").alias("x_a"),
+    )
+    past = cal.select(
+        F.col("event_type").alias("et_b"), F.col("d").alias("d7"),
+        F.col("x").alias("x7"),
+    )
+    naive_err = (
+        a.join(
+            past,
+            (F.col("et_a") == F.col("et_b"))
+            & (F.expr("date_sub(d_a, 7)") == F.col("d7")),
+        )
+        .select(F.col("et_a").alias("event_type"), F.col("x_a").alias("x"), "x7")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_naive"),
+            F.sum(F.abs(F.col("x") - F.col("x7")).cast("decimal(38,0)")).alias(
+                "sae_naive"
+            ),
+        )
+    )
+    mae_model = F.col("sae_model").cast("double") / F.col("n_test").cast(
+        "double"
+    )
+    mae_naive = F.col("sae_naive").cast("double") / F.col("n_naive").cast(
+        "double"
+    )
+    return (
+        model_err.join(naive_err, "event_type")
+        .select(
+            "event_type",
+            "n_test",
+            (F.round(mae_model, 6) + F.lit(0.0)).alias("mae_model"),
+            (F.round(mae_naive, 6) + F.lit(0.0)).alias("mae_naive"),
+            F.when(
+                F.col("sae_naive") > 0,
+                F.round(mae_model / mae_naive, 6) + F.lit(0.0),
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FORECAST_MASE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+cal AS (SELECT * FROM daily WHERE d < DATE '{CONFORMAL_SPLIT}'),
+test AS (SELECT * FROM daily WHERE d >= DATE '{CONFORMAL_SPLIT}'),
+pred AS (
+  SELECT event_type, dayofweek(d) + 1 AS dow,
+    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pred
+  FROM cal GROUP BY 1, 2
+),
+model_err AS (
+  SELECT t.event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_test,
+    CAST(SUM(CAST(round(abs(CAST(t.x AS DOUBLE) - p.pred), 9)
+                  AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sae_model
+  FROM test t JOIN pred p
+    ON t.event_type = p.event_type AND dayofweek(t.d) + 1 = p.dow
+  GROUP BY t.event_type
+),
+naive_err AS (
+  SELECT a.event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_naive,
+    CAST(SUM(abs(a.x - b.x)) AS DECIMAL(38,0)) AS sae_naive
+  FROM cal a JOIN cal b
+    ON a.event_type = b.event_type AND b.d = a.d - 7
+  GROUP BY a.event_type
+)
+SELECT m.event_type, m.n_test,
+  round(CAST(m.sae_model AS DOUBLE) / CAST(m.n_test AS DOUBLE), 6) + 0.0
+    AS mae_model,
+  round(CAST(n.sae_naive AS DOUBLE) / CAST(n.n_naive AS DOUBLE), 6) + 0.0
+    AS mae_naive,
+  CASE WHEN n.sae_naive > 0 THEN
+    round((CAST(m.sae_model AS DOUBLE) / CAST(m.n_test AS DOUBLE))
+          / (CAST(n.sae_naive AS DOUBLE) / CAST(n.n_naive AS DOUBLE)), 6) + 0.0
+  END AS mase
+FROM model_err m JOIN naive_err n ON m.event_type = n.event_type
+ORDER BY m.event_type
+"""
+
+QUERIES["forecast_mase_by_type"] = forecast_mase_by_type
+ORACLES["forecast_mase_by_type"] = FORECAST_MASE_SQL

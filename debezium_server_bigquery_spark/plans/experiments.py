@@ -441,3 +441,144 @@ QUERIES["did_revenue_readout"] = did_revenue_readout
 ORACLES["did_revenue_readout"] = DID_SQL
 QUERIES["ab_power_mde"] = ab_power_mde
 ORACLES["ab_power_mde"] = AB_POWER_SQL
+
+
+# Poisson(1) CDF thresholds at 12 dp, k = 0..6 (k = 7 is the tail).  The
+# Poisson bootstrap (Chamandy et al., Google 2012) replaces
+# sample-with-replacement — impossible to coordinate across partitions —
+# with an independent Poisson(1) weight per (row, replicate): row-local,
+# shuffle-free, the industrial bootstrap at terabyte scale.
+_POIS_CDF = [
+    "0.367879441171",
+    "0.735758882343",
+    "0.919698602929",
+    "0.981011843124",
+    "0.996340153173",
+    "0.999405815182",
+    "0.999916758851",
+]
+BOOT_B = 64
+_BOOT_U_SCALE = 1_000_000_000_000
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean per-user spend via the Poisson
+    bootstrap, fully deterministic: replicate b's weight for a user is
+    the inverse-CDF Poisson(1) draw at a (user, b)-seeded hash uniform,
+    so both engines materialize the identical 64 resampled means and the
+    CI is an exact order statistic over them (percentile_disc — an
+    aggregate over the 64-row frame, no global window).
+
+    Scale design (100 TB): the per-user aggregate is one combinable
+    pass; replication explodes each user row ×64 into weighted decimal
+    sums keyed by replicate — map-side combinable, bounded state of 64
+    groups; everything after is O(B)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.col("value").cast("decimal(18,2)")),
+                   F.lit(0).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("y")
+    )
+    rep = per_user.select(
+        "user_id",
+        "y",
+        F.explode(F.array(*[F.lit(b) for b in range(BOOT_B)])).alias("b"),
+    )
+    u = (
+        F.pmod(
+            hash60(
+                F.concat(
+                    F.lit("boot:"), F.col("b"), F.lit(":"), F.col("user_id")
+                )
+            ),
+            F.lit(_BOOT_U_SCALE),
+        ).cast("double")
+        / F.lit(float(_BOOT_U_SCALE))
+    )
+    w = F.lit(7)
+    for k in reversed(range(len(_POIS_CDF))):
+        w = F.when(u < F.lit(float(_POIS_CDF[k])), F.lit(k)).otherwise(w)
+    means = (
+        rep.select("b", w.alias("w"), "y")
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,2)") * F.col("y")).alias("swy"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .select(
+            (F.col("swy").cast("double") / F.col("sw").cast("double")).alias(
+                "mean_b"
+            )
+        )
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_spend"
+        ),
+    )
+    ci = means.agg(
+        F.expr("percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_b)").alias(
+            "lo"
+        ),
+        F.expr("percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_b)").alias(
+            "hi"
+        ),
+    )
+    return stats.crossJoin(F.broadcast(ci)).select(
+        "n_users",
+        (F.round("mean_spend", 6) + F.lit(0.0)).alias("mean_spend"),
+        (F.round("lo", 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round("hi", 6) + F.lit(0.0)).alias("ci_hi"),
+    )
+
+
+def _boot_sql() -> str:
+    h = _hash60_sql("'boot:' || b || ':' || user_id")
+    u = f"(CAST({h} % {_BOOT_U_SCALE} AS DOUBLE) / {float(_BOOT_U_SCALE)!r})"
+    w = "CASE "
+    for k, t in enumerate(_POIS_CDF):
+        w += f"WHEN {u} < {float(t)!r} THEN {k} "
+    w += "ELSE 7 END"
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY user_id
+),
+rep AS (
+  SELECT user_id, y, r.b
+  FROM per_user, UNNEST(range(0, {BOOT_B})) AS r(b)
+),
+means AS (
+  SELECT
+    CAST(SUM(CAST(({w}) AS DECIMAL(38,2)) * y) AS DECIMAL(38,4)) AS swy,
+    CAST(SUM({w}) AS BIGINT) AS sw
+  FROM rep GROUP BY b
+),
+mvals AS (
+  SELECT CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_b FROM means
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_spend
+  FROM per_user
+),
+ci AS (
+  SELECT percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_b) AS lo,
+         percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_b) AS hi
+  FROM mvals
+)
+SELECT n_users,
+  round(mean_spend, 6) + 0.0 AS mean_spend,
+  round(lo, 6) + 0.0 AS ci_lo,
+  round(hi, 6) + 0.0 AS ci_hi
+FROM stats CROSS JOIN ci
+"""
+
+
+POISSON_BOOT_SQL = _boot_sql()
+
+QUERIES["poisson_bootstrap_ci"] = poisson_bootstrap_ci
+ORACLES["poisson_bootstrap_ci"] = POISSON_BOOT_SQL

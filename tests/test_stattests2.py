@@ -206,3 +206,43 @@ def test_conformal_coverage_on_constructed_series(spark, tmp_path):
     assert r.n_cal == 21 and r.n_test == 4
     assert r.q_hat == 0.0
     assert abs(r.coverage - 0.75) < 1e-9  # the burst day escapes the band
+
+
+def test_mase_trend_series_closed_form(spark, tmp_path):
+    """Linear daily trend: the lag-7 naive errs by exactly 7 in-sample;
+    the dow-mean forecaster errs by exactly 14 on the next 4 test days
+    (the dow mean sits 14 below the continued trend) -> MASE = 2."""
+    from debezium_server_bigquery_spark.functions.timeseries import (
+        forecast_mase_by_type,
+    )
+
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(25):  # 21 calibration days + 4 test days
+        for _ in range(d + 1):
+            rows.append((eid, base + datetime.timedelta(days=d), 1, "view", 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = forecast_mase_by_type(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_test == 4
+    assert r.mae_naive == 7.0
+    assert r.mae_model == 14.0
+    assert r.mase == 2.0
+
+
+def test_poisson_bootstrap_ci_degenerate_on_constant_metric(spark, tmp_path):
+    """All users spend the same amount: every resampled mean equals it,
+    so the CI collapses to a point at the mean."""
+    from debezium_server_bigquery_spark.plans.experiments import (
+        poisson_bootstrap_ci,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(u, t0, u, "view", 5.0, "{}") for u in range(1, 41)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = poisson_bootstrap_ci(spark, sf).collect()[0]
+    assert out.n_users == 40
+    assert out.mean_spend == 5.0
+    assert out.ci_lo == 5.0 and out.ci_hi == 5.0
