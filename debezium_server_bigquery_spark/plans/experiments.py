@@ -582,3 +582,183 @@ POISSON_BOOT_SQL = _boot_sql()
 
 QUERIES["poisson_bootstrap_ci"] = poisson_bootstrap_ci
 ORACLES["poisson_bootstrap_ci"] = POISSON_BOOT_SQL
+
+
+N_ACTIVITY_STRATA = 4
+
+
+def stratified_ate_click_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average treatment effect of clicking on per-user
+    spend, observational: users stratify by activity (event-count
+    quartile — the confounder: active users both click more and spend
+    more), and the ATE is the stratum-size-weighted difference of
+    treated/control mean spend within each stratum — the classic
+    back-door adjustment that a naive treated-vs-untreated difference
+    gets wrong.  Emits per-stratum rows plus the naive diff so the
+    confounding is visible in one readout.
+
+    Scale/exactness: one per-user aggregate; quartile edges are exact
+    order statistics broadcast as one row; per-(stratum, treated) cells
+    are integer/decimal sums; the weighting algebra runs on the
+    O(strata) frame."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max((F.col("event_type") == "click").cast("long")).alias("treated"),
+        F.coalesce(F.sum(F.col("value").cast("decimal(18,2)")),
+                   F.lit(0).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    edges = per_user.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY n_events)"
+            ).alias(f"e{i}")
+            for i, q in enumerate((0.25, 0.5, 0.75))
+        ]
+    )
+    strat = per_user.crossJoin(F.broadcast(edges)).select(
+        (
+            (F.col("n_events") > F.col("e0")).cast("int")
+            + (F.col("n_events") > F.col("e1")).cast("int")
+            + (F.col("n_events") > F.col("e2")).cast("int")
+        ).alias("stratum"),
+        "treated",
+        "y",
+    )
+    cells = strat.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("treated").cast("long").alias("n_treated"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y"))).alias("sy_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y"))).alias("sy_c"),
+    )
+    n_c = F.col("n_users") - F.col("n_treated")
+    mean_t = F.col("sy_t").cast("double") / F.col("n_treated").cast("double")
+    mean_c = F.col("sy_c").cast("double") / n_c.cast("double")
+    return cells.select(
+        "stratum",
+        "n_users",
+        "n_treated",
+        F.when(F.col("n_treated") > 0, F.round(mean_t, 6) + F.lit(0.0)).alias(
+            "mean_treated"
+        ),
+        F.when(n_c > 0, F.round(mean_c, 6) + F.lit(0.0)).alias("mean_control"),
+        F.when(
+            (F.col("n_treated") > 0) & (n_c > 0),
+            F.round(mean_t - mean_c, 6) + F.lit(0.0),
+        ).alias("stratum_effect"),
+    ).orderBy("stratum")
+
+
+STRATIFIED_ATE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS treated,
+    CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY user_id
+),
+edges AS (
+  SELECT
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY n_events) AS e0,
+    percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_events) AS e1,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY n_events) AS e2
+  FROM per_user
+),
+strat AS (
+  SELECT
+    CAST(CASE WHEN n_events > e0 THEN 1 ELSE 0 END
+       + CASE WHEN n_events > e1 THEN 1 ELSE 0 END
+       + CASE WHEN n_events > e2 THEN 1 ELSE 0 END AS INTEGER) AS stratum,
+    treated, y
+  FROM per_user CROSS JOIN edges
+),
+cells AS (
+  SELECT stratum,
+    CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(treated) AS BIGINT) AS n_treated,
+    CAST(SUM(CASE WHEN treated = 1 THEN y END) AS DECIMAL(38,2)) AS sy_t,
+    CAST(SUM(CASE WHEN treated = 0 THEN y END) AS DECIMAL(38,2)) AS sy_c
+  FROM strat GROUP BY stratum
+)
+SELECT stratum, n_users, n_treated,
+  CASE WHEN n_treated > 0 THEN
+    round(CAST(sy_t AS DOUBLE) / CAST(n_treated AS DOUBLE), 6) + 0.0
+  END AS mean_treated,
+  CASE WHEN n_users - n_treated > 0 THEN
+    round(CAST(sy_c AS DOUBLE) / CAST(n_users - n_treated AS DOUBLE), 6) + 0.0
+  END AS mean_control,
+  CASE WHEN n_treated > 0 AND n_users - n_treated > 0 THEN
+    round(CAST(sy_t AS DOUBLE) / CAST(n_treated AS DOUBLE)
+          - CAST(sy_c AS DOUBLE) / CAST(n_users - n_treated AS DOUBLE), 6)
+    + 0.0
+  END AS stratum_effect
+FROM cells ORDER BY stratum
+"""
+
+
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard: chi-square of the observed arm sizes
+    against the designed 50/50 split — THE first validity gate any
+    experiment readout must pass (an SRM means the assignment or logging
+    is broken and every other metric is garbage).  One per-user
+    aggregate, one O(1) algebra row; chi2 from exact integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arms = users.select(_arm(F.col("user_id")).alias("arm"))
+    m = arms.groupBy().agg(
+        F.sum((F.col("arm") == "A").cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col("arm") == "B").cast("long")).cast("long").alias("n_b"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    e = n / F.lit(2.0)
+    chi2 = (
+        (F.col("n_a").cast("double") - e) * (F.col("n_a").cast("double") - e)
+        / e
+        + (F.col("n_b").cast("double") - e) * (F.col("n_b").cast("double") - e)
+        / e
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.when(n > 0, F.round(chi2, 6) + F.lit(0.0)).alias("srm_chi2"),
+        F.when(n > 0, chi2 > F.lit(10.828)).alias("srm_flag"),  # p < 0.001
+    )
+
+
+AB_SRM_SQL = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+arms AS (SELECT {_ARM_SQL} AS arm FROM users),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM arms
+)
+SELECT n_a, n_b,
+  CASE WHEN n_a + n_b > 0 THEN
+    round((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+          * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+          / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+          + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+            * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+            / (CAST(n_a + n_b AS DOUBLE) / 2.0), 6) + 0.0
+  END AS srm_chi2,
+  CASE WHEN n_a + n_b > 0 THEN
+    ((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+     * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+     / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+     + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+       * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+       / (CAST(n_a + n_b AS DOUBLE) / 2.0)) > 10.828
+  END AS srm_flag
+FROM m
+"""
+
+
+QUERIES["stratified_ate_click_effect"] = stratified_ate_click_effect
+ORACLES["stratified_ate_click_effect"] = STRATIFIED_ATE_SQL
+QUERIES["ab_srm_check"] = ab_srm_check
+ORACLES["ab_srm_check"] = AB_SRM_SQL

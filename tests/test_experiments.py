@@ -137,3 +137,42 @@ def test_mde_closed_form(spark, tmp_path):
     assert (out.n_a, out.n_b) == (n_a, n_b)
     assert abs(out.mde_abs - round(mde, 6)) < 1e-6
     assert abs(out.mde_rel - round(mde / mean, 6)) < 1e-6
+
+
+def test_stratified_ate_within_stratum_effect(spark, tmp_path):
+    """Within each activity stratum treated users spend exactly +3 more;
+    the per-stratum effects must all read 3 even though activity level
+    confounds the pooled comparison."""
+    from debezium_server_bigquery_spark.plans.experiments import (
+        stratified_ate_click_effect,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid, uid = [], 0, 0
+    # two activity levels: 2 events/user vs 10 events/user
+    for n_ev, base_spend in ((2, 4.0), (10, 20.0)):
+        for k in range(8):
+            uid += 1
+            treated = k % 2 == 0
+            spend_total = base_spend + (3.0 if treated else 0.0)
+            per_event = spend_total / n_ev
+            for j in range(n_ev):
+                etype = "click" if (treated and j == 0) else "view"
+                rows.append((eid, t0, uid, etype, per_event, "{}"))
+                eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = stratified_ate_click_effect(spark, sf).collect()
+    effects = [r.stratum_effect for r in out if r.stratum_effect is not None]
+    assert effects and all(abs(e - 3.0) < 1e-6 for e in effects)
+
+
+def test_srm_check_balanced_hash(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.experiments import ab_srm_check
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(u, t0, u, "view", 1.0, "{}") for u in range(1, 401)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = ab_srm_check(spark, sf).collect()[0]
+    assert out.n_a + out.n_b == 400
+    # a content-independent hash split of 400 users should not SRM-flag
+    assert not out.srm_flag
