@@ -759,3 +759,59 @@ ORACLES = {
     "session_path_trigrams": SESSION_PATH_SQL,
     "events_cusum_changepoint": EVENTS_CUSUM_SQL,
 }
+
+
+def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as the
+    corpus-wide streak distribution — the engagement signal behind
+    "X-day streak" product mechanics, and the canonical gaps-and-islands
+    exercise: a user's active days split into islands where
+    day − dense_rank(day) is constant.
+
+    Scale design (100 TB): distinct (user, day) is one combinable
+    aggregate; the dense-rank window partitions BY USER (bounded by a
+    user's active days, never global); islands collapse with two more
+    keyed aggregates; the output is a histogram over streak lengths
+    (O(max streak) rows)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    max_streak = streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak")
+    )
+    return (
+        max_streak.groupBy("max_streak")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("max_streak")
+    )
+
+
+USER_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+islands AS (
+  SELECT user_id, d,
+    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+      AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM islands GROUP BY user_id, grp
+),
+mx AS (SELECT user_id, MAX(len) AS max_streak FROM streaks GROUP BY user_id)
+SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM mx GROUP BY max_streak ORDER BY max_streak
+"""
+
+QUERIES["user_active_streaks"] = user_active_streaks
+ORACLES["user_active_streaks"] = USER_STREAKS_SQL

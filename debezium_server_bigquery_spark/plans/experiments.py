@@ -36,7 +36,7 @@ from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
 )
 from debezium_server_bigquery_spark.sources.tables import load_table
 
-SPLIT_DATE = "1997-01-01"  # pre-period | post-period boundary for CUPED
+SPLIT_DATE = "2024-01-16"  # pre/post boundary: mid-range of the events table
 
 
 def _arm(user_col) -> F.Column:
@@ -762,3 +762,158 @@ QUERIES["stratified_ate_click_effect"] = stratified_ate_click_effect
 ORACLES["stratified_ate_click_effect"] = STRATIFIED_ATE_SQL
 QUERIES["ab_srm_check"] = ab_srm_check
 ORACLES["ab_srm_check"] = AB_SRM_SQL
+
+
+def uplift_by_score_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift (Qini-style) readout: users rank by a targeting score
+    (pre-period spend), and each score decile reports the
+    treated-minus-control conversion gap plus the cumulative gap over
+    the top-k deciles — the curve an uplift model is judged by (under
+    the hash A/A assignment the true uplift is ~0, making this the
+    null-calibration readout).
+
+    Scale/exactness: decile edges are exact order statistics broadcast
+    once; per-(decile, arm) cells are integer counts; the cumulative
+    column comes from a bounded triangular self-join over the ≤10-row
+    cell frame (never a global window)."""
+    ev = load_table(spark, sf_dir, "events")
+    pre = F.to_date("ts") < F.lit(SPLIT_DATE)
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(pre, F.col("value").cast("decimal(18,2)"))),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("decimal(18,2)")
+        .alias("score"),
+        F.max(
+            F.when(
+                ~pre & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    edges = per_user.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q / 10.0}) WITHIN GROUP (ORDER BY score)"
+            ).alias(f"e{q}")
+            for q in range(1, 10)
+        ]
+    )
+    dec_expr = None
+    for q in range(1, 10):
+        term = (F.col("score") > F.col(f"e{q}")).cast("int")
+        dec_expr = term if dec_expr is None else dec_expr + term
+    cells = (
+        per_user.crossJoin(F.broadcast(edges))
+        .select(
+            dec_expr.alias("decile"),
+            _arm(F.col("user_id")).alias("arm"),
+            "conv",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum((F.col("arm") == "A").cast("long")).cast("long").alias("n_t"),
+            F.sum((F.col("arm") == "B").cast("long")).cast("long").alias("n_c"),
+            F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("conv_t"),
+            F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("conv_c"),
+        )
+    )
+    hi = cells.select(
+        F.col("decile").alias("d2"),
+        F.col("n_t").alias("n_t2"),
+        F.col("n_c").alias("n_c2"),
+        F.col("conv_t").alias("conv_t2"),
+        F.col("conv_c").alias("conv_c2"),
+    )
+    cum = (
+        cells.join(hi, F.col("d2") >= F.col("decile"))
+        .groupBy("decile", "n_t", "n_c", "conv_t", "conv_c")
+        .agg(
+            F.sum("n_t2").cast("long").alias("cn_t"),
+            F.sum("n_c2").cast("long").alias("cn_c"),
+            F.sum("conv_t2").cast("long").alias("cconv_t"),
+            F.sum("conv_c2").cast("long").alias("cconv_c"),
+        )
+    )
+    rate = lambda c, n: F.col(c).cast("double") / F.col(n).cast("double")  # noqa: E731
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0),
+            F.round(rate("conv_t", "n_t") - rate("conv_c", "n_c"), 6)
+            + F.lit(0.0),
+        ).alias("uplift"),
+        F.when(
+            (F.col("cn_t") > 0) & (F.col("cn_c") > 0),
+            F.round(rate("cconv_t", "cn_t") - rate("cconv_c", "cn_c"), 6)
+            + F.lit(0.0),
+        ).alias("cum_uplift_topk"),
+    ).orderBy(F.desc("decile"))
+
+
+UPLIFT_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{SPLIT_DATE}'
+      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS score,
+    CAST(MAX(CASE WHEN CAST(ts AS DATE) >= DATE '{SPLIT_DATE}'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS conv
+  FROM events GROUP BY user_id
+),
+edges AS (
+  SELECT
+    {", ".join(
+        f"percentile_disc({q / 10.0}) WITHIN GROUP (ORDER BY score) AS e{q}"
+        for q in range(1, 10)
+    )}
+  FROM per_user
+),
+cells AS (
+  SELECT
+    CAST({" + ".join(
+        f"CASE WHEN score > e{q} THEN 1 ELSE 0 END" for q in range(1, 10)
+    )} AS INTEGER) AS decile,
+    {_ARM_SQL} AS arm, conv
+  FROM per_user CROSS JOIN edges
+),
+agg AS (
+  SELECT decile,
+    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+    CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+    CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_c
+  FROM cells GROUP BY decile
+),
+cum AS (
+  SELECT a.decile, a.n_t, a.n_c, a.conv_t, a.conv_c,
+    CAST(SUM(b.n_t) AS BIGINT) AS cn_t,
+    CAST(SUM(b.n_c) AS BIGINT) AS cn_c,
+    CAST(SUM(b.conv_t) AS BIGINT) AS cconv_t,
+    CAST(SUM(b.conv_c) AS BIGINT) AS cconv_c
+  FROM agg a JOIN agg b ON b.decile >= a.decile
+  GROUP BY a.decile, a.n_t, a.n_c, a.conv_t, a.conv_c
+)
+SELECT decile, n_t, n_c,
+  CASE WHEN n_t > 0 AND n_c > 0 THEN
+    round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+          - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) + 0.0
+  END AS uplift,
+  CASE WHEN cn_t > 0 AND cn_c > 0 THEN
+    round(CAST(cconv_t AS DOUBLE) / CAST(cn_t AS DOUBLE)
+          - CAST(cconv_c AS DOUBLE) / CAST(cn_c AS DOUBLE), 6) + 0.0
+  END AS cum_uplift_topk
+FROM cum ORDER BY decile DESC
+"""
+
+
+QUERIES["uplift_by_score_decile"] = uplift_by_score_decile
+ORACLES["uplift_by_score_decile"] = UPLIFT_SQL

@@ -67,8 +67,8 @@ def test_cuped_removes_preperiod_confound(spark, tmp_path):
     )
 
     users = list(range(1, 31))
-    pre_day = datetime.datetime(1996, 6, 1)
-    post_day = datetime.datetime(1997, 6, 1)
+    pre_day = datetime.datetime(2024, 1, 5)
+    post_day = datetime.datetime(2024, 1, 25)
     assert pre_day < datetime.datetime.fromisoformat(SPLIT_DATE) < post_day
     rows, eid = [], 0
     for u in users:
@@ -98,8 +98,8 @@ def test_did_cancels_shared_trend(spark, tmp_path):
 
     users = list(range(1, 21))
     arms = _arms_of(spark, users)
-    pre = datetime.datetime(1996, 6, 1)
-    post = datetime.datetime(1997, 6, 1)
+    pre = datetime.datetime(2024, 1, 5)
+    post = datetime.datetime(2024, 1, 25)
     rows, eid = [], 0
     for u in users:
         base = float(u % 5)

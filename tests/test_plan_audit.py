@@ -61,6 +61,11 @@ _BNLJ_BOUNDED_BY_CONSTRUCTION = {
     # profile aggregate to one user before the constant-key broadcast
     # (functions/timeseries.py)
     "ts_similarity_topk",
+    # triangular cumulative join over the per-decile cell frame: both
+    # sides are keyed aggregates over a 10-value bin domain (the decile
+    # id is a sum of 9 fixed comparisons), so the BNLJ is <= 10 x 10
+    # rows by construction (plans/experiments.py uplift_by_score_decile)
+    "uplift_by_score_decile",
 }
 
 _BNLJ_BOUND_MARKERS = (
