@@ -1203,3 +1203,103 @@ ORDER BY b.query_id
 
 QUERIES["ann_dim_truncation_eval"] = ann_dim_truncation_eval
 ORACLES["ann_dim_truncation_eval"] = ANN_TRUNC_SQL
+
+
+ID_PROBES = 50  # Two-NN probes (vec_id < ID_PROBES)
+
+
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017):
+    ID ≈ ln 2 / mean(ln(r₂/r₁)) over probe points, with r₁, r₂ the
+    distances to the first and second nearest neighbors — the embedding
+    diagnostics number that says how much of the 64 ambient dimensions
+    the data actually occupies (low ID → aggressive PQ/truncation is
+    safe; the companion readout to ``ann_dim_truncation_eval``).
+
+    Scale design: the same broadcast bounded-probe shape as the
+    brute-force ANN baseline (≤ ID_PROBES rows against one scan);
+    per-probe r₁/r₂ come from a PROBE-partitioned top-2 window; the
+    per-probe ln ratio rounds to 12 dp into DECIMAL so the mean is
+    order-independent.  Probes whose r₁ = 0 (exact duplicate vectors)
+    are excluded — their ratio is undefined."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.filter(F.col("vec_id") < ID_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = broadcast(probes).join(emb, F.col("query_id") != F.col("vec_id"))
+    d2 = _sq_dist(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    nn2 = (
+        joined.withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("d2"))).alias("d1"),
+            F.max(F.when(F.col("rk") == 2, F.col("d2"))).alias("d2_"),
+        )
+        .filter(F.col("d1") > 0)
+    )
+    # ln(r2/r1) = 0.5 * ln(d2/d1) on squared distances
+    ratio = F.round(F.lit(0.5) * F.log(F.col("d2_") / F.col("d1")), 12).cast(
+        "decimal(38,12)"
+    )
+    m = nn2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(ratio).alias("s_ln"),
+    )
+    mean_ln = F.col("s_ln").cast("double") / F.col("n_probes").cast("double")
+    return m.select(
+        "n_probes",
+        F.when(
+            (F.col("n_probes") > 0) & (F.col("s_ln") > 0),
+            F.round(F.lit(0.6931471805599453) / mean_ln, 6) + F.lit(0.0),
+        ).alias("intrinsic_dim"),
+    )
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), (x, y) -> x + y)"
+    )
+
+
+INTRINSIC_DIM_SQL = f"""
+WITH nn AS (
+  SELECT q.vec_id AS query_id,
+    {_sqdist_sql("q.embedding", "e.embedding")} AS d2,
+    e.vec_id AS nid
+  FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+  WHERE q.vec_id < {ID_PROBES}
+),
+top2 AS (
+  SELECT query_id, d2,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, nid ASC) AS rk
+  FROM nn
+),
+pair AS (
+  SELECT query_id,
+    MAX(CASE WHEN rk = 1 THEN d2 END) AS d1,
+    MAX(CASE WHEN rk = 2 THEN d2 END) AS d2_
+  FROM top2 WHERE rk <= 2 GROUP BY query_id
+),
+valid AS (SELECT * FROM pair WHERE d1 > 0),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+    CAST(SUM(CAST(round(0.5 * ln(d2_ / d1), 12) AS DECIMAL(38,12)))
+      AS DECIMAL(38,12)) AS s_ln
+  FROM valid
+)
+SELECT n_probes,
+  CASE WHEN n_probes > 0 AND s_ln > 0 THEN
+    round(0.6931471805599453
+          / (CAST(s_ln AS DOUBLE) / CAST(n_probes AS DOUBLE)), 6) + 0.0
+  END AS intrinsic_dim
+FROM m
+"""
+
+QUERIES["embedding_intrinsic_dim"] = embedding_intrinsic_dim
+ORACLES["embedding_intrinsic_dim"] = INTRINSIC_DIM_SQL

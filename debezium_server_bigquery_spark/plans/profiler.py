@@ -180,3 +180,106 @@ FD_AUDIT_SQL = (
 
 QUERIES["functional_dependency_audit"] = functional_dependency_audit
 ORACLES["functional_dependency_audit"] = FD_AUDIT_SQL
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric columns
+    from ONE pass of exact decimal moments — the numeric half of the
+    column profiler (which column pairs are redundant, which carry
+    independent signal for a downstream model).
+
+    Scale/exactness: a single map-side-combinable aggregate computes
+    every Σx, Σx², Σxy in DECIMAL (values cast to DECIMAL(18,2) once);
+    the C(4,2) correlations are fixed-order expressions over the
+    one-row moment frame; zero-variance columns yield NULL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec[c]).cast("decimal(38,2)").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((dec[c] * dec[c]).cast("decimal(38,4)")).alias(f"ss_{c}")
+        )
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs.append(
+                F.sum((dec[a] * dec[b]).cast("decimal(38,4)")).alias(
+                    f"sp_{a}_{b}"
+                )
+            )
+    m = li.agg(*aggs)
+    n = F.col("n").cast("double")
+    rows = None
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            cov = F.col(f"sp_{a}_{b}").cast("double") * n - F.col(
+                f"s_{a}"
+            ).cast("double") * F.col(f"s_{b}").cast("double")
+            va = F.col(f"ss_{a}").cast("double") * n - F.col(f"s_{a}").cast(
+                "double"
+            ) * F.col(f"s_{a}").cast("double")
+            vb = F.col(f"ss_{b}").cast("double") * n - F.col(f"s_{b}").cast(
+                "double"
+            ) * F.col(f"s_{b}").cast("double")
+            row = m.select(
+                F.lit(f"{a}~{b}").alias("pair"),
+                F.col("n").alias("n_rows"),
+                F.when(
+                    (va > 0) & (vb > 0),
+                    F.round(cov / F.sqrt(va * vb), 6) + F.lit(0.0),
+                ).alias("pearson"),
+            )
+            rows = row if rows is None else rows.unionAll(row)
+    return rows.orderBy("pair")
+
+
+def _corr_sql() -> str:
+    cols = _CORR_COLS
+    moments = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in cols:
+        moments.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_{c}"
+        )
+        moments.append(
+            f"CAST(SUM(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))"
+            f" AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ss_{c}"
+        )
+    pair_sel = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            moments.append(
+                f"CAST(SUM(CAST(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))"
+                f" AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sp_{a}_{b}"
+            )
+            cov = (
+                f"(CAST(sp_{a}_{b} AS DOUBLE) * CAST(n AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            )
+            va = (
+                f"(CAST(ss_{a} AS DOUBLE) * CAST(n AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            )
+            vb = (
+                f"(CAST(ss_{b} AS DOUBLE) * CAST(n AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            )
+            pair_sel.append(
+                f"SELECT '{a}~{b}' AS pair, n AS n_rows,\n"
+                f"  CASE WHEN {va} > 0 AND {vb} > 0 THEN\n"
+                f"    round({cov} / sqrt({va} * {vb}), 6) + 0.0 END AS pearson\n"
+                f"FROM m"
+            )
+    return (
+        "WITH m AS (\n  SELECT " + ",\n    ".join(moments) + "\n  FROM lineitem\n)\n"
+        + "\nUNION ALL\n".join(pair_sel)
+        + "\nORDER BY pair"
+    )
+
+
+LINEITEM_CORR_SQL = _corr_sql()
+
+QUERIES["lineitem_correlation_matrix"] = lineitem_correlation_matrix
+ORACLES["lineitem_correlation_matrix"] = LINEITEM_CORR_SQL

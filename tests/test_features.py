@@ -111,3 +111,25 @@ def test_ann_truncation_full_dim_is_identity(spark, tmp_path):
         sim.TRUNC_DIM = orig
     assert len(out) == 10
     assert all(r.overlap_frac == 1.0 for r in out)
+
+
+def test_intrinsic_dim_exponential_line_closed_form(spark, tmp_path):
+    """Exponentially spaced collinear points: probe i >= 2 has
+    r1 = 2^(i-1) (to i-1) and r2 = 1.5 * 2^(i-1) (to i-2), probe 1 has
+    ratio 2, probe 0 ratio 3 -> the estimate equals
+    ln2 / mean(round(ln ratio, 12)) exactly."""
+    import math
+
+    import debezium_server_bigquery_spark.functions.similarity as sim
+
+    n = 20
+    vecs = [(i, [float(2 ** i), 0.0, 0.0, 0.0], 0) for i in range(n)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = sim.embedding_intrinsic_dim(spark, str(tmp_path)).collect()[0]
+    ratios = [3.0, 2.0] + [1.5] * (n - 2)
+    mean_ln = sum(round(math.log(r), 12) for r in ratios) / n
+    expect = round(math.log(2) / mean_ln, 6)
+    assert out.n_probes == n
+    assert abs(out.intrinsic_dim - expect) < 1e-6

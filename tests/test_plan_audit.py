@@ -48,6 +48,9 @@ _BNLJ_BOUNDED_BY_CONSTRUCTION = {
     # same ≤10-row probe set, used twice (full-dim and truncated-dim
     # rankings share the vec_id < 10 bound)
     "ann_dim_truncation_eval",
+    # ≤ID_PROBES-row probe set (vec_id < 50 range predicate on the
+    # unique key) for the Two-NN estimator (functions/similarity.py)
+    "embedding_intrinsic_dim",
     # k-row centroid table from the bounded-key iterative aggregate
     # (functions/kmeans.py)
     "kmeans_clusters",

@@ -62,3 +62,24 @@ def test_fd_audit_detects_violations(spark, tmp_path):
     # l_partkey 100 maps to suppkeys {200, 201}: violated
     lp = out["lineitem: l_partkey -> l_suppkey"]
     assert not lp.holds and lp.n_violating_groups == 1
+
+
+def test_correlation_matrix_perfect_and_zero(spark, tmp_path):
+    from debezium_server_bigquery_spark.plans.profiler import (
+        lineitem_correlation_matrix,
+    )
+
+    # qty == extprice (r = 1); tax constant (NULL); discount alternates
+    rows = [
+        (float(i), float(i), 0.1 if i % 2 else 0.2, 0.05)
+        for i in range(1, 9)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.pair: r for r in lineitem_correlation_matrix(spark, str(tmp_path)).collect()}
+    assert out["l_quantity~l_extendedprice"].pearson == 1.0
+    assert out["l_quantity~l_tax"].pearson is None  # zero variance
+    assert out["l_discount~l_tax"].pearson is None
