@@ -859,3 +859,116 @@ FROM best GROUP BY b.keeper_source ORDER BY keeper_source
 
 QUERIES["dedup_exact_keep_priority_source"] = dedup_exact_keep_priority_source
 ORACLES["dedup_exact_keep_priority_source"] = DEDUP_KEEP_PRIORITY_SQL
+
+
+_SENS_THRESHOLDS = ("0.5", "0.6", "0.7", "0.8", "0.9")
+
+
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-policy sensitivity curve: for each candidate containment
+    threshold, how many near-dup pairs fire and how many distinct
+    documents would be dropped (the contained side) — the one-page
+    answer to "what does moving the knob from 0.7 to 0.9 cost?".
+
+    Scale design: the df-capped posting self-join builds the scored
+    pair set ONCE and materializes it to a scratch-parquet checkpoint
+    (the shared-substrate rule); the per-threshold numbers then come
+    from two bucketed aggregates over the checkpoint — pair counts roll
+    up additively across buckets, and the distinct-doc counts roll up
+    via each doc's MAX containment (distinct is not bucket-additive;
+    the max is) — with a bounded triangular join over the ≤6-bucket
+    frame.  No threshold rescans the candidate join."""
+    from debezium_server_bigquery_spark.sources.tables import (
+        checkpoint_parquet,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    inv, sizes = stop_shingled_index(docs)
+    shared = shared_shingle_pairs(inv, symmetric=False)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    scored = checkpoint_parquet(
+        shared.join(sa, "doc_a").select(
+            "doc_a",
+            F.round(F.col("n_shared").cast("double") / F.col("n_a"), 6).alias(
+                "containment"
+            ),
+        ),
+        "dsbq_sens_",
+    )
+    idx_of = lambda c: sum(  # noqa: E731
+        (c >= float(t)).cast("int") for t in _SENS_THRESHOLDS
+    )
+    pair_b = scored.select(idx_of(F.col("containment")).alias("idx")).groupBy(
+        "idx"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    doc_b = (
+        scored.groupBy("doc_a")
+        .agg(F.max("containment").alias("mx"))
+        .select(idx_of(F.col("mx")).alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    ladder = None
+    for k, t in enumerate(_SENS_THRESHOLDS, start=1):
+        row_p = pair_b.filter(F.col("idx") >= k).agg(
+            F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("long").alias("n_pairs")
+        )
+        row_d = doc_b.filter(F.col("idx") >= k).agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_dropped")
+        )
+        row = row_p.crossJoin(row_d).select(
+            F.lit(float(t)).alias("threshold"), "n_pairs", "n_docs_dropped"
+        )
+        ladder = row if ladder is None else ladder.unionAll(row)
+    return ladder.orderBy("threshold")
+
+
+def _sens_sql_full() -> str:
+    idx = " + ".join(
+        f"CASE WHEN containment >= {t} THEN 1 ELSE 0 END"
+        for t in _SENS_THRESHOLDS
+    )
+    idx_mx = " + ".join(
+        f"CASE WHEN mx >= {t} THEN 1 ELSE 0 END" for t in _SENS_THRESHOLDS
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+  (SELECT CAST(COALESCE(SUM(n_pairs), 0) AS BIGINT)
+   FROM pair_b WHERE idx >= {k}) AS n_pairs,
+  (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT)
+   FROM doc_b WHERE idx >= {k}) AS n_docs_dropped"""
+        for k, t in enumerate(_SENS_THRESHOLDS, start=1)
+    )
+    return f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+{_INV_CTES},
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS MATERIALIZED (
+  SELECT doc_a,
+    round(n_shared::DOUBLE / sa.n_sh, 6) AS containment
+  FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+),
+pair_b AS MATERIALIZED (
+  SELECT ({idx}) AS idx, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM scored GROUP BY 1
+),
+doc_b AS MATERIALIZED (
+  SELECT ({idx_mx}) AS idx, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM (SELECT doc_a, MAX(containment) AS mx FROM scored GROUP BY doc_a)
+  GROUP BY 1
+)
+{selects}
+ORDER BY threshold
+"""
+
+
+DEDUP_SENSITIVITY_SQL = _sens_sql_full()
+
+QUERIES["dedup_threshold_sensitivity"] = dedup_threshold_sensitivity
+ORACLES["dedup_threshold_sensitivity"] = DEDUP_SENSITIVITY_SQL

@@ -849,3 +849,78 @@ ORACLES = {
     "text_repetition_score": TEXT_REPETITION_SQL,
     "text_contamination_check": TEXT_CONTAMINATION_SQL,
 }
+
+
+HILL_K = 200  # tail order statistics used by the Hill estimator
+
+
+def hill_tail_index_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail index: α̂ =
+    k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the k+1 largest lengths — the
+    heavy-tail intake number (α ≲ 2 means pathological giants dominate
+    storage and batch skew; the length-percentile report shows WHERE the
+    tail is, this says HOW heavy it is).
+
+    Scale design: the only corpus-sized step is a global top-(k+1) by
+    (n_chars, doc_id) — TakeOrderedAndProject, a per-partition heap +
+    driver merge of k+1 rows, never a full sort; the reference value is
+    a one-row aggregate over that frame and each ln ratio rounds to
+    12 dp into DECIMAL (ties at the reference contribute exactly 0, the
+    documented tie convention).  NULL when the whole frame is one
+    value."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = docs.select("doc_id", F.col("n_chars").cast("long").alias("x")).orderBy(
+        F.desc("x"), F.asc("doc_id")
+    ).limit(HILL_K + 1)
+    ref = top.agg(F.min("x").alias("x_ref"))
+    s = (
+        top.crossJoin(F.broadcast(ref))
+        .select(
+            F.round(
+                F.log(F.col("x").cast("double") / F.col("x_ref").cast("double")),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("lnr"),
+            "x_ref",
+        )
+        .groupBy("x_ref")
+        .agg(F.sum("lnr").alias("s_ln"), F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    return s.select(
+        (F.col("m") - 1).cast("long").alias("k"),
+        F.col("x_ref").cast("long").alias("x_ref"),
+        F.when(
+            F.col("s_ln") > 0,
+            F.round(
+                (F.col("m") - 1).cast("double") / F.col("s_ln").cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("hill_alpha"),
+    )
+
+
+HILL_TAIL_SQL = f"""
+WITH top AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x
+  FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT {HILL_K + 1}
+),
+ref AS (SELECT MIN(x) AS x_ref FROM top),
+s AS (
+  SELECT r.x_ref,
+    CAST(SUM(CAST(round(ln(CAST(t.x AS DOUBLE) / CAST(r.x_ref AS DOUBLE)), 12)
+             AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s_ln,
+    CAST(COUNT(*) AS BIGINT) AS m
+  FROM top t CROSS JOIN ref r
+  GROUP BY r.x_ref
+)
+SELECT CAST(m - 1 AS BIGINT) AS k, CAST(x_ref AS BIGINT) AS x_ref,
+  CASE WHEN s_ln > 0 THEN
+    round(CAST(m - 1 AS DOUBLE) / CAST(s_ln AS DOUBLE), 6) + 0.0
+  END AS hill_alpha
+FROM s
+"""
+
+QUERIES["hill_tail_index_doclen"] = hill_tail_index_doclen
+ORACLES["hill_tail_index_doclen"] = HILL_TAIL_SQL

@@ -170,3 +170,28 @@ def test_keep_priority_source_survivor_policy(spark, tmp_path):
     assert a.n_cross_source_clusters == 1
     assert b.n_clusters == 2 and b.n_dropped == 1
     assert b.n_cross_source_clusters == 0
+
+
+def test_threshold_sensitivity_ladder_monotone(spark, tmp_path):
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
+        dedup_threshold_sensitivity,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, shared, "en", "s", len(shared)),                 # fully contained in 2
+        (2, shared + " tail a b c d e f", "en", "s", 40),
+        (3, "x y z " + " ".join(f"w{i}" for i in range(6)), "en", "s", 30),
+        (4, " ".join(f"q{i}" for i in range(12)), "en", "s", 40),  # no overlap
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.threshold: r for r in dedup_threshold_sensitivity(spark, str(tmp_path)).collect()}
+    pairs = [out[t].n_pairs for t in sorted(out)]
+    docs = [out[t].n_docs_dropped for t in sorted(out)]
+    # the ladder is non-increasing in the threshold
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    # doc 1 is 100% contained in doc 2: still firing at 0.9
+    assert out[0.9].n_docs_dropped >= 1

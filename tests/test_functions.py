@@ -355,3 +355,27 @@ def test_language_purity_detects_mixed_docs(spark, tmp_path):
     assert out["de"].n_mixed == 0 and out["de"].n_with_signal == 1
     assert out["en"].n_docs == 2 and out["en"].n_mixed == 1
     assert out["en"].max_secondary_hits >= 2
+
+
+def test_hill_alpha_exact_pareto_tail(spark, tmp_path):
+    """Lengths x_i = 2^(i/alpha) give ln(x_(i)/x_ref) sums with a known
+    closed form; verify against a plain Python replication."""
+    import math
+
+    import debezium_server_bigquery_spark.functions.text as T
+
+    n = 50
+    alpha = 2.0
+    lengths = sorted(
+        (int(round(100 * (2 ** (i / alpha)))) for i in range(n)), reverse=True
+    )
+    rows = [(i, "t", "en", "s", x) for i, x in enumerate(lengths)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = T.hill_tail_index_doclen(spark, str(tmp_path)).collect()[0]
+    assert out.k == n - 1  # corpus smaller than HILL_K: frame is all docs
+    x_ref = min(lengths)
+    s = sum(round(math.log(x / x_ref), 12) for x in lengths)
+    expect = round((n - 1) / s, 6)
+    assert abs(out.hill_alpha - expect) < 1e-9
