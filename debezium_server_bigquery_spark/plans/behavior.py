@@ -815,3 +815,81 @@ FROM mx GROUP BY max_streak ORDER BY max_streak
 
 QUERIES["user_active_streaks"] = user_active_streaks
 ORACLES["user_active_streaks"] = USER_STREAKS_SQL
+
+
+def user_activity_by_tenure_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity by tenure day: for each day-index d since a user's FIRST
+    event, the fraction of eligible users active on their day d — the
+    cohort-free engagement-decay curve (retention_cohorts slices by
+    calendar cohort; this aligns every user at their own day 0).  A user
+    is eligible for day d only if the corpus horizon extends that far
+    past their start, so late joiners never deflate the tail.
+
+    Scale design (100 TB): first-event per user is one combinable
+    aggregate joined back on user_id (fact→dim shape); day indices are
+    row-local datediffs; eligibility denominators come from the same
+    per-user frame exploded to its eligible range — bounded by the
+    horizon in days — and both numerator and denominator are integer
+    counts grouped by day index."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("hmax"))
+    active = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .join(first, "user_id")
+        .select("user_id", F.datediff(F.col("d"), F.col("d0")).alias("td"))
+        .groupBy("td")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    eligible = (
+        first.crossJoin(F.broadcast(horizon))
+        .select(F.datediff(F.col("hmax"), F.col("d0")).alias("max_td"))
+        .select(F.explode(F.sequence(F.lit(0), F.col("max_td"))).alias("td"))
+        .groupBy("td")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eligible"))
+    )
+    return (
+        eligible.join(active, "td", "left")
+        .select(
+            F.col("td").cast("long").alias("tenure_day"),
+            "n_eligible",
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.round(
+                F.coalesce("n_active", F.lit(0)).cast("double")
+                / F.col("n_eligible").cast("double"),
+                6,
+            ).alias("active_frac"),
+        )
+        .orderBy("tenure_day")
+    )
+
+
+USER_TENURE_SQL = """
+WITH first_e AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(CAST(ts AS DATE)) AS hmax FROM events),
+active AS (
+  SELECT date_diff('day', f.d0, a.d) AS td,
+    CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) a
+  JOIN first_e f ON a.user_id = f.user_id
+  GROUP BY 1
+),
+eligible AS (
+  SELECT td, CAST(COUNT(*) AS BIGINT) AS n_eligible
+  FROM first_e f CROSS JOIN horizon h,
+    UNNEST(range(0, date_diff('day', f.d0, h.hmax) + 1)) AS r(td)
+  GROUP BY td
+)
+SELECT CAST(e.td AS BIGINT) AS tenure_day, e.n_eligible,
+  CAST(COALESCE(a.n_active, 0) AS BIGINT) AS n_active,
+  round(CAST(COALESCE(a.n_active, 0) AS DOUBLE)
+        / CAST(e.n_eligible AS DOUBLE), 6) AS active_frac
+FROM eligible e LEFT JOIN active a ON e.td = a.td
+ORDER BY tenure_day
+"""
+
+QUERIES["user_activity_by_tenure_day"] = user_activity_by_tenure_day
+ORACLES["user_activity_by_tenure_day"] = USER_TENURE_SQL

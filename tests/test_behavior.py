@@ -264,3 +264,35 @@ def test_session_event_affinity_lift_identities(spark, sf_dir):
         assert r.lift > 0
     lifts = [r.lift for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_tenure_curve_alignment_and_eligibility(spark, tmp_path):
+    import datetime
+
+    from debezium_server_bigquery_spark.plans.behavior import (
+        user_activity_by_tenure_day,
+    )
+
+    d = lambda k: datetime.datetime(2024, 1, 1) + datetime.timedelta(days=k)  # noqa: E731
+    rows = [
+        # user 1 starts day 0, active days 0 and 2 (horizon 3 -> eligible 0..3)
+        (0, d(0), 1, "view", 1.0, "{}"),
+        (1, d(2), 1, "view", 1.0, "{}"),
+        # user 2 starts day 2, active days 2 and 3 (eligible 0..1)
+        (2, d(2), 2, "view", 1.0, "{}"),
+        (3, d(3), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.tenure_day: r for r in user_activity_by_tenure_day(spark, str(tmp_path)).collect()}
+    # day 0: both users eligible, both active at their own day 0
+    assert out[0].n_eligible == 2 and out[0].n_active == 2
+    # day 1: both eligible, user 2 active (their day 1 = calendar day 3)
+    assert out[1].n_eligible == 2 and out[1].n_active == 1
+    # day 2: only user 1 eligible (user 2's horizon ends at day 1), active
+    assert out[2].n_eligible == 1 and out[2].n_active == 1
+    # day 3: only user 1 eligible, inactive
+    assert out[3].n_eligible == 1 and out[3].n_active == 0
