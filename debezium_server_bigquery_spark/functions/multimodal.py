@@ -393,3 +393,76 @@ ORACLES = {
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "media_header_probe": MEDIA_PROBE_SQL,
 }
+
+
+VIT_PATCH = 14  # ViT-style patch edge; tokens per image = ceil(w/p)*ceil(h/p)
+
+
+def vision_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-ingest token budgeting: per image kind, the ViT patch-token
+    cost of the corpus (tokens per image = ⌈w/14⌉·⌈h/14⌉ + 1 CLS) — the
+    number a multimodal training pipeline needs before mixing image
+    tokens into a text budget.  The Spark side re-reads dimensions
+    through the REAL byte-parsing probe (Arrow-batched mapInPandas over
+    synthesized headers — the decode plumbing is the point), so this row
+    also re-grades that path; the oracle recomputes the same dimensions
+    arithmetically.
+
+    Scale: probe output is one pass; the budget is a row-local integer
+    expression plus an O(kinds) aggregate — exact integers until the
+    final mean."""
+    probed = media_header_probe(spark, sf_dir)
+    imgs = probed.filter(F.col("width").isNotNull())
+    p = VIT_PATCH
+    tokens = (
+        ((F.col("width") + (p - 1)) / p).cast("long")
+        * ((F.col("height") + (p - 1)) / p).cast("long")
+        + 1
+    ).cast("long")
+    return (
+        imgs.select("kind", tokens.alias("tok"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.max("tok").cast("long").alias("max_tokens"),
+            F.round(
+                F.sum("tok").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_tokens"),
+        )
+        .orderBy("kind")
+    )
+
+
+VISION_BUDGET_SQL = f"""
+WITH dims AS (
+  SELECT
+    CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 2 THEN 'gif'
+                    WHEN 3 THEN 'bmp' WHEN 4 THEN 'jpeg' END AS kind,
+    CASE doc_id % 5 WHEN 0 THEN doc_id % 512 + 1
+                    WHEN 2 THEN doc_id % 256 + 1
+                    WHEN 3 THEN doc_id % 128 + 1
+                    WHEN 4 THEN doc_id % 300 + 1 END AS width,
+    CASE doc_id % 5 WHEN 0 THEN (doc_id * 7) % 512 + 1
+                    WHEN 2 THEN (doc_id * 3) % 256 + 1
+                    WHEN 3 THEN (doc_id * 5) % 128 + 1
+                    WHEN 4 THEN (doc_id * 11) % 300 + 1 END AS height
+  FROM documents
+),
+toks AS (
+  SELECT kind,
+    ((width + {VIT_PATCH - 1}) // {VIT_PATCH})
+      * ((height + {VIT_PATCH - 1}) // {VIT_PATCH}) + 1 AS tok
+  FROM dims WHERE width IS NOT NULL
+)
+SELECT kind,
+  CAST(COUNT(*) AS BIGINT) AS n_images,
+  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+  CAST(MAX(tok) AS BIGINT) AS max_tokens,
+  round(CAST(SUM(tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens
+FROM toks GROUP BY kind ORDER BY kind
+"""
+
+QUERIES["vision_token_budget_plan"] = vision_token_budget_plan
+ORACLES["vision_token_budget_plan"] = VISION_BUDGET_SQL

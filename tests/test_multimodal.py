@@ -116,3 +116,23 @@ def test_jpeg_standalone_markers_have_no_length_field():
     assert rows[2].kind == "jpeg" and (rows[2].width, rows[2].height) == (640, 480)
     assert rows[3].kind == "unknown"
     assert rows[4].kind == "unknown"
+
+
+def test_vision_token_budget_patch_math(spark, tmp_path):
+    """Hand-check the ceil-div patch math through the real probe path:
+    doc_id 5 -> png 6x36 -> ceil(6/14)*ceil(36/14)+1 = 1*3+1 = 4."""
+    from debezium_server_bigquery_spark.functions.multimodal import (
+        vision_token_budget_plan,
+    )
+
+    rows = [(i, "t", "en", "s", 1) for i in range(10)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.kind: r for r in vision_token_budget_plan(spark, str(tmp_path)).collect()}
+    # doc_ids 0,5 are png: dims (1,1) and (6,36) -> tokens 2 and 4
+    assert out["png"].n_images == 2
+    assert out["png"].total_tokens == 2 + 4
+    assert out["png"].max_tokens == 4
+    # wav docs (ids 1,6) carry no width and must not appear
+    assert "wav" not in out and None not in out
