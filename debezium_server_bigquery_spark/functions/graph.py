@@ -627,3 +627,101 @@ KCORE_SQL = _kcore_sql()
 
 QUERIES["graph_kcore_supply"] = graph_kcore_supply
 ORACLES["graph_kcore_supply"] = KCORE_SQL
+
+
+def cosupply_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition on the co-supply graph:
+    Q = Σ_c (e_cc/m − (d_c/2m)²) — does "suppliers trade within their
+    nation" describe this graph's community structure (Q ≫ 0), or is
+    nationality irrelevant to co-supply (Q ≈ 0)?  The number that says
+    whether a geo-partitioned layout would keep graph traversals local.
+
+    Scale/exactness: the df-capped canonical edge list joins the
+    supplier→nation dim twice (broadcast — |supplier| dim rows); e_cc
+    and the degree sums are exact integer aggregates per nation; Q is a
+    fixed-order sum of ≤|nations| rounded-decimal terms plus one-row
+    broadcast totals."""
+    edges = _cosupply_edges(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nk")
+    )
+    na = sup.select(F.col("sk").alias("a"), F.col("nk").alias("na_"))
+    nb = sup.select(F.col("sk").alias("b"), F.col("nk").alias("nb_"))
+    lab = edges.join(F.broadcast(na), "a").join(F.broadcast(nb), "b")
+    m_tot = lab.agg(F.count(F.lit(1)).cast("long").alias("m")).withColumn(
+        "__k", F.lit(1)
+    )
+    intra = lab.filter(F.col("na_") == F.col("nb_")).groupBy(
+        F.col("na_").alias("nation")
+    ).agg(F.count(F.lit(1)).cast("long").alias("e_cc"))
+    deg = (
+        lab.select(F.col("na_").alias("nation"))
+        .unionAll(lab.select(F.col("nb_").alias("nation")))
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    per_nation = (
+        deg.join(intra, "nation", "left")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(m_tot), "__k")
+        .select(
+            "nation",
+            F.round(
+                F.coalesce("e_cc", F.lit(0)).cast("double")
+                / F.col("m").cast("double")
+                - (
+                    F.col("d_c").cast("double")
+                    / (F.lit(2.0) * F.col("m").cast("double"))
+                )
+                * (
+                    F.col("d_c").cast("double")
+                    / (F.lit(2.0) * F.col("m").cast("double"))
+                ),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("q_term"),
+        )
+    )
+    return per_nation.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        (F.round(F.sum("q_term").cast("double"), 6) + F.lit(0.0)).alias(
+            "modularity"
+        ),
+    )
+
+
+NATION_MODULARITY_SQL = f"""
+WITH {_COSUPPLY_EDGES_CTE.format(cap=TRI_MAX_ORDER_SUPPLIERS)},
+lab AS (
+  SELECT e.a, e.b, sa.s_nationkey AS na_, sb.s_nationkey AS nb_
+  FROM edges e
+  JOIN supplier sa ON e.a = sa.s_suppkey
+  JOIN supplier sb ON e.b = sb.s_suppkey
+),
+m_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+intra AS (
+  SELECT na_ AS nation, CAST(COUNT(*) AS BIGINT) AS e_cc
+  FROM lab WHERE na_ = nb_ GROUP BY na_
+),
+deg AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+    SELECT na_ AS nation FROM lab UNION ALL SELECT nb_ AS nation FROM lab
+  ) GROUP BY nation
+),
+per_nation AS (
+  SELECT d.nation,
+    CAST(round(
+      CAST(COALESCE(i.e_cc, 0) AS DOUBLE) / CAST(t.m AS DOUBLE)
+      - (CAST(d.d_c AS DOUBLE) / (2.0 * CAST(t.m AS DOUBLE)))
+        * (CAST(d.d_c AS DOUBLE) / (2.0 * CAST(t.m AS DOUBLE))), 12)
+      AS DECIMAL(38,12)) AS q_term
+  FROM deg d LEFT JOIN intra i ON d.nation = i.nation CROSS JOIN m_tot t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+  round(CAST(SUM(q_term) AS DOUBLE), 6) + 0.0 AS modularity
+FROM per_nation
+"""
+
+QUERIES["cosupply_nation_modularity"] = cosupply_nation_modularity
+ORACLES["cosupply_nation_modularity"] = NATION_MODULARITY_SQL

@@ -557,3 +557,91 @@ ORDER BY p.lang, p.source
 
 QUERIES["mann_whitney_source_shift"] = mann_whitney_source_shift
 ORACLES["mann_whitney_source_shift"] = MANN_WHITNEY_SQL
+
+# --------------------------------------------------------------------------
+# event_mix_jsd_weekly
+# --------------------------------------------------------------------------
+
+
+def event_mix_jsd_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each ISO week's event-type mix from
+    the corpus mix — the BOUNDED drift metric (JSD ∈ [0, ln 2]) that
+    complements the chi-square screens: chi-square grows with volume,
+    JSD reads the same at any scale, so weeks of different sizes share
+    one alert threshold.
+
+    Scale/exactness: one (week, type) count aggregate + one O(types)
+    corpus aggregate broadcast back; each of the ≤|types| JSD terms per
+    week rounds to 12 dp into DECIMAL so the term-sum is
+    order-independent; p·ln(p/m) terms with p = 0 contribute exactly 0
+    by definition (handled explicitly, never ln(0))."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.weekofyear(F.col("ts")).cast("int")
+    cells = ev.groupBy(wk.alias("week"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    week_tot = cells.groupBy("week").agg(F.sum("c").cast("long").alias("wn"))
+    corpus = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("gc")
+    )
+    gtot = corpus.agg(F.sum("gc").cast("long").alias("gn"))
+    j = (
+        cells.join(week_tot, "week")
+        .join(F.broadcast(corpus), "event_type")
+        .crossJoin(F.broadcast(gtot))
+    )
+    p = F.col("c").cast("double") / F.col("wn").cast("double")
+    q = F.col("gc").cast("double") / F.col("gn").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    return (
+        j.select(
+            "week", F.round(term, 12).cast("decimal(38,12)").alias("t")
+        )
+        .groupBy("week")
+        .agg(F.sum("t").alias("s"))
+        .select(
+            "week",
+            (F.round(F.col("s").cast("double"), 6) + F.lit(0.0)).alias("jsd"),
+        )
+        .orderBy("week")
+    )
+
+
+EVENT_JSD_SQL = """
+WITH cells AS (
+  SELECT CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INTEGER) AS week,
+         event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+week_tot AS (SELECT week, CAST(SUM(c) AS BIGINT) AS wn FROM cells GROUP BY week),
+corpus AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS gc FROM cells GROUP BY event_type
+),
+gtot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gn FROM corpus),
+j AS (
+  SELECT c.week,
+    CAST(c.c AS DOUBLE) / CAST(w.wn AS DOUBLE) AS p,
+    CAST(g.gc AS DOUBLE) / CAST(t.gn AS DOUBLE) AS q
+  FROM cells c
+  JOIN week_tot w ON c.week = w.week
+  JOIN corpus g ON c.event_type = g.event_type
+  CROSS JOIN gtot t
+),
+terms AS (
+  SELECT week,
+    CAST(round(
+      ((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
+       + (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END))
+      / 2.0, 12) AS DECIMAL(38,12)) AS t
+  FROM j
+)
+SELECT week, round(CAST(SUM(t) AS DOUBLE), 6) + 0.0 AS jsd
+FROM terms GROUP BY week ORDER BY week
+"""
+
+QUERIES["event_mix_jsd_weekly"] = event_mix_jsd_weekly
+ORACLES["event_mix_jsd_weekly"] = EVENT_JSD_SQL

@@ -88,3 +88,28 @@ def test_kcore_peels_tail_keeps_clique(spark, tmp_path):
     assert out[0] == 5
     assert out[1] == 4  # 99 gone
     assert all(out[i] == 4 for i in range(2, KCORE_ROUNDS + 1))
+
+
+def test_nation_modularity_perfect_communities(spark, tmp_path):
+    """Two disjoint 3-cliques, each wholly in one nation: e_cc/m sums to
+    1, each community holds half the degree -> Q = 1 - 2*(1/2)^2 = 0.5."""
+    from debezium_server_bigquery_spark.functions.graph import (
+        cosupply_nation_modularity,
+    )
+
+    rows = []
+    # order 1: suppliers 1,2,3 (nation 7); order 2: suppliers 4,5,6 (nation 8)
+    for s in (1, 2, 3):
+        rows.append((1, s))
+    for s in (4, 5, 6):
+        rows.append((2, s))
+    spark.createDataFrame(rows, "l_orderkey long, l_suppkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(s, 7 if s <= 3 else 8) for s in range(1, 7)],
+        "s_suppkey long, s_nationkey long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    out = cosupply_nation_modularity(spark, str(tmp_path)).collect()[0]
+    assert out.n_communities == 2
+    assert abs(out.modularity - 0.5) < 1e-9

@@ -246,3 +246,30 @@ def test_poisson_bootstrap_ci_degenerate_on_constant_metric(spark, tmp_path):
     assert out.n_users == 40
     assert out.mean_spend == 5.0
     assert out.ci_lo == 5.0 and out.ci_hi == 5.0
+
+
+def test_jsd_zero_for_identical_mix_and_bounded(spark, tmp_path):
+    import math
+
+    from debezium_server_bigquery_spark.functions.stattests import (
+        event_mix_jsd_weekly,
+    )
+
+    rows, eid = [], 0
+    # week 1 (Jan 1-7 2024) and week 2: identical type mixes -> JSD 0
+    for d in (1, 8):
+        t0 = datetime.datetime(2024, 1, d)
+        for _ in range(6):
+            rows.append((eid, t0, 1, "view", 1.0, "{}")); eid += 1
+        for _ in range(2):
+            rows.append((eid, t0, 1, "click", 1.0, "{}")); eid += 1
+    # week 3: all purchases (disjoint type) -> JSD positive, <= ln 2
+    t3 = datetime.datetime(2024, 1, 15)
+    for _ in range(8):
+        rows.append((eid, t3, 1, "purchase", 1.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.week: r.jsd for r in event_mix_jsd_weekly(spark, sf).collect()}
+    assert len(out) == 3
+    assert out[1] == out[2]  # same mix -> same divergence from corpus
+    assert out[3] > out[1]
+    assert all(0.0 <= v <= math.log(2) + 1e-9 for v in out.values())
