@@ -250,7 +250,8 @@ _TIER1 = [
     # lineitem_correlation_matrix, embedding_intrinsic_dim,
     # dedup_threshold_sensitivity, hill_tail_index_doclen,
     # user_activity_by_tenure_day, vision_token_budget_plan,
-    # event_mix_jsd_weekly, cosupply_nation_modularity), THEN the
+    # event_mix_jsd_weekly, cosupply_nation_modularity,
+    # lang_source_mutual_information), THEN the
     # r8-first-green members above rotate out after their second green and
     # the remaining slots continue the longest-ungraded tail (next up:
     # pagerank_trade_graph, scd2_state_as_of, snapshot_diff_epochs,

@@ -645,3 +645,128 @@ FROM terms GROUP BY week ORDER BY week
 
 QUERIES["event_mix_jsd_weekly"] = event_mix_jsd_weekly
 ORACLES["event_mix_jsd_weekly"] = EVENT_JSD_SQL
+
+# --------------------------------------------------------------------------
+# lang_source_mutual_information
+# --------------------------------------------------------------------------
+
+
+def lang_source_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between language and source (in nats), with
+    the normalized variant (MI / min(H(lang), H(source))) — the
+    one-number answer to "are these two slicing dimensions confounded?"
+    that decides whether per-source and per-language quality numbers can
+    be read independently.  MI = 0 means the grid is a product measure;
+    normalized 1 means one determines the other.
+
+    Scale/exactness: ONE (lang, source) contingency aggregate plus two
+    broadcast marginals; each of the |langs × sources| MI terms and each
+    entropy term rounds to 12 dp into DECIMAL, so the sums are
+    order-independent; empty cells contribute exactly 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ml = cells.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
+    ms = cells.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n")).withColumn(
+        "__k", F.lit(1)
+    )
+    j = (
+        cells.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+    )
+    n = F.col("n").cast("double")
+    pxy = F.col("c").cast("double") / n
+    px = F.col("cl").cast("double") / n
+    py = F.col("cs").cast("double") / n
+    mi_term = F.round(pxy * F.log(pxy / (px * py)), 12).cast("decimal(38,12)")
+    mi = j.agg(F.sum(mi_term).alias("s_mi"))
+    hl = ml.crossJoin(F.broadcast(tot.drop("__k"))).select(
+        F.round(
+            -(F.col("cl").cast("double") / F.col("n").cast("double"))
+            * F.log(F.col("cl").cast("double") / F.col("n").cast("double")),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("t")
+    ).agg(F.sum("t").alias("h_lang"))
+    hs = ms.crossJoin(F.broadcast(tot.drop("__k"))).select(
+        F.round(
+            -(F.col("cs").cast("double") / F.col("n").cast("double"))
+            * F.log(F.col("cs").cast("double") / F.col("n").cast("double")),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("t")
+    ).agg(F.sum("t").alias("h_source"))
+    out = mi.crossJoin(F.broadcast(hl)).crossJoin(F.broadcast(hs))
+    h_min = F.least(
+        F.col("h_lang").cast("double"), F.col("h_source").cast("double")
+    )
+    return out.select(
+        (F.round(F.col("s_mi").cast("double"), 6) + F.lit(0.0)).alias(
+            "mi_nats"
+        ),
+        (F.round(F.col("h_lang").cast("double"), 6) + F.lit(0.0)).alias(
+            "h_lang"
+        ),
+        (F.round(F.col("h_source").cast("double"), 6) + F.lit(0.0)).alias(
+            "h_source"
+        ),
+        F.when(
+            h_min > 0,
+            F.round(F.col("s_mi").cast("double") / h_min, 6) + F.lit(0.0),
+        ).alias("normalized_mi"),
+    )
+
+
+LANG_SOURCE_MI_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, source
+),
+ml AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM cells GROUP BY lang),
+ms AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM cells GROUP BY source),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT CAST(SUM(CAST(round(
+    (CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+    * ln((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+         / ((CAST(l.cl AS DOUBLE) / CAST(t.n AS DOUBLE))
+            * (CAST(s.cs AS DOUBLE) / CAST(t.n AS DOUBLE)))), 12)
+    AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s_mi
+  FROM cells c
+  JOIN ml l ON c.lang = l.lang
+  JOIN ms s ON c.source = s.source
+  CROSS JOIN tot t
+),
+hl AS (
+  SELECT CAST(SUM(CAST(round(
+    -(CAST(cl AS DOUBLE) / CAST(t.n AS DOUBLE))
+    * ln(CAST(cl AS DOUBLE) / CAST(t.n AS DOUBLE)), 12)
+    AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS h_lang
+  FROM ml CROSS JOIN tot t
+),
+hs AS (
+  SELECT CAST(SUM(CAST(round(
+    -(CAST(cs AS DOUBLE) / CAST(t.n AS DOUBLE))
+    * ln(CAST(cs AS DOUBLE) / CAST(t.n AS DOUBLE)), 12)
+    AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS h_source
+  FROM ms CROSS JOIN tot t
+)
+SELECT
+  round(CAST(s_mi AS DOUBLE), 6) + 0.0 AS mi_nats,
+  round(CAST(h_lang AS DOUBLE), 6) + 0.0 AS h_lang,
+  round(CAST(h_source AS DOUBLE), 6) + 0.0 AS h_source,
+  CASE WHEN least(CAST(h_lang AS DOUBLE), CAST(h_source AS DOUBLE)) > 0 THEN
+    round(CAST(s_mi AS DOUBLE)
+          / least(CAST(h_lang AS DOUBLE), CAST(h_source AS DOUBLE)), 6) + 0.0
+  END AS normalized_mi
+FROM mi CROSS JOIN hl CROSS JOIN hs
+"""
+
+QUERIES["lang_source_mutual_information"] = lang_source_mutual_information
+ORACLES["lang_source_mutual_information"] = LANG_SOURCE_MI_SQL

@@ -179,3 +179,36 @@ def test_encoding_report_counts_each_anomaly_once(spark, tmp_path):
     # the replacement char and the accented char are both non-ASCII
     assert r.n_non_ascii == 2
     assert abs(r.frac_long_token - 0.2) < 1e-9
+
+
+def test_mutual_information_independent_and_determined(spark, tmp_path):
+    import math
+
+    from debezium_server_bigquery_spark.functions.stattests import (
+        lang_source_mutual_information,
+    )
+
+    # independent grid: every (lang, source) cell equal -> MI = 0
+    rows = []
+    i = 0
+    for lang in ("aa", "bb"):
+        for src in ("s1", "s2"):
+            for _ in range(5):
+                rows.append((i, "t", lang, src, 1))
+                i += 1
+    sf = _write_docs(spark, tmp_path, rows)
+    out = lang_source_mutual_information(spark, sf).collect()[0]
+    assert out.mi_nats == 0.0 and out.normalized_mi == 0.0
+    assert abs(out.h_lang - round(math.log(2), 6)) < 1e-9
+
+    # determined: lang fixes source -> MI = H = ln 2, normalized 1
+    rows = []
+    i = 0
+    for lang, src in (("aa", "s1"), ("bb", "s2")):
+        for _ in range(5):
+            rows.append((i, "t", lang, src, 1))
+            i += 1
+    sf = _write_docs(spark, tmp_path, rows)
+    out = lang_source_mutual_information(spark, sf).collect()[0]
+    assert abs(out.mi_nats - round(math.log(2), 6)) < 1e-6
+    assert out.normalized_mi == 1.0
