@@ -251,7 +251,8 @@ _TIER1 = [
     # dedup_threshold_sensitivity, hill_tail_index_doclen,
     # user_activity_by_tenure_day, vision_token_budget_plan,
     # event_mix_jsd_weekly, cosupply_nation_modularity,
-    # lang_source_mutual_information) — more never-graded names than a
+    # lang_source_mutual_information, spearman_quality_length,
+    # quality_items_cronbach_alpha) — more never-graded names than a
     # 50-slot prefix holds, so they drain over rounds 10-11 in the listed
     # order (gate e2e members first) — THEN the
     # r8-first-green members above rotate out after their second green and

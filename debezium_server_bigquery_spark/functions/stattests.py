@@ -770,3 +770,265 @@ FROM mi CROSS JOIN hl CROSS JOIN hs
 
 QUERIES["lang_source_mutual_information"] = lang_source_mutual_information
 ORACLES["lang_source_mutual_information"] = LANG_SOURCE_MI_SQL
+
+# --------------------------------------------------------------------------
+# spearman_quality_length
+# --------------------------------------------------------------------------
+
+
+def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the heuristic quality score and
+    document length, per language — the monotone-association number
+    behind the RBO top-K view: ρ ≈ 1 says the quality gate is a length
+    gate over the WHOLE distribution, not just the head.
+
+    Scale/exactness: midranks come from LANGUAGE-partitioned windows
+    over grouped DISTINCT values (the KS/Mann-Whitney shape), doubled to
+    stay integral; each doc picks up its two midranks through two
+    (lang, value) equi-joins against those grouped tables; ρ is Pearson
+    on the integer doubled-midranks via DECIMAL(38,0) moments with one
+    final double division."""
+    from debezium_server_bigquery_spark.functions.text import (
+        text_quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    base = docs.join(q, "doc_id")
+
+    def midranks(df: DataFrame, col: str, out: str) -> DataFrame:
+        g = df.groupBy("lang", col).agg(
+            F.count(F.lit(1)).cast("long").alias("t")
+        )
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return g.select(
+            "lang",
+            col,
+            (F.lit(2) * F.sum("t").over(w) - F.col("t") + F.lit(1)).alias(out),
+        )
+    rq = midranks(base, "quality_score", "mr_q")
+    rx = midranks(base, "n_chars", "mr_x")
+    j = base.join(rq, ["lang", "quality_score"]).join(rx, ["lang", "n_chars"])
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("mr_q")).alias("sq"),
+        F.sum(dec("mr_x")).alias("sx"),
+        F.sum(dec("mr_q") * dec("mr_x")).alias("sqx"),
+        F.sum(dec("mr_q") * dec("mr_q")).alias("sqq"),
+        F.sum(dec("mr_x") * dec("mr_x")).alias("sxx"),
+    )
+    cov = dec("n") * F.col("sqx") - F.col("sq") * F.col("sx")
+    vq = dec("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    vx = dec("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.when(
+            (vq > 0) & (vx > 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vq.cast("double") * vx.cast("double")),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("spearman_rho"),
+    ).orderBy("lang")
+
+
+def _spearman_sql() -> str:
+    from debezium_server_bigquery_spark.functions.curation import _QUALITY_CTE
+
+    return f"""
+WITH quality AS ({_QUALITY_CTE}),
+base AS (
+  SELECT d.doc_id, d.lang, d.n_chars, q.quality_score
+  FROM documents d JOIN quality q USING (doc_id)
+),
+gq AS (
+  SELECT lang, quality_score, CAST(COUNT(*) AS BIGINT) AS t
+  FROM base GROUP BY lang, quality_score
+),
+rq AS (
+  SELECT lang, quality_score,
+    2 * SUM(t) OVER (PARTITION BY lang ORDER BY quality_score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - t + 1 AS mr_q
+  FROM gq
+),
+gx AS (
+  SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS t
+  FROM base GROUP BY lang, n_chars
+),
+rx AS (
+  SELECT lang, n_chars,
+    2 * SUM(t) OVER (PARTITION BY lang ORDER BY n_chars
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - t + 1 AS mr_x
+  FROM gx
+),
+j AS (
+  SELECT b.lang, rq.mr_q, rx.mr_x
+  FROM base b
+  JOIN rq ON b.lang = rq.lang AND b.quality_score = rq.quality_score
+  JOIN rx ON b.lang = rx.lang AND b.n_chars = rx.n_chars
+),
+m AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(mr_q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+    CAST(SUM(CAST(mr_x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+    CAST(SUM(CAST(mr_q AS DECIMAL(38,0)) * CAST(mr_x AS DECIMAL(38,0)))
+      AS DECIMAL(38,0)) AS sqx,
+    CAST(SUM(CAST(mr_q AS DECIMAL(38,0)) * CAST(mr_q AS DECIMAL(38,0)))
+      AS DECIMAL(38,0)) AS sqq,
+    CAST(SUM(CAST(mr_x AS DECIMAL(38,0)) * CAST(mr_x AS DECIMAL(38,0)))
+      AS DECIMAL(38,0)) AS sxx
+  FROM j GROUP BY lang
+)
+SELECT lang, n AS n_docs,
+  CASE WHEN (CAST(n AS DECIMAL(38,0)) * sqq - sq * sq) > 0
+        AND (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) > 0 THEN
+    round(CAST(CAST(n AS DECIMAL(38,0)) * sqx - sq * sx AS DOUBLE)
+          / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sqq - sq * sq AS DOUBLE)
+                 * CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)),
+          6) + 0.0
+  END AS spearman_rho
+FROM m ORDER BY lang
+"""
+
+
+SPEARMAN_SQL = _spearman_sql()
+
+QUERIES["spearman_quality_length"] = spearman_quality_length
+ORACLES["spearman_quality_length"] = SPEARMAN_SQL
+
+# --------------------------------------------------------------------------
+# quality_items_cronbach_alpha
+# --------------------------------------------------------------------------
+
+
+def quality_items_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the three binary sub-gates of the heuristic
+    quality score (length band, stopword rate, punctuation cleanliness)
+    — the internal-consistency number for a composite score: high alpha
+    means the items measure one construct (and two of them are
+    redundant), near-zero means the composite averages unrelated
+    signals.  k = 3 items: α = (k/(k−1))·(1 − Σvar_i / var_total).
+
+    Scale/exactness: the three items are row-local 0/1 expressions
+    replicating TEXT_QUALITY_SQL's criteria; ONE aggregate collects all
+    item sums, pairwise sums, and the total's moments as exact
+    integers; α is a fixed-order expression over them (population
+    variances — n divides out)."""
+    from debezium_server_bigquery_spark.functions.dedup_fuzzy import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    wl = words(F.lower(F.col("text")))
+    stop = F.array(
+        *[F.lit(t) for t in
+          ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")]
+    )
+    i1 = ((F.size(w) >= 10) & (F.size(w) <= 1000)).cast("long")
+    # stopword-rate gate: fraction of lowercased tokens in the stop list
+    n_stop = F.size(F.filter(wl, lambda t: F.array_contains(stop, t)))
+    i2 = (
+        n_stop.cast("double") / F.greatest(F.size(wl), F.lit(1)).cast("double")
+        > 0.01
+    ).cast("long")
+    nonalnum = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    i3 = (
+        nonalnum.cast("double")
+        / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        < 0.1
+    ).cast("long")
+    tot = i1 + i2 + i3
+    m = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(i1).cast("long").alias("s1"),
+        F.sum(i2).cast("long").alias("s2"),
+        F.sum(i3).cast("long").alias("s3"),
+        F.sum(tot).cast("long").alias("st"),
+        F.sum(tot * tot).cast("long").alias("stt"),
+    )
+    n = F.col("n").cast("double")
+    # binary item: var_i = p(1-p); total: var from exact moments
+    var_i = lambda s: (F.col(s).cast("double") / n) * (  # noqa: E731
+        F.lit(1.0) - F.col(s).cast("double") / n
+    )
+    var_t = F.col("stt").cast("double") / n - (
+        F.col("st").cast("double") / n
+    ) * (F.col("st").cast("double") / n)
+    alpha = (F.lit(3.0) / F.lit(2.0)) * (
+        F.lit(1.0) - (var_i("s1") + var_i("s2") + var_i("s3")) / var_t
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        (F.round(F.col("s1").cast("double") / n, 6) + F.lit(0.0)).alias("p_len"),
+        (F.round(F.col("s2").cast("double") / n, 6) + F.lit(0.0)).alias(
+            "p_stopword"
+        ),
+        (F.round(F.col("s3").cast("double") / n, 6) + F.lit(0.0)).alias(
+            "p_punct"
+        ),
+        F.when(var_t > 0, F.round(alpha, 6) + F.lit(0.0)).alias(
+            "cronbach_alpha"
+        ),
+    )
+
+
+CRONBACH_SQL = r"""
+WITH items AS (
+  SELECT
+    CAST(CASE WHEN len(w) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS BIGINT) AS i1,
+    CAST(CASE WHEN len(list_filter(wl, t -> list_contains(
+          ['the','a','and','of','to','in','is','on','for','with'], t)))
+        / CAST(greatest(len(wl), 1) AS DOUBLE) > 0.01 THEN 1 ELSE 0 END
+      AS BIGINT) AS i2,
+    CAST(CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 1 ELSE 0 END
+      AS BIGINT) AS i3
+  FROM (
+    SELECT text,
+      list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w,
+      list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS wl
+    FROM documents)
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(i1) AS BIGINT) AS s1,
+    CAST(SUM(i2) AS BIGINT) AS s2,
+    CAST(SUM(i3) AS BIGINT) AS s3,
+    CAST(SUM(i1 + i2 + i3) AS BIGINT) AS st,
+    CAST(SUM((i1 + i2 + i3) * (i1 + i2 + i3)) AS BIGINT) AS stt
+  FROM items
+)
+SELECT n AS n_docs,
+  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS p_len,
+  round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS p_stopword,
+  round(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS p_punct,
+  CASE WHEN (CAST(stt AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) > 0 THEN
+    round((3.0 / 2.0) * (1.0 -
+      ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         * (1.0 - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       + (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+         * (1.0 - CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+       + (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+         * (1.0 - CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)))
+      / (CAST(stt AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))), 6) + 0.0
+  END AS cronbach_alpha
+FROM m
+"""
+
+QUERIES["quality_items_cronbach_alpha"] = quality_items_cronbach_alpha
+ORACLES["quality_items_cronbach_alpha"] = CRONBACH_SQL

@@ -212,3 +212,51 @@ def test_mutual_information_independent_and_determined(spark, tmp_path):
     out = lang_source_mutual_information(spark, sf).collect()[0]
     assert abs(out.mi_nats - round(math.log(2), 6)) < 1e-6
     assert out.normalized_mi == 1.0
+
+
+def test_spearman_monotone_and_inverse(spark, tmp_path):
+    """Quality ties make rank-by-id; craft lengths so rho hits +-1:
+    identical quality everywhere means mr_q is one shared midrank (zero
+    variance -> NULL), so vary the punctuation gate to give two quality
+    levels aligned (then reversed) with length."""
+    from debezium_server_bigquery_spark.functions.stattests import (
+        spearman_quality_length,
+    )
+
+    clean = "the cat sat on the mat with a dog and more words here now"
+    dirty = "!!! ??? *** %%% $$$ ###"  # fails length + punct gates
+    rows = []
+    # lang aa: high-quality docs are the LONG ones -> rho = +1
+    rows.append((0, clean * 3, "aa", "s", len(clean * 3)))
+    rows.append((1, clean * 2, "aa", "s", len(clean * 2)))
+    rows.append((2, dirty, "aa", "s", len(dirty)))
+    # lang bb: high-quality docs are the SHORT ones -> rho = -1
+    rows.append((10, clean, "bb", "s", len(clean)))
+    rows.append((11, dirty * 20, "bb", "s", len(dirty * 20)))
+    rows.append((12, dirty * 30, "bb", "s", len(dirty * 30)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in spearman_quality_length(spark, str(tmp_path)).collect()}
+    assert out["aa"].spearman_rho is not None and out["aa"].spearman_rho > 0.5
+    assert out["bb"].spearman_rho is not None and out["bb"].spearman_rho < -0.5
+
+
+def test_cronbach_alpha_identical_items_is_one(spark, tmp_path):
+    """A corpus where all three gates agree on every doc (all pass or
+    all fail) has perfectly consistent items -> alpha = 1."""
+    from debezium_server_bigquery_spark.functions.stattests import (
+        quality_items_cronbach_alpha,
+    )
+
+    good = "the cat sat on the mat with a dog and some more plain words"
+    bad = "@@@@ ^^^^ &&&&"  # 3 tokens: fails length, stopword, punct gates
+    rows = [(i, good, "en", "s", len(good)) for i in range(5)]
+    rows += [(10 + i, bad, "en", "s", len(bad)) for i in range(5)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = quality_items_cronbach_alpha(spark, str(tmp_path)).collect()[0]
+    # good docs pass all gates (i=1,1,1), bad docs fail all (0,0,0)
+    assert out.p_len == 0.5 and out.p_stopword == 0.5 and out.p_punct == 0.5
+    assert out.cronbach_alpha == 1.0
