@@ -10,10 +10,12 @@ chosen pair left-to-right, the exact greedy semantics of reference BPE).
 
 Scale design: training runs on the WORD-FREQUENCY table, not the corpus —
 one corpus scan builds (word, freq), after which every round touches only
-|vocabulary| rows.  Each round ``localCheckpoint``s the symbol table (the
-kmeans/pagerank loop trade: O(1) plan depth at any merge count) and
-collects exactly ONE row — the argmax pair — O(1) driver data per round,
-same class as the k-means convergence scalar.
+|vocabulary| rows.  Each round materializes the symbol table to the
+reliable scratch-parquet checkpoint (O(1) plan depth at any merge count;
+the table is vocabulary-sized, so the materialization must survive
+executor loss — sources/tables.py) and collects exactly ONE row — the
+argmax pair — O(1) driver data per round, same class as the k-means
+convergence scalar.
 
 Correctness: merge selection is iterative and data-dependent (each
 round's counts depend on the previous round's chosen pair), so no SINGLE
@@ -103,9 +105,15 @@ def train_bpe_merges(
     weighted count of the pair when it was chosen.  Ties break on
     (left, right) ascending so the result is fully deterministic.
     """
-    syms = words.withColumn(
-        "syms", F.expr("filter(split(word, ''), x -> x <> '')")
-    ).localCheckpoint()
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
+    # Reliable scratch-parquet checkpoint per round, not localCheckpoint:
+    # the symbol table is vocabulary-sized (every distinct word), so its
+    # materialization must survive executor loss (sources/tables.py).
+    syms = checkpoint_parquet(
+        words.withColumn("syms", F.expr("filter(split(word, ''), x -> x <> '')")),
+        "dsbq_bpe_",
+    )
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, k + 1):
         pairs = _pair_counts(syms)
@@ -116,7 +124,9 @@ def train_bpe_merges(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
         merges.append((rank, a, b, a + b, cnt))
-        syms = syms.withColumn("syms", F.expr(_merge_expr(a, b))).localCheckpoint()
+        syms = checkpoint_parquet(
+            syms.withColumn("syms", F.expr(_merge_expr(a, b))), "dsbq_bpe_"
+        )
     return merges
 
 

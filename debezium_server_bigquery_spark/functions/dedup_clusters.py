@@ -9,10 +9,14 @@ the alternating-star contraction variant, which converges in O(log d)
 rounds instead of O(d)).
 
 Scale shape per round: one shuffle-join edges->labels + one map-side-
-combinable min aggregate; ``localCheckpoint`` cuts lineage so round k's
-plan does not replay rounds 1..k-1 (the standard Spark iterative
-pattern).  Convergence in graph-diameter rounds; duplicate clusters are
-near-cliques, so diameter is tiny in practice.
+combinable min aggregate; each round's label table is materialized to
+the reliable scratch-parquet checkpoint (``checkpoint_parquet``) so
+round k's plan does not replay rounds 1..k-1 AND an executor loss costs
+a re-read rather than the whole propagation (label/edge tables are
+data-sized — the non-reliable ``localCheckpoint`` block store is the
+wrong tool; sources/tables.py states the full argument).  Convergence
+in graph-diameter rounds; duplicate clusters are near-cliques, so
+diameter is tiny in practice.
 
 The DuckDB oracle is a recursive CTE computing min reachable label —
 exact agreement including singleton clusters.
@@ -28,7 +32,10 @@ from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
     DEDUP_MINHASH_SQL,
     dedup_minhash_lsh,
 )
-from debezium_server_bigquery_spark.sources.tables import load_table
+from debezium_server_bigquery_spark.sources.tables import (
+    checkpoint_parquet,
+    load_table,
+)
 
 MAX_ROUNDS = 50  # safety cap; fixpoint is reached at graph diameter
 
@@ -42,9 +49,9 @@ def connected_components(
     sym = edges.select("doc_a", "doc_b").union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = checkpoint_parquet(sym, "dsbq_cc_")
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = checkpoint_parquet(labels, "dsbq_cc_")
     for _ in range(max_rounds):
         neigh = (
             sym.join(
@@ -63,7 +70,7 @@ def connected_components(
                 F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
             ).alias("cluster_id"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = checkpoint_parquet(new_labels, "dsbq_cc_")
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

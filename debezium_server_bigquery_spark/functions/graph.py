@@ -18,8 +18,10 @@ shuffle, map-side combinable).  At 100 TB both sides would be pre-hash-
 partitioned on the node key so the per-iteration cost is one co-located
 join + one agg; the composed fixed-ITERS plan used for the graded query
 stays shallow, and :func:`pagerank_loop` is the production form that
-``localCheckpoint``s the rank table each round (same trade as
-kmeans.lloyd_kmeans_checkpointed) and stops on convergence.
+materializes the rank table each round to the reliable scratch-parquet
+checkpoint (``sources/tables.checkpoint_parquet`` — node-sized tables
+must survive executor loss, which a non-reliable ``localCheckpoint``
+block does not) and stops on convergence.
 
 Cross-engine determinism (hash-gate holds without tolerance): the only
 order-sensitive float op is the per-destination SUM of contributions, so
@@ -85,22 +87,31 @@ def pagerank_loop(
     tol: float = 1e-7,
 ) -> DataFrame:
     """Production loop: identical math to :func:`pagerank`, but each round's
-    rank table is ``localCheckpoint``-ed (cuts plan depth to O(1) per round
-    instead of O(iters), the same trade kmeans' checkpointed form makes)
-    and the loop stops when the max absolute rank change falls under
-    ``tol``.  The L∞ delta is one tiny agg per round over the node table.
+    rank table is materialized to the reliable scratch-parquet checkpoint
+    (cuts plan depth to O(1) per round instead of O(iters); adjacency and
+    rank tables are node/edge-sized, so the materialization must survive
+    executor loss — ``localCheckpoint`` blocks do not) and the loop stops
+    when the max absolute rank change falls under ``tol``.  The L∞ delta
+    is one tiny agg per round over the node table.
     """
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    adj = edges.join(outdeg, "src").localCheckpoint()
+    adj = checkpoint_parquet(edges.join(outdeg, "src"), "dsbq_pagerank_adj_")
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    stats = nodes.agg(F.count("*").alias("n_nodes")).localCheckpoint()
-    ranks = (
-        nodes.crossJoin(broadcast(stats))
-        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
-        .localCheckpoint()
+    stats = checkpoint_parquet(
+        nodes.agg(F.count("*").alias("n_nodes")), "dsbq_pagerank_stats_"
+    )
+    ranks = checkpoint_parquet(
+        nodes.crossJoin(broadcast(stats)).select(
+            "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+        ),
+        "dsbq_pagerank_ranks_",
     )
     for _ in range(max_iters):
-        nxt = _step(adj, ranks, stats, d).localCheckpoint()
+        nxt = checkpoint_parquet(
+            _step(adj, ranks, stats, d), "dsbq_pagerank_ranks_"
+        )
         delta = (
             nxt.alias("a")
             .join(ranks.alias("b"), "node")
@@ -139,7 +150,12 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-deriving orders ⋈ lineitem ⋈ distinct ~8x dominates runtime.  At
     # cluster scale this is the standard "build the adjacency, then
     # iterate" split — the iteration cost is what PageRank should pay.
-    edges = trade_edges(spark, sf_dir).localCheckpoint()
+    # Reliable scratch-parquet checkpoint, not localCheckpoint: the edge
+    # list is data-sized, and a lost executor must mean a re-read, not a
+    # failed query (sources/tables.py).
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
+    edges = checkpoint_parquet(trade_edges(spark, sf_dir), "dsbq_pagerank_edges_")
     ranks = pagerank(edges, ITERS, DAMPING)
     return (
         ranks.select(
@@ -551,10 +567,15 @@ def graph_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle census (pairing confined within an order); each round is
     two semi-joins of the edge list against the active vertex set plus
     one degree aggregate — the Pregel-style shape, no window, no
-    all-pairs anything.  The edge list is localCheckpoint'ed once so
-    the 6-round lineage replays the build exactly once per action.
+    all-pairs anything.  Each round's induced edge list and active set
+    are edge/node-SIZED, so the per-round materialization goes to the
+    reliable scratch-parquet checkpoint (``checkpoint_parquet``), never
+    ``localCheckpoint`` — a lost executor must cost a re-read, not the
+    whole 6-round build (sources/tables.py states the scale argument).
     Counts are exact integers."""
-    edges = _cosupply_edges(spark, sf_dir).localCheckpoint()
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
+    edges = checkpoint_parquet(_cosupply_edges(spark, sf_dir), "dsbq_kcore_")
     both = edges.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
@@ -564,19 +585,19 @@ def graph_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("round"), "n_active"
         )
     ]
-    cur = both.localCheckpoint()
+    cur = checkpoint_parquet(both, "dsbq_kcore_")
     for i in range(1, KCORE_ROUNDS + 1):
         deg = cur.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        active = (
-            deg.filter(F.col("deg") >= KCORE_K).select("v").localCheckpoint()
+        active = checkpoint_parquet(
+            deg.filter(F.col("deg") >= KCORE_K).select("v"), "dsbq_kcore_"
         )
         av = active.select(F.col("v").alias("av"))
         aw = active.select(F.col("v").alias("aw"))
-        cur = (
+        cur = checkpoint_parquet(
             cur.join(av, cur["v"] == av["av"])
             .join(aw, F.col("w") == aw["aw"])
-            .select("v", "w")
-            .localCheckpoint()
+            .select("v", "w"),
+            "dsbq_kcore_",
         )
         rows.append(
             active.agg(

@@ -149,9 +149,15 @@ def lloyd_kmeans_checkpointed(
     re-scanned once per iteration (persist it upstream for many rounds).
     """
     vecs = _vecs(emb)
+    # bounded-local-checkpoint: the seed table is exactly k rows (limit k),
+    # O(k x dim) — losing its executor blocks costs a cheap query retry,
+    # never a data-sized recompute, so the non-reliable store is acceptable
+    # here (tests/test_plan_audit.py::test_local_checkpoint_sites_bounded).
     cents = _seed(vecs, k).localCheckpoint()
     assigned = _assign(vecs, cents)
     for _ in range(max_iters):
+        # bounded-local-checkpoint: each round's centroid table is <= k rows
+        # (groupBy over at most k cluster ids) — same O(k x dim) bound.
         new_cents = _update(assigned).localCheckpoint()
         assigned = _assign(vecs, new_cents)
         # max squared shift over clusters; a cluster appearing/vanishing

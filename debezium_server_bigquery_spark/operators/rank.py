@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
 
 def _ranged_with_offsets(
     df: DataFrame, order_cols: list[Column], per_partition_agg: Column
@@ -31,14 +33,19 @@ def _ranged_with_offsets(
     O(num_partitions) driver metadata both rank and prefix-sum need."""
     spark = df.sparkSession
     n_parts = max(2, spark.sparkContext.defaultParallelism)
-    # localCheckpoint: the range partitioner SAMPLES to pick boundaries, so
-    # recomputing the lineage for the offsets action and the final plan
+    # checkpoint_parquet: the range partitioner SAMPLES to pick boundaries,
+    # so recomputing the lineage for the offsets action and the final plan
     # could place splits differently and mismatch the offsets — materialize
-    # the ranged layout once and let both consumers read it.
-    ranged = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+    # the ranged layout once (with __pid frozen as a column) and let both
+    # consumers read it.  Scratch parquet, not localCheckpoint: the ranged
+    # substrate is DATA-SIZED, and a non-reliable executor-memory block
+    # would fail the whole query on executor loss instead of re-reading
+    # (sources/tables.py makes the full scale argument).
+    ranged = checkpoint_parquet(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        "dsbq_rank_",
     )
     per_part = {
         r["__pid"]: r["agg"]
@@ -91,10 +98,14 @@ def global_rank_and_prefix_sum(
     O(num_partitions) driver metadata."""
     spark = df.sparkSession
     n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+    # Same reliable materialization as _ranged_with_offsets (see comment
+    # there): the sampled range layout must be frozen once for offsets and
+    # final plan, and the substrate is data-sized.
+    ranged = checkpoint_parquet(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        "dsbq_rank_",
     )
     per_part = {
         r["__pid"]: (r["cnt"], r["s"])

@@ -11,10 +11,13 @@ running a job, so auditing the registry costs seconds.  Two groups DO run
 jobs at build time and are audited on their (small, deterministic)
 sf0.001 output plans: the e2e pipeline queries (their write path runs when
 the DataFrame is built) and the checkpoint-substrate queries
-(dedup_lsh_recall, ann_ivf_recall, lm_bigram_topk, doc_lm_quality_bottomk —
-``sources/tables.py::checkpoint_parquet`` writes the shared substrate to
+(``sources/tables.py::checkpoint_parquet`` writes the shared substrate to
 scratch parquet at plan build; memoized per logical plan, so this suite
-pays each write once per interpreter).
+pays each write once per interpreter).  Since round 10 the substrate set
+also covers the iterative operators (pagerank, k-core, connected
+components, BPE) and the rank primitives — their per-round data-sized
+tables moved from non-reliable ``localCheckpoint`` to the reliable
+scratch-parquet checkpoint (see test_local_checkpoint_sites_bounded).
 """
 
 from __future__ import annotations
@@ -202,6 +205,51 @@ def _single_partition_windows(plan: str) -> list[str]:
         if feed_single and not limited:
             bad.append(line.strip())
     return bad
+
+
+def test_local_checkpoint_sites_bounded():
+    """``localCheckpoint`` stores blocks on executors NON-reliably: at
+    cluster scale a lost executor kills the query instead of recomputing
+    (lineage is truncated), which is why the repo's data-sized substrates
+    use ``sources/tables.checkpoint_parquet`` (reliable scratch parquet)
+    instead.  The only sanctioned remaining sites are PROVABLY BOUNDED
+    tables — k-row centroid frames — where a lost block costs a cheap
+    query retry, never a data-sized recompute.  Every call site must sit
+    in the allowlisted file AND carry a ``bounded-local-checkpoint:``
+    justification comment within the five preceding lines (round-9
+    verdict ask #4)."""
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "debezium_server_bigquery_spark")
+    allowed_files = {"functions/kmeans.py"}
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, pkg)
+            with open(path) as f:
+                lines = f.readlines()
+            for i, line in enumerate(lines):
+                if ".localCheckpoint(" not in line:
+                    continue
+                if rel not in allowed_files:
+                    offenders.append(f"{rel}:{i + 1}: file not allowlisted")
+                    continue
+                ctx = "".join(lines[max(0, i - 5) : i + 1])
+                if "bounded-local-checkpoint:" not in ctx:
+                    offenders.append(
+                        f"{rel}:{i + 1}: missing bounded-local-checkpoint "
+                        f"justification comment"
+                    )
+    assert not offenders, (
+        "unsanctioned localCheckpoint call sites (use "
+        "sources/tables.checkpoint_parquet for data-sized substrates, or "
+        "add a bounded-local-checkpoint: justification for provably tiny "
+        f"tables): {offenders}"
+    )
 
 
 @pytest.mark.parametrize("name,fn", _ALL, ids=[n for n, _ in _ALL])
