@@ -358,8 +358,12 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σx² = Σy² = Σ(da²+db²), n = 2m — every moment an exact integer from
     ONE pass over the edge list (after two degree joins), cast to
     DOUBLE once for the final ratio.  Same df-capped edge builder as
-    the triangle census."""
-    edges = _cosupply_edges(spark, sf_dir)
+    the triangle census, materialized once to the shared scratch-parquet
+    checkpoint (three plan branches read it: degree build, the
+    two-degree edge join, and the node count)."""
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
+    edges = checkpoint_parquet(_cosupply_edges(spark, sf_dir), "dsbq_cosupply_")
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
@@ -442,8 +446,16 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex.  The closing check is one equi-join against the canonical
     (a < b) edge set from the shared ``_cosupply_edges`` builder
     (within-order pairing, df-capped).  Wedge totals are exact integer
-    sums; the coefficient is the only float, computed once at the end."""
-    edges = _cosupply_edges(spark, sf_dir)
+    sums; the coefficient is the only float, computed once at the end.
+
+    The edge list feeds FOUR plan branches (degree build, orientation,
+    triangle-closing join, edge count); Catalyst does not CSE across
+    branches, so the within-order pair builder would otherwise execute
+    4x per action — materialize it once to the reliable scratch-parquet
+    checkpoint (same substrate as k-core)."""
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
+    edges = checkpoint_parquet(_cosupply_edges(spark, sf_dir), "dsbq_cosupply_")
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
@@ -661,14 +673,22 @@ def cosupply_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier→nation dim twice (broadcast — |supplier| dim rows); e_cc
     and the degree sums are exact integer aggregates per nation; Q is a
     fixed-order sum of ≤|nations| rounded-decimal terms plus one-row
-    broadcast totals."""
+    broadcast totals.  The labeled edge list feeds four plan branches
+    (edge total, intra-nation count, both degree-sum orientations), so
+    it is materialized once to the reliable scratch-parquet checkpoint
+    rather than re-running the within-order pair builder per branch."""
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
     edges = _cosupply_edges(spark, sf_dir)
     sup = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nk")
     )
     na = sup.select(F.col("sk").alias("a"), F.col("nk").alias("na_"))
     nb = sup.select(F.col("sk").alias("b"), F.col("nk").alias("nb_"))
-    lab = edges.join(F.broadcast(na), "a").join(F.broadcast(nb), "b")
+    lab = checkpoint_parquet(
+        edges.join(F.broadcast(na), "a").join(F.broadcast(nb), "b"),
+        "dsbq_cosupply_",
+    )
     m_tot = lab.agg(F.count(F.lit(1)).cast("long").alias("m")).withColumn(
         "__k", F.lit(1)
     )
