@@ -156,16 +156,26 @@ _REFRESH_MAX_AGE = 3
 
 
 def _row_is_green(row: dict) -> bool:
-    """Red = the driver recorded an error or any explicit mismatch."""
+    """Red = the driver recorded an error, any explicit mismatch, or an
+    empty/degenerate row carrying no affirmative signal at all (e.g. a
+    timeout recorded as ``{}``) — such a row must re-queue via the fast
+    lane, not sort to the back as the freshest green."""
     err = row.get("err")
     if err == "no_oracle":  # rows-only row: ran and row-checked
         return row.get("spark_rows") is not None
     if err is not None:
         return False
+    if (
+        row.get("rows_match") is False
+        or row.get("schema_match") is False
+        or row.get("hash_match") is False
+    ):
+        return False
     return (
-        row.get("rows_match") is not False
-        and row.get("schema_match") is not False
-        and row.get("hash_match") is not False
+        row.get("rows_match") is True
+        or row.get("schema_match") is True
+        or row.get("hash_match") is True
+        or row.get("spark_rows") is not None
     )
 
 
@@ -192,8 +202,26 @@ def grading_history(repo_dir: str | None = None) -> tuple[int, dict]:
             with open(path) as f:
                 rows = json.load(f)
         except Exception:
-            continue  # a malformed artifact must not break queries()
+            # A torn/malformed artifact (driver crash mid-write) must not
+            # break queries(), but its ROUND NUMBER still counts toward
+            # current_round: otherwise that round's reds never age back
+            # into the fast lane and the CDC refresh ceiling loosens.
+            import sys
+
+            print(
+                f"warning: malformed grading artifact skipped: {path}",
+                file=sys.stderr,
+            )
+            max_round = max(max_round, rnd)
+            continue
         if not isinstance(rows, dict):
+            import sys
+
+            print(
+                f"warning: non-dict grading artifact skipped: {path}",
+                file=sys.stderr,
+            )
+            max_round = max(max_round, rnd)
             continue
         max_round = max(max_round, rnd)
         for name, row in rows.items():

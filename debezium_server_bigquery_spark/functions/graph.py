@@ -439,20 +439,28 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design (the MapReduce triangle-counting literature's
     degree-orientation trick): a naive wedge join explodes as Σ deg² on
     hub nodes.  Every edge is first ORIENTED from its (degree, id)-
-    smaller endpoint to the larger; wedges are then built only from the
-    ≺-min vertex's OUT-edges, whose out-degree is bounded by O(√m) on
-    any graph (arboricity bound) — so the wedge join is Σ outdeg², not
-    Σ deg², and each triangle is generated exactly once at its ≺-min
-    vertex.  The closing check is one equi-join against the canonical
-    (a < b) edge set from the shared ``_cosupply_edges`` builder
-    (within-order pairing, df-capped).  Wedge totals are exact integer
-    sums; the coefficient is the only float, computed once at the end.
+    smaller endpoint to the larger, whose out-degree is bounded by
+    O(√m) on any graph (arboricity bound), and each triangle is counted
+    exactly once at its ≺-min vertex.  Counting is EDGE-CENTRIC
+    intersection (the literature's "compact-forward" variant): per
+    oriented edge (u, v), the triangle contribution is
+    |N⁺(u) ∩ N⁺(v)| — the out-adjacency lists are collected once
+    (each O(√m) long) and intersected JVM-side with
+    ``array_intersect``, entirely inside whole-stage codegen.  The
+    earlier wedge-join formulation materialized and SHUFFLED one row
+    per wedge — 137M rows at sf0.1 on the 91%-dense co-supply graph
+    (124.5M triangles) — where this form shuffles only the m oriented
+    edges and the n adjacency rows (measured 41 s → 19 s at sf0.1).
+    Wedge totals are exact integer sums; the coefficient is the only
+    float, computed once at the end.
 
     The edge list feeds FOUR plan branches (degree build, orientation,
-    triangle-closing join, edge count); Catalyst does not CSE across
-    branches, so the within-order pair builder would otherwise execute
-    4x per action — materialize it once to the reliable scratch-parquet
-    checkpoint (same substrate as k-core)."""
+    triangle-closing intersections, edge count); Catalyst does not CSE
+    across branches, so the within-order pair builder would otherwise
+    execute 4x per action — materialize it once to the reliable
+    scratch-parquet checkpoint (same substrate as k-core).  The
+    oriented out-adjacency table likewise feeds two join branches and
+    is edge-sized in total entries, so it checkpoints too."""
     from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
 
     edges = checkpoint_parquet(_cosupply_edges(spark, sf_dir), "dsbq_cosupply_")
@@ -477,13 +485,18 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v"),
         )
     )
-    o1 = oriented.select("u", F.col("v").alias("v1"))
-    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
-    wedges = o1.join(o2, (o1["u"] == o2["u2"]) & (o1["v1"] < o2["v2"])).select(
-        F.col("v1").alias("a"), F.col("v2").alias("b")
+    adj = checkpoint_parquet(
+        oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs")),
+        "dsbq_cosupply_",
     )
-    tri = wedges.join(edges, ["a", "b"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("u").alias("jv"), F.col("nbrs").alias("nbrs_v"))
+    # inner joins: an endpoint with no out-edges contributes 0 triangles
+    tri = (
+        oriented.join(au, oriented["u"] == au["ju"])
+        .join(av, oriented["v"] == av["jv"])
+        .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
     )
     node_stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -587,7 +600,10 @@ def graph_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are exact integers."""
     from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
 
-    edges = checkpoint_parquet(_cosupply_edges(spark, sf_dir), "dsbq_kcore_")
+    # Shared prefix with assortativity/triangle/modularity: the memo key is
+    # (prefix, semanticHash), so a per-query prefix here would materialize
+    # the identical co-supply edge substrate a second time per interpreter.
+    edges = checkpoint_parquet(_cosupply_edges(spark, sf_dir), "dsbq_cosupply_")
     both = edges.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )

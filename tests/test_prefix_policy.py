@@ -62,6 +62,14 @@ def test_row_is_green_matches_driver_row_shapes():
     # rows-only row that DID run counts as graded-green (the weaker check
     # is the oracle's absence, not a failure)
     assert E._row_is_green({"err": "no_oracle", "spark_rows": 8})
+    # degenerate rows with NO affirmative signal (timeout recorded as {},
+    # or err=None with every match field absent) are red: they must
+    # re-queue via the fast lane, not sort back as the freshest green
+    assert not E._row_is_green({})
+    assert not E._row_is_green({"err": None})
+    assert not E._row_is_green({"err": None, "rows_match": None})
+    # a partial row with one affirmative signal still counts as green
+    assert E._row_is_green({"err": None, "spark_rows": 3})
 
 
 def test_on_disk_history_round_and_coverage():
@@ -109,12 +117,21 @@ def test_queries_and_oracles_share_the_order():
     assert [n for n in q_names if n in osql] == o_names
 
 
-def test_malformed_artifact_is_ignored(tmp_path):
-    """A corrupt CORRECTNESS file must not break queries() for the driver."""
+def test_malformed_artifact_is_ignored(tmp_path, capsys):
+    """A corrupt CORRECTNESS file must not break queries() for the driver,
+    but its round number still advances current_round (a torn artifact is
+    a round that HAPPENED — treating it as one that never happened would
+    loosen the CDC refresh ceiling and stall red re-queueing)."""
     good = {"q_a": {"rows_match": True, "schema_match": True,
                     "hash_match": True, "err": None}}
     (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(good))
     (tmp_path / "CORRECTNESS_r04.json").write_text("{not json")
     current_round, latest = E.grading_history(str(tmp_path))
-    assert current_round == 4  # malformed r04 contributes nothing
+    assert current_round == 5  # torn r04 still counts as a round
+    assert latest == {"q_a": (3, True)}  # ...but contributes no rows
+    assert "CORRECTNESS_r04.json" in capsys.readouterr().err
+    # non-dict payload behaves the same way
+    (tmp_path / "CORRECTNESS_r05.json").write_text("[1, 2]")
+    current_round, latest = E.grading_history(str(tmp_path))
+    assert current_round == 6
     assert latest == {"q_a": (3, True)}
