@@ -140,6 +140,13 @@ def _collect(attr: str) -> dict:
 # component.  A rows-only row (err == "no_oracle" with a spark row
 # count) counts as graded-green for ordering: it ran and row-checked;
 # the weaker check is the oracle's absence, not a failure.
+#
+# REGISTRATION CAP (round-10 verdict ask #3): with ~280 queries and 50
+# driver slots per round, the steady-state refresh period is ~5.6
+# rounds; new registrations are capped at ~10 per round from round 12
+# on so the period stays under ~7 rounds and ever-graded coverage
+# stays at 100%.  (Rounds 10-11 were a full registration freeze to
+# drain the never-graded backlog.)
 
 _REFRESH_CORE = frozenset(
     {

@@ -259,13 +259,26 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     which bloats the codegen method past JIT limits (observed 20x slowdowns
     when HotSpot bails to the interpreter) — same class of fix as the
     MinHash double-hashing change.
+
+    Round-11 codegen-size reduction (two rounds of this query drifting on
+    the bench's JIT-warm-up slope, docs/BENCH_NOTES_r11.md): the lowered
+    token array derives from the first split via ``transform(lower)``
+    instead of a SECOND regex split of the lowered text (identical tokens:
+    lowercasing never introduces or removes whitespace); the punctuation
+    count uses ``regexp_count`` instead of materializing the stripped
+    string just to take its length; and the word-length sum aggregates
+    directly instead of building an intermediate lengths array.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     base = docs.select(
         "doc_id",
         "text",
         tokens(F.col("text")).alias("w"),
-        tokens(F.lower(F.col("text"))).alias("wl"),
+    ).select(
+        "doc_id",
+        "text",
+        "w",
+        F.transform(F.col("w"), lambda t: F.lower(t)).alias("wl"),
     )
     raw = base.select(
         "doc_id",
@@ -275,14 +288,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size("wl"), F.lit(1))
         ).alias("stop_ratio_raw"),
         (
-            F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+            F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
             / F.greatest(F.length("text"), F.lit(1))
         ).alias("punct_ratio_raw"),
         (
             F.aggregate(
-                F.transform(F.col("w"), lambda t: F.length(t)),
+                F.col("w"),
                 F.lit(0),
-                lambda a, x: a + x,
+                lambda a, x: a + F.length(x),
             )
             / F.greatest(F.size("w"), F.lit(1))
         ).alias("mwl_raw"),
@@ -292,14 +305,23 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("stop_ratio_raw") > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(F.col("punct_ratio_raw") < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
     )
-    return raw.select(
+    out = raw.select(
         "doc_id",
         "n_words",
         F.round("stop_ratio_raw", 6).alias("stop_ratio"),
         F.round("punct_ratio_raw", 6).alias("punct_ratio"),
         F.round("mwl_raw", 6).alias("mean_word_len"),
         F.round(score, 2).alias("quality_score"),
-    ).orderBy("doc_id")
+    )
+    # The shuffle boundary below is deliberate: a bare orderBy's range
+    # partitioner SAMPLES its child to pick split points, re-executing the
+    # whole regex/tokenization projection a second time (measured ~2x on
+    # this query).  Hash-repartitioning the six narrow output columns first
+    # makes AQE materialize that stage, so the sampling pass reads the
+    # shuffle output instead of recomputing the scan+projection — the right
+    # trade whenever the pre-sort projection is expensive relative to
+    # shuffling its (narrow) result, which holds at any scale here.
+    return out.repartition("doc_id").orderBy("doc_id")
 
 
 TEXT_QUALITY_SQL = r"""

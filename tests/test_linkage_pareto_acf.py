@@ -144,6 +144,26 @@ def test_triangle_census_known_graph(spark, tmp_path):
     assert r.global_clustering == 0.6
 
 
+def test_triangle_census_complete_k4(spark, tmp_path):
+    """K4 stresses the edge-centric intersection path: several triangles
+    close over the SAME oriented edge (|N+(u) ∩ N+(v)| > 1 rows exist on
+    denser graphs) and every degree ties, so orientation falls through to
+    the id tiebreak.  K4: C(4,3)=4 triangles, 4*C(3,2)=12 wedges,
+    clustering 3*4/12 = 1."""
+    from debezium_server_bigquery_spark.functions.graph import (
+        supplier_triangle_census,
+    )
+
+    rows = [(1, s) for s in (1, 2, 3, 4)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = supplier_triangle_census(spark, str(tmp_path)).collect()[0]
+    assert r.n_nodes == 4 and r.n_edges == 6
+    assert r.n_wedges == 12 and r.n_triangles == 4
+    assert r.global_clustering == 1.0
+
+
 def test_source_vocab_overlap_hand_jaccard(spark, tmp_path):
     from debezium_server_bigquery_spark.functions.mixing import (
         source_vocab_overlap,
