@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debezium_server_bigquery_spark.functions.text import TOKEN_REGEX
+from debezium_server_bigquery_spark.operators.rank import ordered_output
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 CHUNK_SIZE = 256  # tokens per chunk (context window)
@@ -66,7 +67,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE))
         ).alias("start"),
     )
-    return (
+    out = (
         chunks.select(
             "doc_id",
             "source",
@@ -81,8 +82,8 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("chunk_hash", F.md5("chunk_text"))
         .drop("chunk_text")
-        .orderBy("doc_id", "chunk_id")
     )
+    return ordered_output(out, "doc_id", "chunk_id")
 
 
 CHUNK_DOCUMENTS_SQL = rf"""
@@ -220,7 +221,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     t = F.coalesce(F.col("text"), F.lit(""))  # NULL text == empty document
-    return docs.select(
+    out = docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
         .cast("long")
@@ -232,7 +233,8 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_phones"),
         F.md5(_scrub(t)).alias("scrubbed_hash"),
-    ).orderBy("doc_id")
+    )
+    return ordered_output(out, "doc_id")
 
 
 TEXT_PII_SCRUB_SQL = rf"""

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from debezium_server_bigquery_spark.functions.dedup_fuzzy import _hash60_sql, hash60, words
+from debezium_server_bigquery_spark.operators.rank import ordered_output
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 SAMPLE_PER_STRATUM = 50
@@ -192,12 +193,12 @@ def sample_bernoulli_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw = F.pmod(
         hash60(F.concat(F.lit("bern:"), F.col("doc_id"))), F.lit(_RATE_SCALE)
     )
-    return (
+    out = (
         docs.select("doc_id", "lang", draw.alias("draw"), rate.alias("rate"))
         .filter(F.col("draw") < F.col("rate") * _RATE_SCALE)
         .select("doc_id", "lang", "draw")
-        .orderBy("doc_id")
     )
+    return ordered_output(out, "doc_id")
 
 
 _RATE_SQL = "CASE " + " ".join(

@@ -289,13 +289,16 @@ def geometry_wkt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_id") % 4326).alias("srid"), wkb.alias("wkb")
         ).alias("g"),
     )
+    from debezium_server_bigquery_spark.operators.rank import ordered_output
+
     out = geometry_wkt_transform(["g"], geojson=True)(df)
-    return out.select(
+    res = out.select(
         "event_id",
         F.col("g.srid").alias("srid"),
         F.col("g.wkt").alias("wkt"),
         F.col("g.geojson").alias("geojson"),
-    ).orderBy("event_id")
+    )
+    return ordered_output(res, "event_id")
 
 
 def _case(col_i: int) -> str:

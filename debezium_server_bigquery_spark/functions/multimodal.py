@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from debezium_server_bigquery_spark.operators.rank import ordered_output
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 FEATURE_SCHEMA = T.StructType(
@@ -149,8 +150,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded output is oracle-checkable via blob substrings."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     binary = with_binary_payload(docs)
-    return binary.mapInPandas(_sample_frames, FRAME_SCHEMA).orderBy(
-        "doc_id", "frame_idx"
+    # ordered_output matters doubly here: a bare orderBy's range sampler
+    # would re-execute the Arrow/Python stage itself a second time.
+    return ordered_output(
+        binary.mapInPandas(_sample_frames, FRAME_SCHEMA), "doc_id", "frame_idx"
     )
 
 
@@ -362,7 +365,9 @@ def media_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
-    return payloads.mapInPandas(_parse_media_header, MEDIA_SCHEMA).orderBy("doc_id")
+    return ordered_output(
+        payloads.mapInPandas(_parse_media_header, MEDIA_SCHEMA), "doc_id"
+    )
 
 
 MEDIA_PROBE_SQL = """

@@ -68,13 +68,16 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq_err.alias("sq"),
         F.size("embedding").alias("n_dims"),
     )
-    return stats.select(
+    from debezium_server_bigquery_spark.operators.rank import ordered_output
+
+    out = stats.select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
         "q_min",
         "q_max",
         F.round(F.col("sq") / F.col("n_dims"), 12).alias("mse"),
-    ).orderBy("vec_id")
+    )
+    return ordered_output(out, "vec_id")
 
 
 EMB_QUANTIZE_SQL = f"""

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from debezium_server_bigquery_spark.operators.rank import ordered_output
 from debezium_server_bigquery_spark.sources.tables import load_table
 
 # Tiny per-language marker profiles for the n-gram/stopword language-ID
@@ -98,12 +99,13 @@ def lang_scores(col: Column) -> list[tuple[str, Column]]:
 # --------------------------------------------------------------------------
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return docs.select(
+    out = docs.select(
         "doc_id",
         word_count(F.col("text")).alias("n_words"),
         token_count_bpeish(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_actual"),
-    ).orderBy("doc_id")
+    )
+    return ordered_output(out, "doc_id")
 
 
 TEXT_TOKEN_STATS_SQL = r"""
@@ -146,7 +148,7 @@ def char_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x.cast("long") * x,
     )
-    return docs.select(
+    out = docs.select(
         "doc_id",
         n.alias("n_chars_counted"),
         F.size(F.array_distinct(chars)).cast("long").alias("n_distinct_chars"),
@@ -156,7 +158,8 @@ def char_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1.0) - sumsq.cast("double") / (n * n).cast("double"), 6
             ),
         ).alias("char_gini"),
-    ).orderBy("doc_id")
+    )
+    return ordered_output(out, "doc_id")
 
 
 CHAR_DIVERSITY_SQL = r"""
@@ -313,15 +316,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mwl_raw", 6).alias("mean_word_len"),
         F.round(score, 2).alias("quality_score"),
     )
-    # The shuffle boundary below is deliberate: a bare orderBy's range
-    # partitioner SAMPLES its child to pick split points, re-executing the
-    # whole regex/tokenization projection a second time (measured ~2x on
-    # this query).  Hash-repartitioning the six narrow output columns first
-    # makes AQE materialize that stage, so the sampling pass reads the
-    # shuffle output instead of recomputing the scan+projection — the right
-    # trade whenever the pre-sort projection is expensive relative to
-    # shuffling its (narrow) result, which holds at any scale here.
-    return out.repartition("doc_id").orderBy("doc_id")
+    return ordered_output(out, "doc_id")
 
 
 TEXT_QUALITY_SQL = r"""
@@ -379,12 +374,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lg in reversed(langs):  # earliest alphabetical wins ties
         pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return scored.select(
+    out = scored.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         pred.alias("predicted_lang"),
         best.cast("long").alias("best_score"),
-    ).orderBy("doc_id")
+    )
+    return ordered_output(out, "doc_id")
 
 
 _LANG_SCORE_SQL = ",\n  ".join(
@@ -559,9 +555,10 @@ FROM picked GROUP BY lang ORDER BY lang
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return docs.select(
+    out = docs.select(
         "doc_id", rolling_hash(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
+    )
+    return ordered_output(out, "doc_id")
 
 
 TEXT_FINGERPRINT_SQL = r"""
@@ -606,7 +603,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     n_grams = F.greatest(F.size(toks) - 2, F.lit(0))
     n_distinct = F.size(shingles(F.col("text")))  # shingles() is distinct
-    return docs.select(
+    out = docs.select(
         "doc_id",
         n_grams.alias("n_3grams"),
         n_distinct.alias("n_distinct_3grams"),
@@ -617,7 +614,8 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("repetition_ratio"),
-    ).orderBy("doc_id")
+    )
+    return ordered_output(out, "doc_id")
 
 
 TEXT_REPETITION_SQL = r"""
@@ -814,12 +812,13 @@ def text_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = toks.withColumn("pos", pos).filter(F.col("pos") > 0)
     start = F.greatest(F.col("pos") - KWIC_RADIUS, F.lit(1))
     length = F.col("pos") + KWIC_RADIUS - start + 1
-    return hit.select(
+    out = hit.select(
         "doc_id",
         "lang",
         F.col("pos").alias("term_pos"),
         F.array_join(F.slice(F.col("w"), start, length), " ").alias("context"),
-    ).orderBy("doc_id")
+    )
+    return ordered_output(out, "doc_id")
 
 
 TEXT_KWIC_SQL = rf"""

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from debezium_server_bigquery_spark.coerce import OP_PRIORITY_SQL
 
 from debezium_server_bigquery_spark.operators.dedup import dedup_last_writer
+from debezium_server_bigquery_spark.operators.rank import ordered_output
 from debezium_server_bigquery_spark.operators.routing import (
     filter_heartbeats,
     rewrite_destination,
@@ -206,7 +207,7 @@ def cdc_coerce_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(":"),
         F.lpad((sod % 60).cast("string"), 2, "0"),
     )
-    return df.select(
+    out = df.select(
         "event_id",
         # F7: epoch-ms -> timestamp, rendered as DATE for cross-engine hash.
         date_part.alias("ts_date"),
@@ -220,7 +221,8 @@ def cdc_coerce_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"(\d)Z$",
             r"$1",
         ).alias("iso_no_z"),
-    ).orderBy("event_id")
+    )
+    return ordered_output(out, "event_id")
 
 
 CDC_COERCE_SQL = f"""{_CDC_CTE}
@@ -324,14 +326,15 @@ def cdc_nested_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.*")
     )
     out = wire.select(coercion_columns(_NESTED_ENV_SCHEMA, nested_as_json=True))
-    return out.select(
+    res = out.select(
         F.get_json_object("after", "$.event_id").cast("long").alias("event_id"),
         F.col("before"),
         F.col("after"),
         F.col("source"),
         F.col("op"),
         F.col("ts_ms"),
-    ).orderBy("event_id")
+    )
+    return ordered_output(res, "event_id")
 
 
 CDC_NESTED_ENVELOPE_SQL = f"""{_CDC_CTE}
@@ -436,7 +439,7 @@ def cdc_coerce_exotic(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = wire.select(
         coercion_columns(_EXOTIC_SCHEMA, decimal_handling_mode="precise")
     )
-    return out.select(
+    res = out.select(
         "event_id",
         F.hex("c_binary").alias("bin_hex"),  # F1 round-trip, hex for the hash
         F.col("g.srid").alias("g_srid"),  # F2/F3
@@ -448,7 +451,8 @@ def cdc_coerce_exotic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_dates")[1].alias("date_hi"),
         F.col("c_amount").cast("string").alias("amount_str"),  # F10 precise
         F.col("c_amount").cast("double").alias("amount_dbl"),
-    ).orderBy("event_id")
+    )
+    return ordered_output(res, "event_id")
 
 
 CDC_COERCE_EXOTIC_SQL = """
