@@ -445,14 +445,28 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection (the literature's "compact-forward" variant): per
     oriented edge (u, v), the triangle contribution is
     |N⁺(u) ∩ N⁺(v)| — the out-adjacency lists are collected once
-    (each O(√m) long) and intersected JVM-side with
-    ``array_intersect``, entirely inside whole-stage codegen.  The
-    earlier wedge-join formulation materialized and SHUFFLED one row
-    per wedge — 137M rows at sf0.1 on the 91%-dense co-supply graph
-    (124.5M triangles) — where this form shuffles only the m oriented
-    edges and the n adjacency rows (measured 41 s → 19 s at sf0.1).
-    Wedge totals are exact integer sums; the coefficient is the only
-    float, computed once at the end.
+    (each O(√m) long) and intersected JVM-side, entirely inside
+    whole-stage codegen.  The earlier wedge-join formulation
+    materialized and SHUFFLED one row per wedge — 137M rows at sf0.1 on
+    the 91%-dense co-supply graph (124.5M triangles) — where this form
+    shuffles only the m oriented edges and the n adjacency rows
+    (measured 41 s → 19 s at sf0.1).  Wedge totals are exact integer
+    sums; the coefficient is the only float, computed once at the end.
+
+    DENSE-GRAPH FAST PATH (same counting, faster set representation):
+    when the node-id universe is compact and the graph dense —
+    ``(max_id+1)² ≤ 8·m`` (≈ density ≥ 25% with dense ids) and word
+    length L = (max_id >> 6)+1 ≤ 1024 — each out-adjacency list becomes
+    a BITSET (array<long> of L words) and the per-edge intersection is
+    Σ bit_count(x & y), ~64 candidate neighbors per word operation
+    instead of one hash probe per element (measured 19 s → see
+    BENCH_NOTES_r11).  Scale argument: density ≥ 25% forces
+    n ≤ max_id+1 ≤ √(8m), so TOTAL bitset bytes n·L·8 ≤ (max_id+1)²/8
+    ≤ m bytes — never larger than the edge list itself; a sparse or
+    huge-id graph fails the gate and keeps the ``array_intersect``
+    path, whose footprint is the adjacency lists alone.  The gate reads
+    two O(1) scalars (m, max node id) from one aggregate over the
+    checkpointed edge substrate — bounded-collect: one row, two longs.
 
     The edge list feeds FOUR plan branches (degree build, orientation,
     triangle-closing intersections, edge count); Catalyst does not CSE
@@ -489,13 +503,41 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs")),
         "dsbq_cosupply_",
     )
-    au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nbrs_u"))
-    av = adj.select(F.col("u").alias("jv"), F.col("nbrs").alias("nbrs_v"))
+    # bounded-collect: one row, two longs (edge count + max node id) off
+    # the checkpointed substrate, deciding the set representation below.
+    stats = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.coalesce(F.max(F.greatest("a", "b")), F.lit(-1))
+        .cast("long")
+        .alias("max_id"),
+    ).collect()[0]
+    m_cnt, max_id = stats["m"], stats["max_id"]
+    words = (max_id >> 6) + 1 if max_id >= 0 else 0
+    dense = m_cnt > 0 and words <= 1024 and (max_id + 1) ** 2 <= 8 * m_cnt
+    if dense:
+        bits = adj.select(
+            "u",
+            F.expr(
+                f"aggregate(nbrs, array_repeat(0L, {words}), (acc, x) -> "
+                "transform(acc, (w, i) -> IF(i = CAST(x DIV 64 AS INT), "
+                "w | shiftleft(1L, CAST(x % 64 AS INT)), w)))"
+            ).alias("bits"),
+        )
+        au = bits.select(F.col("u").alias("ju"), F.col("bits").alias("bits_u"))
+        av = bits.select(F.col("u").alias("jv"), F.col("bits").alias("bits_v"))
+        per_edge = F.expr(
+            "aggregate(zip_with(bits_u, bits_v, (x, y) -> bit_count(x & y)),"
+            " 0L, (a, c) -> a + c)"
+        )
+    else:
+        au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nbrs_u"))
+        av = adj.select(F.col("u").alias("jv"), F.col("nbrs").alias("nbrs_v"))
+        per_edge = F.size(F.array_intersect("nbrs_u", "nbrs_v"))
     # inner joins: an endpoint with no out-edges contributes 0 triangles
     tri = (
         oriented.join(au, oriented["u"] == au["ju"])
         .join(av, oriented["v"] == av["jv"])
-        .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("c"))
+        .select(per_edge.alias("c"))
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
     )
     node_stats = deg.agg(

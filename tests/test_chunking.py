@@ -57,9 +57,14 @@ def test_chunk_overlap_consistency():
 
 def test_chunk_plan_has_no_shuffle(spark, docs_dir):
     plan = chunk_documents(spark, docs_dir)._jdf.queryExecution().executedPlan().toString()
-    # orderBy adds one final exchange for presentation; the chunk build
-    # itself (generate/project) must not shuffle -> at most that one.
-    assert plan.count("Exchange") <= 2  # rangepartitioning for sort + opt. rebalance
+    # The chunk build itself (generate/project) must not shuffle.  The
+    # OUTPUT is allowed exactly the ordered_output pair (hash exchange to
+    # materialize the narrow result + rangepartitioning for the sort — see
+    # operators/rank.py::ordered_output) plus an optional spread rebalance.
+    assert plan.count("Exchange") <= 3
+    # and the expensive part stays below ONE stage: the generate/projection
+    # must sit under the hash exchange, not under the range sampler
+    assert plan.count("Exchange rangepartitioning") == 1
 
 
 def test_pii_scrub_counts(spark, docs_dir):

@@ -164,6 +164,29 @@ def test_triangle_census_complete_k4(spark, tmp_path):
     assert r.global_clustering == 1.0
 
 
+def test_triangle_census_sparse_spread_ids(spark, tmp_path):
+    """Pins the SPARSE branch (array_intersect): spread-out node ids fail
+    the census's dense gate ((max_id+1)^2 > 8m), so this exercises the
+    non-bitset path.  Triangle on {1,2,3} plus a chain 50-51-...-61:
+    n=15, m=14, wedges = 3 (triangle) + 10 (chain interiors) = 13,
+    triangles = 1, clustering = 3/13."""
+    from debezium_server_bigquery_spark.functions.graph import (
+        supplier_triangle_census,
+    )
+
+    rows = [(1, 1), (1, 2), (1, 3)] + [
+        (10 + i, s) for i in range(12 - 1) for s in (50 + i, 51 + i)
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = supplier_triangle_census(spark, str(tmp_path)).collect()[0]
+    assert (62 * 62) > 8 * 14  # the fixture really is out-of-gate
+    assert r.n_nodes == 15 and r.n_edges == 14
+    assert r.n_wedges == 13 and r.n_triangles == 1
+    assert r.global_clustering == round(3.0 / 13, 6)
+
+
 def test_source_vocab_overlap_hand_jaccard(spark, tmp_path):
     from debezium_server_bigquery_spark.functions.mixing import (
         source_vocab_overlap,
