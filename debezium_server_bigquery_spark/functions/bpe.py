@@ -118,6 +118,7 @@ def train_bpe_merges(
     for rank in range(1, k + 1):
         pairs = _pair_counts(syms)
         top = (
+            # bounded-collect: limit(1) argmax row per merge round
             pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
         )  # 1 row — O(1) driver data per round
         if not top:

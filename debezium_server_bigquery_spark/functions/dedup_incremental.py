@@ -200,6 +200,7 @@ class MinHashBandIndex:
         partitions.  ``broadcast_batch=False`` switches to a shuffle join
         for batches too large to broadcast.
         """
+        # bounded-collect: O(batch bands) probe keys, batch-sized not corpus-sized
         keys = probe.select("band", "sig_pre").distinct().collect()
         if not keys:  # empty batch / all docs shorter than one shingle
             return self._empty_result()

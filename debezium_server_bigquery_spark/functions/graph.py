@@ -116,6 +116,7 @@ def pagerank_loop(
             nxt.alias("a")
             .join(ranks.alias("b"), "node")
             .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+            # bounded-collect: one-row convergence delta (O(1) scalar)
             .collect()[0]["d"]  # 1 scalar — O(metadata) driver data
         )
         ranks = nxt
@@ -510,6 +511,7 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max(F.greatest("a", "b")), F.lit(-1))
         .cast("long")
         .alias("max_id"),
+    # bounded-collect: one row, two longs (dense-gate statistics)
     ).collect()[0]
     m_cnt, max_id = stats["m"], stats["max_id"]
     words = (max_id >> 6) + 1 if max_id >= 0 else 0

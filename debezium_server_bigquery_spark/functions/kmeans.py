@@ -172,6 +172,7 @@ def lloyd_kmeans_checkpointed(
                     F.lit(float("inf")),
                 ).otherwise(_sq_dist(F.col("o.centroid"), F.col("n.centroid")))
             ).alias("s")
+        # bounded-collect: one-row shift aggregate (O(1) scalar)
         ).collect()[0]["s"]
         cents = new_cents
         if shift is not None and shift <= tol:

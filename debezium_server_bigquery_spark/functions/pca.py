@@ -138,6 +138,7 @@ def pca_project(emb: DataFrame, n_components: int = 8) -> DataFrame:
     decreasing explained-variance order)."""
     import numpy as np
 
+    # bounded-collect: DxD covariance rows, D = embedding dim (k-row)
     rows = embedding_covariance(emb).collect()
     d = max(r["j"] for r in rows)
     cov = np.zeros((d, d))

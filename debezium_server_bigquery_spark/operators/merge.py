@@ -64,6 +64,7 @@ def merge_upsert(
 
     # Affected buckets: tiny driver-side list (<= n_buckets) that prunes the
     # target scan and bounds the partition rewrite.
+    # bounded-collect: O(buckets) affected-bucket list; see comment above
     buckets = [r[0] for r in src.select(KEY_BUCKET).distinct().collect()]
     live = table.read_raw() if table.exists() else None
     table.guard_create(live is not None)

@@ -72,6 +72,7 @@ def _ranged_with_offsets(
     )
     per_part = {
         r["__pid"]: r["agg"]
+        # bounded-collect: O(partitions) per-partition offsets
         for r in ranged.groupBy("__pid").agg(per_partition_agg.alias("agg")).collect()
     }
     offsets, acc = {}, 0
@@ -134,6 +135,7 @@ def global_rank_and_prefix_sum(
         r["__pid"]: (r["cnt"], r["s"])
         for r in ranged.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum(value_col).alias("s"))
+        # bounded-collect: O(partitions) per-partition count+sum carries
         .collect()
     }
     cnt_off: dict[int, int] = {}

@@ -62,4 +62,5 @@ def destinations_in(df: DataFrame) -> list[str]:
     Driver-side collect is safe: cardinality == number of replicated tables
     (small by construction), and the job is an agg-only scan.
     """
+    # bounded-collect: O(destinations) list; see docstring
     return [r[0] for r in df.select("destination").distinct().collect()]

@@ -201,6 +201,7 @@ def scd2_merge_batch(
         return
 
     src = table.with_partition_col(batch)
+    # bounded-collect: O(buckets) affected-bucket list (fixed bucket count)
     buckets = [r[0] for r in src.select(KEY_BUCKET).distinct().collect()]
     if not buckets:  # empty micro-batch: nothing to rewrite
         table._commit_epoch(epoch_id, -1)

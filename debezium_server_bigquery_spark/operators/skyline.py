@@ -54,6 +54,7 @@ def skyline_min2d(
     local = chunked.withColumn("__local_min", F.min("__my").over(w_local))
     chunk_mins = {
         r["__chunk"]: r["m"]
+        # bounded-collect: O(#chunks) per-chunk minima
         for r in chunked.groupBy("__chunk").agg(F.min("__my").alias("m")).collect()
     }
     carry: dict[int, int | None] = {}

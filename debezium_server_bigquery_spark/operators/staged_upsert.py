@@ -145,6 +145,7 @@ class StagedUpsertTable:
         raw = self.staging.read_raw() if self.staging.exists() else None
         if raw is None or _STAGE_SEQ not in raw.columns:
             return persisted
+        # bounded-collect: one-row max aggregate (O(1) scalar)
         row = raw.agg(F.max(_STAGE_SEQ)).collect()[0][0]
         return persisted if row is None else max(persisted, int(row) + 1)
 

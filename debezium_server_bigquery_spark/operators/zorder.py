@@ -98,6 +98,7 @@ def column_ranges(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, 
     aggs = []
     for c in cols:
         aggs += [F.min(proxies[c]).alias(f"__mn_{c}"), F.max(proxies[c]).alias(f"__mx_{c}")]
+    # bounded-collect: one-row min/max aggregate (O(cols) scalars)
     row = df.agg(*aggs).collect()[0]
     out = {}
     for c in cols:

@@ -356,6 +356,7 @@ def ivm_incremental_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_cdc_events(load_table(spark, sf_dir, "events"))
     )
     # O(destinations) driver metadata — the routing fan-out is bounded
+    # bounded-collect: O(destinations) driver list; fan-out bounded by table count
     da, db = sorted(r[0] for r in events.select("destination").distinct().collect())[:2]
     b1 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
     b2 = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
@@ -493,6 +494,7 @@ def pipeline_lazy_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = synthesize_cdc_events(load_table(spark, sf_dir, "events"))
     # Event-id thirds relative to the actual id range (a one-row aggregate
     # collect — metadata, not data), so every batch is non-empty at any SF.
+    # bounded-collect: one-row max aggregate (O(1) scalar)
     max_id = cdc.agg(F.max("event_id")).collect()[0][0] or 0
     third = max(max_id // 3, 1)
     bounds = ((0, third), (third, 2 * third), (2 * third, 1 << 60))
@@ -792,6 +794,7 @@ def stream_window_finalize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
 
     base_files = _part_files()
+    # bounded-collect: one-row max aggregate (O(1) scalar)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # O(1) driver scalar
     for i, hours in enumerate((4, 8), start=1):
         sentinel = spark.createDataFrame(
@@ -1096,6 +1099,7 @@ def pipeline_backfill_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in raw.filter(F.pmod("event_id", F.lit(13)) == 0)
             .select(part_col)
             .distinct()
+            # bounded-collect: O(partitions) distinct partition keys
             .collect()
         ]
         corrected = (

@@ -77,6 +77,7 @@ class MaterializedAggregate:
         are still overwritten (to nothing) so stale groups vanish."""
         out = self.state.with_partition_col(self.agg_fn(base))
         buckets = sorted(
+            # bounded-collect: O(buckets) distinct bucket ids (fixed bucket count)
             {r[0] for r in out.select(KEY_BUCKET).distinct().collect()}
             | set(_stored_buckets(self.state))
         )
@@ -91,6 +92,7 @@ class MaterializedAggregate:
         """
         keys = touched.select(*self.group_cols).distinct()
         keyed = self.state.with_partition_col(keys)
+        # bounded-collect: O(buckets) distinct bucket ids (fixed bucket count)
         buckets = [r[0] for r in keyed.select(KEY_BUCKET).distinct().collect()]
         if not buckets:
             return
@@ -160,6 +162,7 @@ class MaterializedJoin:
         are still overwritten (to nothing) so stale keys vanish."""
         out = self.state.with_partition_col(self._compute(left, right))
         buckets = sorted(
+            # bounded-collect: O(buckets) distinct bucket ids (fixed bucket count)
             {r[0] for r in out.select(KEY_BUCKET).distinct().collect()}
             | set(_stored_buckets(self.state))
         )
@@ -172,6 +175,7 @@ class MaterializedJoin:
         recompute-to-nothing, like the aggregate."""
         keys = touched.select(*self.join_cols).distinct()
         keyed = self.state.with_partition_col(keys)
+        # bounded-collect: O(buckets) distinct bucket ids (fixed bucket count)
         buckets = [r[0] for r in keyed.select(KEY_BUCKET).distinct().collect()]
         if not buckets:
             return

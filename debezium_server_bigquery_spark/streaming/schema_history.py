@@ -102,6 +102,7 @@ class SchemaHistory:
             self.spark.read.parquet(self.path)
             .orderBy("record_insert_ts", "id")
             .select("destination", "history_data")
+            # bounded-collect: schema-history records, O(DDL changes) not data
             .collect()
         )
         return [(r["destination"], r["history_data"]) for r in rows]
@@ -139,6 +140,7 @@ def schema_groups(df: DataFrame, fp_col: str = SCHEMA_FP_COL) -> list[tuple[str,
     )
     fps = [
         r[fp_col]
+        # bounded-collect: O(distinct schema fingerprints) per batch
         for r in df.groupBy(fp_col).agg(order_col.alias("ord")).orderBy("ord", fp_col).collect()
     ]
     if len(fps) <= 1:

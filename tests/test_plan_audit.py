@@ -252,6 +252,44 @@ def test_local_checkpoint_sites_bounded():
     )
 
 
+def test_collect_sites_bounded():
+    """A ``.collect()`` in engine code is a driver-side materialization —
+    the one operation that silently stops being distributed.  Every site
+    in the package is sanctioned ONLY for O(1) scalars / O(partitions)
+    offset maps / O(buckets)/O(destinations) pruning lists / k-row
+    frames, and must say so: a ``bounded-collect:`` justification comment
+    within the six preceding lines (mirrors the localCheckpoint audit,
+    mechanizing what previous rounds' verdicts re-derived by hand).  A
+    new unbounded collect therefore cannot land without either a marker
+    (visible in review) or failing this test."""
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "debezium_server_bigquery_spark")
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, pkg)
+            with open(path) as f:
+                lines = f.readlines()
+            for i, line in enumerate(lines):
+                if ".collect()" not in line:
+                    continue
+                ctx = "".join(lines[max(0, i - 6) : i + 1])
+                if "bounded-collect:" not in ctx:
+                    offenders.append(
+                        f"{rel}:{i + 1}: missing bounded-collect "
+                        f"justification comment"
+                    )
+    assert not offenders, (
+        "collect() sites without a bounded-collect: justification "
+        f"comment: {offenders}"
+    )
+
+
 @pytest.mark.parametrize("name,fn", _ALL, ids=[n for n, _ in _ALL])
 def test_no_single_partition_window(spark, name, fn):
     """Registry-wide ban on unpartitioned windows over unbounded inputs —
