@@ -185,6 +185,23 @@ def main() -> None:
     # scheduling, exchange, and codegen as the workload it normalizes.
     cal_best = _mixed_calibration(spark, sf_dir, reps)
 
+    # Host forensics for anomaly triage: the round-11 s3 sample showed a
+    # uniform 1.6x inflation of scan-heavy queries while the (mostly
+    # synthetic-input) calibration stayed flat — the page cache had
+    # collapsed to ~1 GiB.  Recording Cached/MemAvailable at bench end
+    # makes that diagnosis direct next time instead of forensic.
+    def _meminfo() -> dict:
+        out = {}
+        try:
+            with open("/proc/meminfo") as fh:
+                for ln in fh:
+                    k, v = ln.split(":", 1)
+                    if k in ("Cached", "MemAvailable"):
+                        out[k.lower() + "_kb"] = int(v.strip().split()[0])
+        except Exception:
+            pass
+        return out
+
     headline_total = sum(t for n, t in timings.items() if n not in iterative_names)
     iterative_total = sum(t for n, t in timings.items() if n in iterative_names)
     out = {
@@ -201,6 +218,7 @@ def main() -> None:
         "iterative_total_sec": round(iterative_total, 3),
         "iterative_cold_sec": iterative_cold,
         "value_incl_iterative": round(headline_total + iterative_total, 3),
+        "host_meminfo": _meminfo(),
     }
     if errors:
         out["errors"] = errors

