@@ -109,3 +109,22 @@ def test_global_rank_and_prefix_sum_matches_windows(spark):
     for i, r in enumerate(rows):
         acc += r.w
         assert out[r.id] == (i + 1, acc), f"mismatch at sorted position {i}"
+
+
+def test_ordered_output_sorts_and_isolates_the_sampler(spark):
+    from debezium_server_bigquery_spark.operators.rank import ordered_output
+
+    df = spark.range(0, 997).select(
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("k"), F.col("id")
+    )
+    out = ordered_output(df, "k", "id")
+    # plan shape BEFORE execution (an executed AQE plan string appends the
+    # initial plan, double-counting nodes): the range sort samples a
+    # materialized hash exchange, not the raw lineage — exactly one range
+    # exchange with a hash exchange below it
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") == 1
+    ix_range = plan.index("Exchange rangepartitioning")
+    assert "Exchange hashpartitioning" in plan[ix_range:]
+    got = [(r.k, r.id) for r in out.collect()]
+    assert got == sorted(got)  # total order preserved
