@@ -290,6 +290,63 @@ def test_collect_sites_bounded():
     )
 
 
+# A bare orderBy over a MAP-ONLY child re-executes the whole lineage in
+# the range partitioner's sampling pass (regex projections, JSON parsing,
+# even mapInPandas Python stages run twice — measured 2x end-to-end on
+# text_quality_score, round 11).  operators/rank.py::ordered_output is
+# the fix; tools/scan_range_sampling.py the interactive scanner.  Sorts
+# whose child is a tiny just-written/readback table are exempt: the
+# double scan is O(result) and an extra exchange would only add latency.
+_MAP_ONLY_SORT_EXEMPT_SUFFIX = "_e2e"  # readback sorts over e2e results
+_MAP_ONLY_SORT_EXEMPT = {
+    # final sort scans the checkpointed k-row merge table, not the corpus
+    "bpe_train_merges",
+}
+
+_MATERIALIZING_RE = __import__("re").compile(
+    r"Exchange hashpartitioning|Exchange SinglePartition|HashAggregate|"
+    r"SortAggregate|ObjectHashAggregate|SortMergeJoin|BroadcastHashJoin|"
+    r"ShuffledHashJoin|BroadcastNestedLoopJoin|Window|AQEShuffleRead|"
+    r"ShuffleQueryStage|TableCacheQueryStage"
+)
+
+
+def _map_only_range_exchanges(plan: str) -> list[str]:
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" +-:*"))
+
+    lines = plan.split("\n")
+    hits = []
+    for i, line in enumerate(lines):
+        if "Exchange rangepartitioning" not in line:
+            continue
+        base = indent(line)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip():
+                continue
+            if indent(nxt) <= base:
+                break
+            subtree.append(nxt)
+        if not any(_MATERIALIZING_RE.search(s) for s in subtree):
+            hits.append(line.strip()[:120])
+    return hits
+
+
+@pytest.mark.parametrize("name,fn", _ALL, ids=[n for n, _ in _ALL])
+def test_no_map_only_range_sort(spark, name, fn):
+    """Registry-wide ban on the range-sampling double-compute (see the
+    module comment above): every sort must sample a materialized stage,
+    not a raw scan→projection lineage."""
+    if name.endswith(_MAP_ONLY_SORT_EXEMPT_SUFFIX) or name in _MAP_ONLY_SORT_EXEMPT:
+        pytest.skip("readback/tiny-table sort: double scan is O(result)")
+    hits = _map_only_range_exchanges(_physical(fn(spark, SF_DIR)))
+    assert not hits, (
+        f"{name}: range sort samples a map-only lineage (use "
+        f"operators/rank.py::ordered_output): {hits}"
+    )
+
+
 @pytest.mark.parametrize("name,fn", _ALL, ids=[n for n, _ in _ALL])
 def test_no_single_partition_window(spark, name, fn):
     """Registry-wide ban on unpartitioned windows over unbounded inputs —
