@@ -123,7 +123,12 @@ def main() -> None:
             t0 = time.time()
             fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
             if _name in iterative_names:
-                # first build pays the checkpoint-substrate write jobs
+                # first build pays the checkpoint-substrate write jobs.
+                # CAVEAT (ADVICE r11): measured DURING the cold-start
+                # warm-up pass, so on a freshly booted host this number
+                # conflates substrate-build cost with page-cache/HotSpot
+                # warm-up — comparable across rounds only on a warm host
+                # (clear the memo dir and rebuild if cold cost matters).
                 iterative_cold[_name] = round(time.time() - t0, 3)
         except Exception as exc:
             # A query that fails outright must be visible BEFORE timing —

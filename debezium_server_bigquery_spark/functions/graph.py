@@ -534,14 +534,13 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs")),
         "dsbq_cosupply_",
     )
-    # bounded-collect: one row, two longs (edge count + max node id) off
-    # the checkpointed substrate, deciding the set representation below.
     stats = edges.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.coalesce(F.max(F.greatest("a", "b")), F.lit(-1))
         .cast("long")
         .alias("max_id"),
-    # bounded-collect: one row, two longs (dense-gate statistics)
+    # bounded-collect: one row, two longs (edge count + max node id)
+    # deciding the dense-vs-sparse set representation below
     ).collect()[0]
     m_cnt, max_id = stats["m"], stats["max_id"]
     words = (max_id >> 6) + 1 if max_id >= 0 else 0

@@ -22,48 +22,27 @@ e2e/readback class: their sort child is a parquet scan of the tiny
 result table the e2e run just wrote, so the sampling re-scan is
 O(result) and an extra exchange would only add latency — deliberately
 left bare.
+
+Round 12: the detector moved to ``debezium_server_bigquery_spark/
+planwalk.py`` (shared with the CI gate so the two can't drift), and the
+12-name exemption set above is now pinned BY NAME in
+``tests/test_plan_audit.py::_MAP_ONLY_SORT_EXEMPT`` — a new bare sort
+in ANY query, e2e included, fails the audit until it is either
+converted to ``ordered_output`` or deliberately allowlisted there.
 """
 
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.001"
-
-_MATERIALIZING = re.compile(
-    r"Exchange hashpartitioning|Exchange SinglePartition|HashAggregate|"
-    r"SortAggregate|ObjectHashAggregate|SortMergeJoin|BroadcastHashJoin|"
-    r"ShuffledHashJoin|BroadcastNestedLoopJoin|Window|AQEShuffleRead|"
-    r"ShuffleQueryStage|TableCacheQueryStage"
+from debezium_server_bigquery_spark.planwalk import (  # noqa: E402
+    map_only_range_exchanges,
 )
 
-
-def _indent(line: str) -> int:
-    return len(line) - len(line.lstrip(" +-:*"))
-
-
-def map_only_range_exchanges(plan: str) -> list[str]:
-    """Range-exchange lines whose subtree has no materializing operator."""
-    lines = plan.split("\n")
-    hits = []
-    for i, line in enumerate(lines):
-        if "Exchange rangepartitioning" not in line:
-            continue
-        base = _indent(line)
-        subtree = []
-        for nxt in lines[i + 1 :]:
-            if not nxt.strip():
-                continue
-            if _indent(nxt) <= base:
-                break
-            subtree.append(nxt)
-        if not any(_MATERIALIZING.search(s) for s in subtree):
-            hits.append(line.strip()[:160])
-    return hits
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def main() -> int:
