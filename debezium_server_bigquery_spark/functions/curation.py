@@ -1423,6 +1423,157 @@ GROUP BY split ORDER BY split
 """
 
 
+QPRIOR_K = 20  # empirical-Bayes pseudo-count: docs of global-mean weight
+
+
+def domain_quality_prior_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain(source)-level quality PRIOR with empirical-Bayes shrinkage,
+    joined back onto the per-document scores (VERDICT r11 ask #4's
+    "URL/domain-level quality prior join"): a source with 3 documents and
+    a perfect mean must not outrank a source with 3 million documents and
+    a near-perfect mean, so each source's prior shrinks toward the corpus
+    mean with pseudo-count ``QPRIOR_K``:
+
+        prior_s = (n_s·mean_s + K·mean_corpus) / (n_s + K)
+
+    The join-back counts each source's documents scoring below its own
+    prior — the per-domain drop candidates a quality-prior filter
+    (C4/RefinedWeb style, but domain-aware) would cut first.
+
+    Scale design (100 TB): the heuristic score is INTEGER centipoints
+    (40/30/30 rule hits — no float accumulates anywhere), and its domain
+    is ~6 distinct values, so ONE corpus scan builds a (source × score)
+    histogram that is checkpointed (tiny: O(sources·6) rows) and every
+    downstream branch — per-source moments, the corpus mean, the
+    below-prior join-back — re-reads the histogram, never the corpus.
+    The prior itself is a fixed-order expression over exact BIGINT sums,
+    bit-identical cross-engine."""
+    from debezium_server_bigquery_spark.functions.text import STOPWORDS, tokens
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    wl = F.transform(w, lambda t: F.lower(t))
+    n_words = F.size(w)
+    stop_hit = (
+        F.size(F.filter(wl, lambda t: t.isin(*STOPWORDS)))
+        / F.greatest(F.size(wl), F.lit(1))
+    ) > 0.01
+    punct_hit = (
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+        / F.greatest(F.length("text"), F.lit(1))
+    ) < 0.1
+    centi = (
+        F.when((n_words >= 10) & (n_words <= 1000), F.lit(40)).otherwise(F.lit(0))
+        + F.when(stop_hit, F.lit(30)).otherwise(F.lit(0))
+        + F.when(punct_hit, F.lit(30)).otherwise(F.lit(0))
+    )
+    hist = checkpoint_parquet(
+        docs.select("source", centi.alias("centi"))
+        .groupBy("source", "centi")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+        "dsbq_qprior_hist_",
+    )
+    per = hist.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_s"),
+        F.sum(F.col("centi").cast("long") * F.col("cnt")).cast("long").alias("s_s"),
+    )
+    tot = per.agg(
+        F.sum("n_s").cast("long").alias("n_all"),
+        F.sum("s_s").cast("long").alias("s_all"),
+    )
+    prior_num = (
+        F.col("n_all").cast("double") * F.col("s_s").cast("double")
+        + F.lit(float(QPRIOR_K)) * F.col("s_all").cast("double")
+    )
+    prior_den = (
+        F.lit(100.0)
+        * F.col("n_all").cast("double")
+        * (F.col("n_s") + F.lit(QPRIOR_K)).cast("double")
+    )
+    pri = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        F.round(
+            F.col("s_s").cast("double") / (F.lit(100.0) * F.col("n_s").cast("double")),
+            6,
+        ).alias("raw_mean_quality"),
+        F.round(prior_num / prior_den, 6).alias("prior_quality"),
+        F.round(
+            F.col("n_s").cast("double") / (F.col("n_s") + F.lit(QPRIOR_K)).cast("double"),
+            6,
+        ).alias("shrinkage_weight"),
+    )
+    below = (
+        hist.join(
+            F.broadcast(pri.select("source", "prior_quality")), "source"
+        )
+        .filter(F.col("centi").cast("double") < F.col("prior_quality") * 100.0)
+        .groupBy("source")
+        .agg(F.sum("cnt").cast("long").alias("docs_below_prior"))
+    )
+    return (
+        pri.join(below, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "raw_mean_quality",
+            "prior_quality",
+            "shrinkage_weight",
+            F.coalesce("docs_below_prior", F.lit(0)).cast("long").alias(
+                "docs_below_prior"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_QUALITY_PRIOR_SQL = rf"""
+WITH scored AS (
+  SELECT source,
+    (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+            BETWEEN 10 AND 1000 THEN 40 ELSE 0 END)
+    + (CASE WHEN len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+         t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t)))
+         / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')), 1)
+         > 0.01 THEN 30 ELSE 0 END)
+    + (CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+         / greatest(length(text), 1) < 0.1 THEN 30 ELSE 0 END) AS centi
+  FROM documents
+), hist AS (
+  SELECT source, centi, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM scored GROUP BY source, centi
+), per AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s,
+    CAST(SUM(CAST(centi AS BIGINT) * cnt) AS BIGINT) AS s_s
+  FROM hist GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS n_all, CAST(SUM(s_s) AS BIGINT) AS s_all
+  FROM per
+), pri AS (
+  SELECT source, n_s AS n_docs,
+    round(CAST(s_s AS DOUBLE) / (100.0 * CAST(n_s AS DOUBLE)), 6)
+      AS raw_mean_quality,
+    round((CAST(n_all AS DOUBLE) * CAST(s_s AS DOUBLE)
+           + {QPRIOR_K}.0 * CAST(s_all AS DOUBLE))
+        / (100.0 * CAST(n_all AS DOUBLE) * CAST(n_s + {QPRIOR_K} AS DOUBLE)), 6)
+      AS prior_quality,
+    round(CAST(n_s AS DOUBLE) / CAST(n_s + {QPRIOR_K} AS DOUBLE), 6)
+      AS shrinkage_weight
+  FROM per, tot
+), below AS (
+  SELECT h.source, CAST(SUM(h.cnt) AS BIGINT) AS docs_below_prior
+  FROM hist h JOIN pri p ON h.source = p.source
+  WHERE CAST(h.centi AS DOUBLE) < p.prior_quality * 100.0
+  GROUP BY h.source
+)
+SELECT pri.source, n_docs, raw_mean_quality, prior_quality, shrinkage_weight,
+  COALESCE(below.docs_below_prior, 0) AS docs_below_prior
+FROM pri LEFT JOIN below ON pri.source = below.source
+ORDER BY pri.source
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_weighted_by_quality": sample_weighted_by_quality,
@@ -1442,9 +1593,11 @@ QUERIES = {
     "source_quality_report": source_quality_report,
     "quality_vs_dup_calibration": quality_vs_dup_calibration,
     "cluster_safe_splits": cluster_safe_splits,
+    "domain_quality_prior_join": domain_quality_prior_join,
 }
 
 ORACLES = {
+    "domain_quality_prior_join": DOMAIN_QUALITY_PRIOR_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_weighted_by_quality": SAMPLE_WEIGHTED_SQL,
     "sample_bernoulli_by_lang": SAMPLE_BERNOULLI_SQL,

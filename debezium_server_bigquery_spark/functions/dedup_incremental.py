@@ -39,7 +39,10 @@ from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
     minhash_band_table,
     shingles,
 )
-from debezium_server_bigquery_spark.sources.tables import load_table
+from debezium_server_bigquery_spark.sources.tables import (
+    checkpoint_parquet,
+    load_table,
+)
 
 # Exact-Jaccard threshold for declaring a candidate a duplicate of the
 # corpus (stricter than the pair-mining threshold in dedup_fuzzy: admission
@@ -244,10 +247,116 @@ class MinHashBandIndex:
         )
 
 
+def dedup_cross_run_fingerprint_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run EXACT dedup against a persisted fingerprint store — the
+    incremental-corpus-refresh admission gate (VERDICT r11 ask #4): a new
+    crawl batch (odd doc_id) is checked against the fingerprints the LAST
+    run persisted (even doc_id), then deduplicated within itself, and the
+    per-source admission accounting is what a refresh pipeline reports.
+
+    Output per source: batch size, exact duplicates of the store, extra
+    in-batch copies (non-first occurrences of a fingerprint that is new to
+    the store), admitted novel docs, and the novelty rate.
+
+    Scale design (100 TB): the store is a PERSISTED one-column parquet
+    table of distinct md5 fingerprints (``checkpoint_parquet`` — built
+    once, re-read on every probe; in production it is the table the last
+    run wrote).  The probe is one equi-join on the fingerprint — the
+    batch shuffles once, the store never rebuilds — and the in-batch
+    first-occurrence pass is a map-side-combinable ``min(doc_id)`` per
+    fingerprint joined back on the same key (same exchange, AQE reuses
+    it).  Per-source counts are an O(sources) aggregate.  Companion to
+    :class:`MinHashBandIndex` (the NEAR-dup store): real refreshes run
+    the exact gate first because it is one hash cheaper per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # NULL text fingerprints as the empty document (package convention —
+    # see MinHashBandIndex.signatures).
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    store = checkpoint_parquet(
+        docs.filter(F.col("doc_id") % 2 == 0).select(fp.alias("fp")).distinct(),
+        "dsbq_fp_store_",
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", fp.alias("fp")
+    )
+    flagged = batch.join(
+        store.withColumn("in_store", F.lit(True)), "fp", "left"
+    ).select("doc_id", "source", "fp", F.coalesce("in_store", F.lit(False)).alias("dup_store"))
+    firsts = (
+        flagged.filter(~F.col("dup_store"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    lab = flagged.join(firsts, "fp", "left").select(
+        "source",
+        "dup_store",
+        (~F.col("dup_store") & (F.col("doc_id") != F.col("first_doc"))).alias(
+            "dup_batch"
+        ),
+    )
+    return (
+        lab.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("batch_docs"),
+            F.sum(F.when(F.col("dup_store"), 1).otherwise(0))
+            .cast("long")
+            .alias("dups_vs_store"),
+            F.sum(F.when(F.col("dup_batch"), 1).otherwise(0))
+            .cast("long")
+            .alias("dups_in_batch"),
+            F.sum(F.when(~F.col("dup_store") & ~F.col("dup_batch"), 1).otherwise(0))
+            .cast("long")
+            .alias("admitted"),
+        )
+        .select(
+            "source",
+            "batch_docs",
+            "dups_vs_store",
+            "dups_in_batch",
+            "admitted",
+            F.round(
+                F.col("admitted").cast("double") / F.col("batch_docs"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_CROSS_RUN_SQL = """
+WITH store AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS fp FROM documents WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, source, md5(coalesce(text, '')) AS fp
+  FROM documents WHERE doc_id % 2 = 1
+), flagged AS (
+  SELECT b.doc_id, b.source, b.fp, s.fp IS NOT NULL AS dup_store
+  FROM batch b LEFT JOIN store s USING (fp)
+), firsts AS (
+  SELECT fp, MIN(doc_id) AS first_doc FROM flagged WHERE NOT dup_store GROUP BY fp
+), lab AS (
+  SELECT f.source, f.dup_store,
+    (NOT f.dup_store AND f.doc_id <> fi.first_doc) AS dup_batch
+  FROM flagged f LEFT JOIN firsts fi USING (fp)
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS batch_docs,
+  CAST(SUM(CASE WHEN dup_store THEN 1 ELSE 0 END) AS BIGINT) AS dups_vs_store,
+  CAST(SUM(CASE WHEN dup_batch THEN 1 ELSE 0 END) AS BIGINT) AS dups_in_batch,
+  CAST(SUM(CASE WHEN NOT dup_store AND NOT dup_batch THEN 1 ELSE 0 END) AS BIGINT)
+    AS admitted,
+  round(CAST(SUM(CASE WHEN NOT dup_store AND NOT dup_batch THEN 1 ELSE 0 END)
+    AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+FROM lab GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_incremental_minhash": dedup_incremental_minhash,
+    "dedup_cross_run_fingerprint_store": dedup_cross_run_fingerprint_store,
 }
 
 ORACLES = {
     "dedup_incremental_minhash": DEDUP_INCREMENTAL_SQL,
+    "dedup_cross_run_fingerprint_store": DEDUP_CROSS_RUN_SQL,
 }

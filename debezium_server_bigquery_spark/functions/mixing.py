@@ -249,14 +249,103 @@ LIMIT {VOCAB_OVERLAP_TOP}
 """
 
 
+BUDGET_MULT = 2.0  # training-token budget as a multiple of corpus tokens
+EPOCH_CAP = 4.0  # flag domains drawn more than ~4 epochs (repetition decay)
+
+
+def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoching plan for a token-budgeted training mix: given the
+    temperature-scaled domain weights (same alpha as
+    :func:`mix_domain_weights`, but over BPE pretokens — the unit the
+    run actually spends) and a total budget of ``BUDGET_MULT`` x corpus
+    pretokens, how many tokens each source contributes and how many
+    EPOCHS of itself that draw implies.  Up-weighting a small domain is
+    how a mix silently repeats it 10x — and repeated data decays in value
+    well before that (the multi-epoch scaling literature puts the knee
+    near ~4 epochs), so the plan flags every source drawn past
+    ``EPOCH_CAP`` as needing either more data or a weight cap.
+
+    Scale design (100 TB): one codegen'd scan into an O(sources)
+    aggregate; the normalizer follows the mixing-module determinism
+    convention (pow rounded to 12 dp, summed as DECIMAL — order-
+    independent), and every downstream number is a fixed-order double
+    expression over those exact values."""
+    from debezium_server_bigquery_spark.functions.text import token_count_bpeish
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_bpeish(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    totals = per_src.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    powed = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "total_tokens",
+        F.round(
+            F.pow(F.col("n_tokens") / F.col("total_tokens"), F.lit(MIX_ALPHA)), 12
+        )
+        .cast(T.DecimalType(28, 12))
+        .alias("p_alpha"),
+    )
+    norm = powed.agg(F.sum("p_alpha").alias("z"))
+    weight = F.col("p_alpha").cast("double") / F.col("z").cast("double")
+    drawn = weight * F.lit(BUDGET_MULT) * F.col("total_tokens").cast("double")
+    epochs = drawn / F.col("n_tokens").cast("double")
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(weight, 6).alias("weight"),
+            F.round(drawn, 2).alias("tokens_drawn"),
+            F.round(epochs, 6).alias("epochs"),
+            (epochs > F.lit(EPOCH_CAP)).alias("over_epoch_cap"),
+        )
+        .orderBy("source")
+    )
+
+
+EPOCH_REPETITION_SQL = rf"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)))
+      AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), powed AS (
+  SELECT source, n_docs, n_tokens,
+    (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per_src) AS total_tokens,
+    CAST(round(pow(n_tokens / (SELECT SUM(n_tokens) FROM per_src), {MIX_ALPHA}), 12)
+         AS DECIMAL(28,12)) AS p_alpha
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+  round(CAST(p_alpha AS DOUBLE) / CAST((SELECT SUM(p_alpha) FROM powed) AS DOUBLE), 6)
+    AS weight,
+  round(CAST(p_alpha AS DOUBLE) / CAST((SELECT SUM(p_alpha) FROM powed) AS DOUBLE)
+        * {BUDGET_MULT} * CAST(total_tokens AS DOUBLE), 2) AS tokens_drawn,
+  round(CAST(p_alpha AS DOUBLE) / CAST((SELECT SUM(p_alpha) FROM powed) AS DOUBLE)
+        * {BUDGET_MULT} * CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+    AS epochs,
+  CAST(p_alpha AS DOUBLE) / CAST((SELECT SUM(p_alpha) FROM powed) AS DOUBLE)
+        * {BUDGET_MULT} * CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+    > {EPOCH_CAP} AS over_epoch_cap
+FROM powed ORDER BY source
+"""
+
+
 QUERIES = {
     "mix_domain_weights": mix_domain_weights,
     "curate_canonical_docs": curate_canonical_docs,
     "source_vocab_overlap": source_vocab_overlap,
+    "epoch_repetition_plan": epoch_repetition_plan,
 }
 
 ORACLES = {
     "mix_domain_weights": MIX_DOMAIN_WEIGHTS_SQL,
     "curate_canonical_docs": CURATE_CANONICAL_SQL,
     "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
+    "epoch_repetition_plan": EPOCH_REPETITION_SQL,
 }

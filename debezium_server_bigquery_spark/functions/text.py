@@ -839,6 +839,171 @@ FROM hit ORDER BY doc_id
 """
 
 
+FERTILITY_DRIFT_MAX_RATIO = 1.05  # gate: |fertility / leave-one-out| band
+
+
+def tokenizer_fertility_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility DRIFT gate by source (VERDICT r11 ask #4): each
+    source's pretokens-per-word against the leave-one-out corpus baseline
+    (the other sources' pooled fertility), flagging sources whose ratio
+    leaves the ±5 % band.  :func:`tokenizer_fertility_by_lang` is the
+    per-language cost SNAPSHOT; this is the per-ingest-source regression
+    GATE — a crawl source whose fertility jumps is serving different
+    content (markup, another language, encoding junk) and will silently
+    distort a token-budgeted mix if admitted unchecked.
+
+    Scale design (100 TB): one scan with the token counting fused into
+    whole-stage codegen (no explode), one O(sources) aggregate, one
+    broadcast of the one-row global totals.  The leave-one-out baseline
+    is (total − own) on exact BIGINT sums — no second pass.  The drift
+    ratio is a FIXED expression tree over those exact integers
+    ((p_s·w_rest)/(w_s·p_rest) as one double division), so it is
+    bit-identical cross-engine; only order-dependent float SUMs need the
+    decimal convention (plans/analytics.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(word_count(F.col("text"))).cast("long").alias("w_s"),
+        F.sum(token_count_bpeish(F.col("text"))).cast("long").alias("p_s"),
+    )
+    glob = per.agg(
+        F.sum("w_s").cast("long").alias("w_all"),
+        F.sum("p_s").cast("long").alias("p_all"),
+    )
+    ratio = (
+        F.col("p_s").cast("double") * (F.col("w_all") - F.col("w_s")).cast("double")
+    ) / F.nullif(
+        F.col("w_s").cast("double") * (F.col("p_all") - F.col("p_s")).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            F.col("w_s").alias("total_words"),
+            F.col("p_s").alias("total_pretokens"),
+            F.round(
+                F.col("p_s").cast("double") / F.nullif(F.col("w_s").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("fertility"),
+            F.round(
+                (F.col("p_all") - F.col("p_s")).cast("double")
+                / F.nullif((F.col("w_all") - F.col("w_s")).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("baseline_fertility"),
+            F.round(ratio, 6).alias("drift_ratio"),
+            (
+                F.greatest(ratio, F.lit(1.0) / ratio)
+                > F.lit(FERTILITY_DRIFT_MAX_RATIO)
+            ).alias("drift_flag"),
+        )
+        .orderBy("source")
+    )
+
+
+FERTILITY_DRIFT_SQL = rf"""
+WITH per AS (
+  SELECT source,
+    CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')))
+      AS BIGINT) AS w_s,
+    CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)))
+      AS BIGINT) AS p_s
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(w_s) AS BIGINT) AS w_all, CAST(SUM(p_s) AS BIGINT) AS p_all
+  FROM per
+)
+SELECT source,
+  w_s AS total_words,
+  p_s AS total_pretokens,
+  round(CAST(p_s AS DOUBLE) / nullif(CAST(w_s AS DOUBLE), 0.0), 6) AS fertility,
+  round(CAST(p_all - p_s AS DOUBLE) / nullif(CAST(w_all - w_s AS DOUBLE), 0.0), 6)
+    AS baseline_fertility,
+  round(CAST(p_s AS DOUBLE) * CAST(w_all - w_s AS DOUBLE)
+    / nullif(CAST(w_s AS DOUBLE) * CAST(p_all - p_s AS DOUBLE), 0.0), 6)
+    AS drift_ratio,
+  greatest(
+    CAST(p_s AS DOUBLE) * CAST(w_all - w_s AS DOUBLE)
+      / nullif(CAST(w_s AS DOUBLE) * CAST(p_all - p_s AS DOUBLE), 0.0),
+    1.0 / (CAST(p_s AS DOUBLE) * CAST(w_all - w_s AS DOUBLE)
+      / nullif(CAST(w_s AS DOUBLE) * CAST(p_all - p_s AS DOUBLE), 0.0))
+  ) > {FERTILITY_DRIFT_MAX_RATIO} AS drift_flag
+FROM per, tot ORDER BY source
+"""
+
+
+CONTEXT_WINDOWS = [128, 512, 2048, 8192]  # pretoken context lengths
+
+
+def context_window_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length budget planner: for each candidate context window,
+    how many documents overflow it and what fraction of corpus pretokens a
+    truncate-at-window policy would discard — the first number a training
+    run needs when choosing sequence length (too short burns data via
+    truncation, too long burns compute via padding; the companion packing
+    operators in packing.py address the padding side).
+
+    Scale design (100 TB): per-doc token counting fused into whole-stage
+    codegen, then a 4x fan-out of ONE narrow int column (explode of a
+    4-element literal array — not a 4x scan) into a 4-group map-side-
+    combinable aggregate of exact BIGINT sums.  Ratios are fixed-order
+    double divisions of those exact sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(token_count_bpeish(F.col("text")).alias("n_bpe"))
+    ex = per.select(
+        "n_bpe",
+        F.explode(
+            F.array(*[F.lit(w) for w in CONTEXT_WINDOWS])
+        ).alias("window_tokens"),
+    )
+    agg = ex.groupBy("window_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_bpe") > F.col("window_tokens"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_truncated"),
+        F.sum("n_bpe").cast("long").alias("total_pretokens"),
+        F.sum(F.least(F.col("n_bpe"), F.col("window_tokens")))
+        .cast("long")
+        .alias("pretokens_kept"),
+    )
+    return agg.select(
+        "window_tokens",
+        "n_docs",
+        "docs_truncated",
+        "total_pretokens",
+        "pretokens_kept",
+        F.round(
+            F.col("docs_truncated").cast("double") / F.col("n_docs"), 6
+        ).alias("pct_docs_truncated"),
+        F.round(
+            (F.col("total_pretokens") - F.col("pretokens_kept")).cast("double")
+            / F.col("total_pretokens"),
+            6,
+        ).alias("token_loss_pct"),
+    ).orderBy("window_tokens")
+
+
+CONTEXT_WINDOW_SQL = rf"""
+WITH per AS (
+  SELECT len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe
+  FROM documents
+), ex AS (
+  SELECT n_bpe, window_tokens
+  FROM per, (SELECT UNNEST([{", ".join(str(w) for w in CONTEXT_WINDOWS)}]) AS window_tokens) win
+)
+SELECT CAST(window_tokens AS INTEGER) AS window_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n_bpe > window_tokens THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_truncated,
+  CAST(SUM(n_bpe) AS BIGINT) AS total_pretokens,
+  CAST(SUM(least(n_bpe, window_tokens)) AS BIGINT) AS pretokens_kept,
+  round(CAST(SUM(CASE WHEN n_bpe > window_tokens THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*), 6) AS pct_docs_truncated,
+  round(CAST(SUM(n_bpe) - SUM(least(n_bpe, window_tokens)) AS DOUBLE)
+    / SUM(n_bpe), 6) AS token_loss_pct
+FROM ex GROUP BY window_tokens ORDER BY window_tokens
+"""
+
+
 QUERIES = {
     "text_kwic_contexts": text_kwic_contexts,
     "text_bigram_perplexity": text_bigram_perplexity,
@@ -853,9 +1018,13 @@ QUERIES = {
     "docs_by_lang_summary": docs_by_lang_summary,
     "text_repetition_score": text_repetition_score,
     "text_contamination_check": text_contamination_check,
+    "tokenizer_fertility_drift_gate": tokenizer_fertility_drift_gate,
+    "context_window_utilization": context_window_utilization,
 }
 
 ORACLES = {
+    "tokenizer_fertility_drift_gate": FERTILITY_DRIFT_SQL,
+    "context_window_utilization": CONTEXT_WINDOW_SQL,
     "text_kwic_contexts": TEXT_KWIC_SQL,
     "text_bigram_perplexity": TEXT_PERPLEXITY_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
