@@ -38,7 +38,10 @@ from debezium_server_bigquery_spark.functions.dedup_clusters import (
 )
 from debezium_server_bigquery_spark.functions.dedup_fuzzy import dedup_minhash_lsh
 from debezium_server_bigquery_spark.functions.text import word_count
-from debezium_server_bigquery_spark.sources.tables import load_table
+from debezium_server_bigquery_spark.sources.tables import (
+    checkpoint_parquet,
+    load_table,
+)
 
 MIX_ALPHA = 0.3  # temperature: 1.0 = proportional, 0.0 = uniform
 
@@ -50,9 +53,18 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's raw token share and weight the renormalized p_raw^alpha.
     """
     docs = load_table(spark, sf_dir, "documents")
-    per_src = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(word_count(F.col("text"))).alias("n_tokens"),
+    # checkpoint: the O(sources) aggregate is derived THREE more times
+    # below (totals, the powed projection, the normalizer) and the
+    # crossJoin(broadcast(agg)) chain re-executes the corpus scan + the
+    # regexp tokenization once per derivation level (AQE's exchange
+    # reuse does not cover the broadcast subtrees — measured 1.8x on
+    # this query at sf0.1, round 12; see tools/scan_repeat_scans.py).
+    per_src = checkpoint_parquet(
+        docs.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(word_count(F.col("text"))).alias("n_tokens"),
+        ),
+        "dsbq_mix_per_src_",
     )
     totals = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
     # p^alpha rounded to 12 dp then summed exactly as DECIMAL: the
@@ -180,13 +192,18 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes join back as a broadcast (|sources| rows).  All floats are
     final ratios of exact counts."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sw = (
+    # checkpoint: the postings table feeds three branches (vocab sizes
+    # and both self-join sides) — without it each branch re-runs the
+    # explode + distinct over the corpus.  Output is bounded by
+    # Σ per-source vocab (metadata-sized next to the corpus).
+    sw = checkpoint_parquet(
         docs.select(
             "source",
             F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
         )
         .filter(F.length("word") > 0)
-        .distinct()
+        .distinct(),
+        "dsbq_vocab_postings_",
     )
     vocab = sw.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
     a = sw.select(F.col("source").alias("source_a"), "word")
@@ -273,9 +290,14 @@ def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_bigquery_spark.functions.text import token_count_bpeish
 
     docs = load_table(spark, sf_dir, "documents")
-    per_src = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(token_count_bpeish(F.col("text"))).cast("long").alias("n_tokens"),
+    # checkpoint: same derived-aggregate chain as mix_domain_weights —
+    # without it the BPE-pretoken scan runs once per derivation level.
+    per_src = checkpoint_parquet(
+        docs.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_bpeish(F.col("text"))).cast("long").alias("n_tokens"),
+        ),
+        "dsbq_epoch_per_src_",
     )
     totals = per_src.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
     powed = per_src.crossJoin(F.broadcast(totals)).select(

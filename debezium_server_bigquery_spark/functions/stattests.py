@@ -792,11 +792,23 @@ def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_quality_score,
     )
 
+    from debezium_server_bigquery_spark.sources.tables import (
+        checkpoint_parquet,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
     q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    base = docs.join(q, "doc_id")
+    # checkpoint: base feeds THREE branches (both midrank tables and the
+    # final join) and its lineage is the full quality scan — regexp
+    # tokenization plus ordered_output's exchange — which would re-run
+    # per branch (measured 2.3x on this query at sf0.1, round 12; the
+    # derived-aggregate-chain pathology, tools/scan_repeat_scans.py).
+    # The checkpoint is the narrow 4-scalar doc-level projection: at
+    # 100 TB that is a per-doc-row table, the sanctioned data-sized
+    # substrate shape (same contract as the graph adjacency lists).
+    base = checkpoint_parquet(docs.join(q, "doc_id"), "dsbq_spearman_base_")
 
     def midranks(df: DataFrame, col: str, out: str) -> DataFrame:
         g = df.groupBy("lang", col).agg(

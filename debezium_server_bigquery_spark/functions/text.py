@@ -860,10 +860,19 @@ def tokenizer_fertility_drift_gate(spark: SparkSession, sf_dir: str) -> DataFram
     ((p_s·w_rest)/(w_s·p_rest) as one double division), so it is
     bit-identical cross-engine; only order-dependent float SUMs need the
     decimal convention (plans/analytics.py)."""
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
     docs = load_table(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.sum(word_count(F.col("text"))).cast("long").alias("w_s"),
-        F.sum(token_count_bpeish(F.col("text"))).cast("long").alias("p_s"),
+    # checkpoint: the totals branch and the final projection each derive
+    # this O(sources) aggregate — without the checkpoint the broadcast
+    # subtree re-runs the two tokenizations over the corpus (the
+    # derived-aggregate-chain pathology, tools/scan_repeat_scans.py).
+    per = checkpoint_parquet(
+        docs.groupBy("source").agg(
+            F.sum(word_count(F.col("text"))).cast("long").alias("w_s"),
+            F.sum(token_count_bpeish(F.col("text"))).cast("long").alias("p_s"),
+        ),
+        "dsbq_fert_drift_per_",
     )
     glob = per.agg(
         F.sum("w_s").cast("long").alias("w_all"),
