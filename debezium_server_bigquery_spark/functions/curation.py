@@ -459,6 +459,11 @@ def term_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     not per side.  The corpus size joins in as a one-row broadcast
     aggregate (the events_drift_report bounds pattern) instead of a
     ``docs.count()`` driver action, keeping the whole query one plan."""
+    # NOTE (round 12, measured): do NOT checkpoint vocab/doc_terms here —
+    # the doc-keyed self-join's exchange is AQE-reused and the broadcast
+    # vocab subtree reuses its stage, so the inline form is one tokenize
+    # pass already; a checkpointed-postings variant measured 1.445 s vs
+    # 1.245 s inline at sf0.1 (extra write + read stages, no saved work).
     vocab = vocab_top_terms(spark, sf_dir)  # (term, doc_freq), K rows
     docs = load_table(spark, sf_dir, "documents", spread=True)
     n = docs.agg(F.count("*").alias("n_docs"))  # one-row bounds broadcast
@@ -631,6 +636,12 @@ def term_ppmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each product of two 6-dp values has exactly 12 decimal digits, so
     the cast is exact and the sum associative — the graph.py pattern);
     the final cosine is one division over two correctly-rounded sqrts."""
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
+    # inline vocab/doc_terms on purpose — see the term_collocations_lift
+    # note: the self-join exchange is AQE-reused, a postings checkpoint
+    # measured slower.  The wins here are the upper/vecs checkpoints
+    # below, which cut the DERIVATION levels (sym x2, vecs x3).
     vocab = vocab_top_terms(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", spread=True)
     n = docs.agg(F.count("*").alias("n_docs"))  # one-row bounds broadcast
@@ -645,7 +656,12 @@ def term_ppmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "doc_freq")
     )
     a, b = doc_terms.alias("a"), doc_terms.alias("b")
-    upper = (
+    # checkpoint: upper is K^2-bounded (<= VOCAB_TOP_K^2 rows) but feeds
+    # FOUR derivations (both sym halves, then vecs -> norms and both
+    # cosine sides) — without the checkpoint each branch re-runs the
+    # corpus explode + the doc-keyed self-join (the derived-aggregate
+    # chain pathology, tools/scan_repeat_scans.py; round 12).
+    upper = checkpoint_parquet(
         a.join(
             b,
             (F.col("a.doc_id") == F.col("b.doc_id"))
@@ -657,7 +673,8 @@ def term_ppmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first(F.col("a.doc_freq")).alias("df_t"),
             F.first(F.col("b.doc_freq")).alias("df_c"),
         )
-        .filter(F.col("n_tc") >= COLLOC_MIN_SUPPORT)
+        .filter(F.col("n_tc") >= COLLOC_MIN_SUPPORT),
+        "dsbq_ppmi_upper_",
     )
     # symmetrize: each undirected co-occurrence feeds both terms' vectors
     sym = upper.unionByName(
@@ -669,14 +686,21 @@ def term_ppmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df_t").alias("df_c"),
         )
     )
-    vecs = sym.crossJoin(F.broadcast(n)).select(
-        "t",
-        "c",
-        F.round(
-            (F.col("n_tc") * F.col("n_docs")).cast("double")
-            / (F.col("df_t") * F.col("df_c")),
-            6,
-        ).alias("w"),
+    # second checkpoint: vecs feeds norms plus BOTH cosine sides, and
+    # each copy would re-plan the broadcast(n) subtree — a count-only
+    # documents scan per copy (4 residual corpus scans observed in the
+    # warm plan with only the upper checkpoint).  vecs is K^2-bounded.
+    vecs = checkpoint_parquet(
+        sym.crossJoin(F.broadcast(n)).select(
+            "t",
+            "c",
+            F.round(
+                (F.col("n_tc") * F.col("n_docs")).cast("double")
+                / (F.col("df_t") * F.col("df_c")),
+                6,
+            ).alias("w"),
+        ),
+        "dsbq_ppmi_vecs_",
     )
     norms = vecs.groupBy("t").agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(30,12)")).alias("sq")
