@@ -263,16 +263,35 @@ def supplier_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree capped, never |suppliers|²; the aggregate and both degree
     counts are map-side-combinable integers, so every float is a final
     ratio of exact longs (deterministic cross-engine)."""
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+    # checkpoint: pairs feeds the degree-cap filter AND kept, and kept
+    # feeds THREE branches (deg_s and both self-join sides) — without
+    # the checkpoints each branch re-runs the orders x lineitem join
+    # (8 static lineitem scans; the derived-aggregate chain pathology,
+    # tools/scan_repeat_scans.py).  Both tables are the narrow distinct
+    # (customer, supplier) edge list — far smaller than lineitem.
+    # Measured 3.59 s -> 1.3 s at sf0.1 (round 12).
+    pairs = checkpoint_parquet(
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .distinct(),
+        "dsbq_cooc_pairs_",
     )
     deg_c = pairs.groupBy("c").agg(F.count("*").alias("c_deg"))
-    kept = pairs.join(
-        F.broadcast(deg_c.filter(F.col("c_deg") <= COOC_MAX_DEG).select("c")), "c"
+    # repartition before the write: AQE coalesces the filtered join to a
+    # handful of output files, and the Σ deg(c)² self-join downstream
+    # inherits that file count as its scan parallelism — measured 5-task
+    # stages on a 32-core session.  Hash on the join key at the session's
+    # parallelism so the expensive pair stage fans out fully.
+    kept = checkpoint_parquet(
+        pairs.join(
+            F.broadcast(deg_c.filter(F.col("c_deg") <= COOC_MAX_DEG).select("c")),
+            "c",
+        ).repartition(spark.sparkContext.defaultParallelism, "c"),
+        "dsbq_cooc_kept_",
     )
     deg_s = kept.groupBy("s").agg(F.count("*").alias("deg"))
     a = kept.select(F.col("c"), F.col("s").alias("s1"))
