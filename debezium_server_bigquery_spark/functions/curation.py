@@ -378,10 +378,10 @@ def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the draw is an integer hash; the keep probability is
     the rounded quality score — both engines evaluate the identical
     double comparison, so selection is bit-identical."""
-    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.functions.text import quality_scores
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     draw = F.pmod(
         hash60(F.concat(F.lit("wq:"), F.col("doc_id"))), F.lit(_RATE_SCALE)
     )
@@ -559,10 +559,10 @@ def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank is recovered by subtracting the language's minimum global rank —
     a LANG-cardinality broadcast join.  Exact, deterministic, and every
     stage is parallel over the full cluster."""
-    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.functions.text import quality_scores
     from debezium_server_bigquery_spark.operators.rank import global_row_number
 
-    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     scored = docs.join(q, "doc_id")
     ranked = global_row_number(
@@ -1248,13 +1248,13 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     CORPUS-wide (a mirror's copies live in other sources), which is
     exactly why it cannot be computed per-source-locally and the hash
     index join exists."""
-    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.functions.text import quality_scores
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.md5("text").alias("h")
     )
     idx = docs.groupBy("h").agg(F.count("*").alias("n_copies"))
-    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     joined = docs.join(idx, "h").join(q, "doc_id")
     total = docs.agg(F.count("*").alias("n_total"))
     return (
@@ -1323,10 +1323,10 @@ def quality_vs_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast), so bucket membership is engine-exact; the dup flag joins
     the same text-hash index as ``source_quality_report``.  Output is 10
     rows of integer counts and one rounded division each."""
-    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.functions.text import quality_scores
     from debezium_server_bigquery_spark.operators.rank import global_row_number
 
-    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     ranked = global_row_number(
         q, [F.asc("quality_score"), F.asc("doc_id")], out="r"
     )

@@ -50,10 +50,10 @@ def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_tokens,
         doc_lm_scores,
     )
-    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.functions.text import quality_scores
     from debezium_server_bigquery_spark.operators.rank import global_row_number
 
-    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     # checkpoint: the LM scorer's three consumers (pair counts, vocab,
     # probe) scan the materialized token arrays — one documents.text scan
     # and no lingering InMemoryRelation, same fix as doc_lm_quality_bottomk
@@ -179,13 +179,13 @@ def rbo_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the depth explosion is bounded by K·K rows per language.
     Exactness: depth weights are fixed 18-dp DECIMAL literals summed
     exactly (order-independent); the only float is the final cast."""
-    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.functions.text import quality_scores
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     j = docs.join(q, "doc_id")
     wa = Window.partitionBy("lang").orderBy(
         F.desc("quality_score"), F.asc("doc_id")

@@ -118,9 +118,21 @@ def pq_encode(vectors: DataFrame, codebook: DataFrame) -> DataFrame:
 
 def _adc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, vec_id, adc_dist) — PQ asymmetric distances of every
-    corpus vector to the 10 standard queries (self excluded)."""
+    corpus vector to the 10 standard queries (self excluded).
+
+    Substrate checkpoints (round 12, measured): the codebook feeds both
+    the encode and the LUT — inline, each broadcast subtree re-ran the
+    full-embeddings centroid pass (the derived-aggregate chain
+    pathology, tools/scan_repeat_scans.py); and the ADC table itself is
+    the shared substrate of ann_pq_adc_topk AND ann_pq_rerank, so the
+    expensive encode (n x M x K distance evaluations) runs once per
+    session instead of once per query.  cb is O(metadata) (M x K
+    codewords); adc is n x |queries| narrow rows — the \"stored codes
+    table\" a production PQ deployment keeps anyway."""
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    cb = pq_codebook(emb)
+    cb = checkpoint_parquet(pq_codebook(emb), "dsbq_pq_cb_")
     codes = pq_encode(emb, cb)
     lut = _subspace_dists(emb.filter(F.col("vec_id") < PQ_N_QUERIES), cb).select(
         F.col("vec_id").alias("query_id"),
@@ -128,7 +140,7 @@ def _adc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         F.col("dist").alias("qdist"),
     )
-    return (
+    return checkpoint_parquet(
         codes.join(broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
@@ -136,7 +148,8 @@ def _adc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("qdist").cast("decimal(20,10)"))
             .cast("double")
             .alias("adc_dist")
-        )
+        ),
+        "dsbq_pq_adc_",
     )
 
 

@@ -209,7 +209,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_bigquery_spark.functions.dedup_fuzzy import (
         dedup_minhash_lsh,
     )
-    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.functions.text import quality_scores
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     w_dup = Window.partitionBy(F.md5("text"))
@@ -223,7 +223,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep_cluster")
     )
-    quality = text_quality_score(spark, sf_dir).select(
+    quality = quality_scores(spark, sf_dir).select(
         "doc_id", (F.col("quality_score") >= QUALITY_CUT).alias("keep_quality")
     )
     contaminated = (

@@ -788,10 +788,7 @@ def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, value) equi-joins against those grouped tables; ρ is Pearson
     on the integer doubled-midranks via DECIMAL(38,0) moments with one
     final double division."""
-    from debezium_server_bigquery_spark.functions.text import (
-        text_quality_score,
-    )
-
+    from debezium_server_bigquery_spark.functions.text import quality_scores
     from debezium_server_bigquery_spark.sources.tables import (
         checkpoint_parquet,
     )
@@ -799,7 +796,7 @@ def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     # checkpoint: base feeds THREE branches (both midrank tables and the
     # final join) and its lineage is the full quality scan — regexp
     # tokenization plus ordered_output's exchange — which would re-run

@@ -451,10 +451,10 @@ def select_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sum over the (quality desc, doc_id) total order
     (operators/rank.global_prefix_sum), never a single-partition window.
     Output is the per-language balance of the selected slice."""
-    from debezium_server_bigquery_spark.functions.text import text_quality_score
+    from debezium_server_bigquery_spark.functions.text import quality_scores
     from debezium_server_bigquery_spark.operators.rank import global_prefix_sum
 
-    q = text_quality_score(spark, sf_dir).select(
+    q = quality_scores(spark, sf_dir).select(
         "doc_id", "n_words", "quality_score"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
