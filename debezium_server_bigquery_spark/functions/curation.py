@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from debezium_server_bigquery_spark.functions.dedup_fuzzy import _hash60_sql, hash60, words
+from debezium_server_bigquery_spark.functions.text import STOPWORDS
 from debezium_server_bigquery_spark.operators.rank import ordered_output
 from debezium_server_bigquery_spark.sources.tables import load_table
 
@@ -1552,13 +1553,18 @@ def domain_quality_prior_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stopword list interpolated from the single definition in functions/text.py
+# (ADVICE r12: a hardcoded copy here would silently desync the oracle from
+# the Spark twin if STOPWORDS ever changed).
+_STOPWORDS_SQL_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
 DOMAIN_QUALITY_PRIOR_SQL = rf"""
 WITH scored AS (
   SELECT source,
     (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
             BETWEEN 10 AND 1000 THEN 40 ELSE 0 END)
     + (CASE WHEN len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
-         t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t)))
+         t -> list_contains([{_STOPWORDS_SQL_LIST}], t)))
          / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')), 1)
          > 0.01 THEN 30 ELSE 0 END)
     + (CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))

@@ -33,6 +33,7 @@ def get_spark(
     - Arrow enabled: any unavoidable Python stage is Arrow-batched.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
@@ -63,7 +64,7 @@ def get_spark(
         # The driver's events.parquet stores ts as TIMESTAMP(NANOS); Spark
         # has no nanos timestamp — read as long, converted in sources/tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", driver_mem)
         # Wide codegen'd plans (60-col simhash votes, 12-hash minhash) churn
         # the default 100-entry generated-class cache and the JVM's JIT code
         # cache; a workload of ~20 distinct plans then re-compiles classes it
@@ -75,8 +76,20 @@ def get_spark(
         # queries; a deeper pool drains the queue alongside execution
         # (measured: headline bench 17.5 s -> 13.4 s, spike tail gone).
         .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # -Xms = -Xmx + AlwaysPreTouch: allocation-heavy stages (interpreted
+        # higher-order array expressions, wide aggregation buffers) drive the
+        # young gen at 10+ GB/s, and a heap the JVM grows/shrinks on demand
+        # re-faults pages through the hypervisor constantly — measured on the
+        # round-13 host (Firecracker VM) as identical back-to-back HOF-heavy
+        # jobs swinging 2.3 s <-> 78 s with GC pauses accounting for <10% of
+        # it (the rest is page-fault stalls inside allocation).  Pre-touching
+        # a fixed heap once at startup made the same workload a stable 2.1-
+        # 2.4 s (docs/OPTIMIZATION_r13 §Inherited state).  Same reasoning as
+        # production: long-running executors run steadiest with Xms=Xmx, at
+        # the cost of ~1 s extra startup to fault the heap in.
         .config(
             "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch "
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing -XX:CICompilerCount=16",
         )
         .config("spark.ui.enabled", "false")

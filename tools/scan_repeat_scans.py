@@ -37,7 +37,6 @@ SF_DIR = "/root/testdata/sf0.001"
 
 EXPENSIVE = ("documents", "lineitem", "orders", "events", "embeddings")
 
-_SCAN_RE = re.compile(r"Scan parquet[^\[\n]*\[[^\]]*\]\s*(?:Batched|[A-Za-z])")
 _PATH_RE = re.compile(r"Location:.*?/(\w+)\.parquet")
 
 
