@@ -351,6 +351,11 @@ LIMIT {COOC_TOP}
 
 
 TRI_MAX_ORDER_SUPPLIERS = 32  # orders touching more suppliers don't pair
+# Widest dense-path bitset (in 64-bit words) that unrolls to an explicit
+# codegen'd sum of bit_count terms; beyond it the HOF fold remains (a
+# words>256 dense graph needs >16M nodes at >=25% density — see the
+# dense-gate bound in supplier_triangle_census).
+_EXPAND_CAP = 256
 
 
 def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,21 +515,30 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     a BITSET (array<long> of L words) and the per-edge intersection is
     Σ bit_count(x & y), ~64 candidate neighbors per word operation
     instead of one hash probe per element (measured 19 s → see
-    BENCH_NOTES_r11).  Scale argument: density ≥ 25% forces
-    n ≤ max_id+1 ≤ √(8m), so TOTAL bitset bytes n·L·8 ≤ (max_id+1)²/8
-    ≤ m bytes — never larger than the edge list itself; a sparse or
-    huge-id graph fails the gate and keeps the ``array_intersect``
-    path, whose footprint is the adjacency lists alone.  The gate reads
-    two O(1) scalars (m, max node id) from one aggregate over the
-    checkpointed edge substrate — bounded-collect: one row, two longs.
+    BENCH_NOTES_r11).  Since round 13 the bitsets are BUILT by a
+    map-side-combinable ``bit_or`` aggregate over (node, word) — whole-
+    stage codegen, no per-neighbor array allocation — and the per-edge
+    intersection is an UNROLLED sum of ``bit_count(bits_u[i] &
+    bits_v[i])`` terms (codegen'd integer arithmetic; the r12
+    interpreted aggregate/zip_with fold was 6.5 s of the 7.2 s warm run
+    on the r13 host, 0.27 s after — OPTIMIZATION_r13.md).  Scale
+    argument: density ≥ 25% forces n ≤ max_id+1 ≤ √(8m), so TOTAL
+    bitset bytes n·L·8 ≤ (max_id+1)²/8 ≤ m bytes — never larger than
+    the edge list itself; a sparse or huge-id graph fails the gate and
+    keeps the ``array_intersect`` path, whose footprint is the
+    adjacency lists alone.  The gate reads two O(1) scalars (m, max
+    node id) from one aggregate over the checkpointed edge substrate —
+    bounded-collect: one row, two longs.
 
     The edge list feeds FOUR plan branches (degree build, orientation,
     triangle-closing intersections, edge count); Catalyst does not CSE
     across branches, so the within-order pair builder would otherwise
     execute 4x per action — materialize it once to the reliable
-    scratch-parquet checkpoint (same substrate as k-core).  The
-    oriented out-adjacency table likewise feeds two join branches and
-    is edge-sized in total entries, so it checkpoints too."""
+    scratch-parquet checkpoint (same substrate as k-core).  The n-row
+    bitset table (dense) / oriented out-adjacency table (sparse)
+    likewise feeds BOTH sides of the triangle-closing join and is
+    node/edge-sized, so it checkpoints too — without that the whole
+    bitset build lineage executes once per join side."""
     from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
 
     edges = checkpoint_parquet(_cosupply_edges(spark, sf_dir), "dsbq_cosupply_")
@@ -549,10 +563,6 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v"),
         )
     )
-    adj = checkpoint_parquet(
-        oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs")),
-        "dsbq_cosupply_",
-    )
     stats = edges.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.coalesce(F.max(F.greatest("a", "b")), F.lit(-1))
@@ -565,21 +575,67 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (max_id >> 6) + 1 if max_id >= 0 else 0
     dense = m_cnt > 0 and words <= 1024 and (max_id + 1) ** 2 <= 8 * m_cnt
     if dense:
-        bits = adj.select(
+        # Round-13 (guide §1.2 per-task work + §2.4 shared subtrees): the
+        # r12 form folded each adjacency list into a bitset with an
+        # interpreted aggregate/transform lambda PER NEIGHBOR (allocating
+        # a fresh words-long array per step), computed the fold TWICE (one
+        # copy per join side — Catalyst does not CSE across branches), and
+        # intersected with another interpreted per-edge fold.  Measured at
+        # sf0.1 on the r13 host: the triangle stage alone was 6.5 s of the
+        # 7.2 s warm run.  Now (1) the bitset build is a map-side-
+        # combinable bit_or aggregate over (u, word) — whole-stage codegen,
+        # no per-neighbor array allocation; (2) the n-row bitset table is
+        # checkpointed, so both join sides SCAN it instead of recomputing;
+        # (3) the per-edge intersection unrolls to a fixed sum of
+        # bit_count(bits_u[i] & bits_v[i]) terms — plain codegen'd integer
+        # arithmetic, bit-identical to the fold (exact integer sum).
+        # Measured: triangle stage 6.5 s -> 0.27 s, census warm
+        # 7.2 s -> 1.5 s.  Beyond _EXPAND_CAP words the unrolled
+        # projection would strain codegen method limits; the (rare) huge-
+        # word dense graph keeps the HOF fold, documented fallback.
+        word_bits = oriented.select(
             "u",
-            F.expr(
-                f"aggregate(nbrs, array_repeat(0L, {words}), (acc, x) -> "
-                "transform(acc, (w, i) -> IF(i = CAST(x DIV 64 AS INT), "
-                "w | shiftleft(1L, CAST(x % 64 AS INT)), w)))"
-            ).alias("bits"),
+            F.expr("CAST(v DIV 64 AS INT)").alias("w"),
+            F.expr("shiftleft(1L, CAST(v % 64 AS INT))").alias("b"),
         )
+        packed = (
+            word_bits.groupBy("u", "w")
+            .agg(F.expr("bit_or(b)").alias("wb"))
+            .groupBy("u")
+            .agg(F.map_from_entries(F.collect_list(F.struct("w", "wb"))).alias("wm"))
+            .select(
+                "u",
+                F.expr(
+                    f"transform(sequence(0, {words - 1}), "
+                    "i -> coalesce(wm[i], 0L))"
+                ).alias("bits"),
+            )
+        )
+        bits = checkpoint_parquet(packed, "dsbq_cosupply_")
         au = bits.select(F.col("u").alias("ju"), F.col("bits").alias("bits_u"))
         av = bits.select(F.col("u").alias("jv"), F.col("bits").alias("bits_v"))
-        per_edge = F.expr(
-            "aggregate(zip_with(bits_u, bits_v, (x, y) -> bit_count(x & y)),"
-            " 0L, (a, c) -> a + c)"
-        )
+        if words <= _EXPAND_CAP:
+            per_edge = sum(
+                (
+                    F.bit_count(
+                        F.col("bits_u").getItem(i).bitwiseAND(
+                            F.col("bits_v").getItem(i)
+                        )
+                    ).cast("long")
+                    for i in range(words)
+                ),
+                F.lit(0).cast("long"),
+            )
+        else:  # pragma: no cover - words>256 needs a >16M-node dense graph
+            per_edge = F.expr(
+                "aggregate(zip_with(bits_u, bits_v, (x, y) -> bit_count(x & y)),"
+                " 0L, (a, c) -> a + c)"
+            )
     else:
+        adj = checkpoint_parquet(
+            oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs")),
+            "dsbq_cosupply_",
+        )
         au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nbrs_u"))
         av = adj.select(F.col("u").alias("jv"), F.col("nbrs").alias("nbrs_v"))
         per_edge = F.size(F.array_intersect("nbrs_u", "nbrs_v"))
