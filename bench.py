@@ -190,6 +190,19 @@ def main() -> None:
     # scheduling, exchange, and codegen as the workload it normalizes.
     cal_best = _mixed_calibration(spark, sf_dir, reps)
 
+    # Calibration v3 (VERDICT r12 ask #4): a SEPARATE pure-scan component.
+    # Round 12's driver board (1.089) and same-commit local board (0.93)
+    # disagreed by 16% while calibration_sec barely moved — the mixed
+    # composite is dominated by synthetic spark.range inputs and its one
+    # warmed-up scan, so it cannot see IO/page-cache drift (builder 1.308
+    # vs judge 1.828 on the SAME tree was the proof that mode varies).
+    # calibration_scan_sec times a full-width scan of the two largest
+    # parquet inputs with the same best-of-reps protocol; comparing its
+    # round-over-round ratio with calibration_sec's separates "host CPU
+    # drifted" from "page cache / IO drifted".  calibration_sec (v2) is
+    # still recorded unchanged for cross-round continuity.
+    cal_scan_best = _scan_calibration(spark, sf_dir, reps)
+
     # Host forensics for anomaly triage: the round-11 s3 sample showed a
     # uniform 1.6x inflation of scan-heavy queries while the (mostly
     # synthetic-input) calibration stayed flat — the page cache had
@@ -216,7 +229,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": round(cal_best, 3),
-        "calibration_version": 2,
+        "calibration_version": 3,
+        # v2 component (mixed composite) is calibration_sec, unchanged;
+        # v3 adds the pure-scan component below (ask #4, r12 verdict)
+        "calibration_scan_sec": round(cal_scan_best, 3),
         # iterative substrate queries: timed in "queries", excluded from
         # "value" (see the iterative list's comment for why)
         "iterative": sorted(iterative_names & set(timings)),
@@ -262,7 +278,9 @@ def main() -> None:
         scale = ratios[len(ratios) // 2] if ratios else 1.0
         out["median_ratio_vs_last"] = round(scale, 4)
         ref_cal = parsed.get("calibration_sec") or 0.0
-        same_ver = parsed.get("calibration_version", 1) == 2
+        # the v2 mixed-composite component is carried unchanged into v3 as
+        # calibration_sec, so the cross-round ratio stays meaningful
+        same_ver = parsed.get("calibration_version", 1) in (2, 3)
         cal_ratio = (
             (cal_best / ref_cal) if same_ver and ref_cal > 0 and cal_best > 0 else None
         )
@@ -376,6 +394,40 @@ def _mixed_calibration(spark, sf_dir: str, reps: int) -> float:
     for _rep in range(reps):
         t0 = time.time()
         _composite()
+        elapsed = time.time() - t0
+        best = elapsed if best is None or elapsed < best else best
+    return best
+
+
+def _scan_calibration(spark, sf_dir: str, reps: int) -> float:
+    """Pure-IO calibration component (v3): full-width noop scan of the two
+    largest parquet inputs.  No projection and no aggregation, so the
+    number tracks page-cache state, parquet decode, and scan-task
+    scheduling — the drift mode the CPU-shaped composite cannot see.
+    Best-of-reps after one untimed warm-up, mirroring the query protocol
+    (the warm-up means a COLD host shows up in the gap between this
+    number's first cold pass and the recorded best — by design: recorded
+    rounds are compared warm-vs-warm, as the queries are)."""
+    paths = [
+        p
+        for p in (
+            os.path.join(sf_dir, "lineitem.parquet"),
+            os.path.join(sf_dir, "events.parquet"),
+        )
+        if os.path.isfile(p) or os.path.isdir(p)
+    ]
+    if not paths:
+        return 0.0
+
+    def _scan() -> None:
+        for p in paths:
+            spark.read.parquet(p).write.mode("overwrite").format("noop").save()
+
+    _scan()  # untimed warm-up
+    best = None
+    for _rep in range(reps):
+        t0 = time.time()
+        _scan()
         elapsed = time.time() - t0
         best = elapsed if best is None or elapsed < best else best
     return best

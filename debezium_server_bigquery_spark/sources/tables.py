@@ -26,15 +26,20 @@ def scratch_dir(prefix: str) -> str:
 
 
 # Memo of already-materialized substrates: (prefix, analyzed-plan
-# semanticHash) -> scratch path.  Keyed by the LOGICAL plan, not the
-# DataFrame object, so a second invocation of the same registered query in
-# one interpreter (bench loops, a long serving session) re-reads the
+# semanticHash) -> (scratch path, schema).  Keyed by the LOGICAL plan, not
+# the DataFrame object, so a second invocation of the same registered query
+# in one interpreter (bench loops, a long serving session) re-reads the
 # existing scratch parquet instead of writing a fresh copy per call (the
 # round-8 verdict's scratch-accretion nit).  The scan path is part of the
 # plan, so different sf_dirs hash differently; the path survives session
 # restarts within the interpreter because the re-read uses the CURRENT
-# df.sparkSession, never a cached DataFrame handle.
-_CHECKPOINT_MEMO: dict[tuple[str, int], str] = {}
+# df.sparkSession, never a cached DataFrame handle.  The SCHEMA rides
+# along (round 13, guide §1.2 per-task work at the driver): a memo-hit
+# re-read with an explicit schema skips parquet footer inference, which
+# cost ~135 ms of driver time PER CALL on the r13 host — the k-core chain
+# makes 14 checkpoint calls per build, so warm plan construction paid
+# ~2 s of footer reads alone (OPTIMIZATION_r13.md §graph_kcore_supply).
+_CHECKPOINT_MEMO: dict[tuple[str, int], tuple[str, object]] = {}
 
 
 def checkpoint_parquet(df: DataFrame, prefix: str) -> DataFrame:
@@ -67,13 +72,18 @@ def checkpoint_parquet(df: DataFrame, prefix: str) -> DataFrame:
         key = None
     if key is not None:
         memo = _CHECKPOINT_MEMO.get(key)
-        if memo is not None and os.path.isdir(memo):
-            return df.sparkSession.read.parquet(memo)
+        if memo is not None and os.path.isdir(memo[0]):
+            path, schema = memo
+            return df.sparkSession.read.schema(schema).parquet(path)
     path = scratch_dir(prefix)
     df.write.mode("overwrite").parquet(path)
+    out = df.sparkSession.read.parquet(path)
     if key is not None:
-        _CHECKPOINT_MEMO[key] = path
-    return df.sparkSession.read.parquet(path)
+        # memoize the schema AS READ BACK (not df.schema: the parquet
+        # round-trip can legally widen nullability), so later explicit-
+        # schema reads are byte-identical to an inferred read
+        _CHECKPOINT_MEMO[key] = (path, out.schema)
+    return out
 
 TABLE_NAMES = (
     "region",

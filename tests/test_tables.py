@@ -143,6 +143,11 @@ def test_checkpoint_parquet_memoized(spark, sf_dir):
     # Both handles scan the SAME materialized files.
     assert a.inputFiles() == b.inputFiles()
     assert a.count() == b.count() == df.count()
+    # The memo-hit read uses the MEMOIZED schema (r13: skips parquet
+    # footer inference, ~135 ms of driver time per call) — it must be
+    # byte-identical to the inferred first read, values included.
+    assert b.schema == a.schema
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, a.collect()))
     # A different plan must not collide with the memoized one.
     c = checkpoint_parquet(df.filter(F.col("n_nationkey") < 5), "memo-test-")
     assert c.inputFiles() != a.inputFiles()
