@@ -361,9 +361,9 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (another supplier on the order) AND NOT EXISTS (another supplier with
     a late line); both quantifiers collapse into one order-level aggregate
     — n_suppliers and n_return_suppliers per order — read off with a join.
-    Two lineitem shuffles (orderkey agg + orderkey join) replace the four
-    lineitem self-join passes of the literal formulation; at 100 TB the
-    order-level aggregate is ~|orders| rows and AQE can pick a broadcast.
+    ONE lineitem pass replaces the four lineitem self-join passes of the
+    literal formulation: aggregate per (orderkey, suppkey), then read both
+    quantifiers off a window over the orderkey partition.
     """
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
@@ -372,34 +372,38 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two distinct-aggregates over the same input would make Catalyst
     # expand every lineitem row once per distinct group (2x shuffle bytes).
     # Aggregating per (orderkey, suppkey) first is map-side combinable and
-    # the second level runs over ~|orders| * avg-suppliers rows.
+    # everything downstream runs over ~|orders| * avg-suppliers rows.
     #
-    # Deliberately NOT single-pass: deriving the R-side from per_supp
-    # (filter has_ret=1, count rows) looks like it saves the second
-    # lineitem scan, but per_supp would then feed two plan branches and
-    # Catalyst duplicates shared subtrees — compiling to TWO full
-    # aggregates over lineitem with no ReusedExchange (measured 2.2s vs
-    # 1.6s at sf0.1).  The cheap filtered scan below beats a second
-    # aggregation pass.
+    # The order-level quantifiers (n_supp, n_ret_supp) come from a WINDOW
+    # over per_supp, not a groupBy(orderkey)-and-join-back: a second
+    # aggregate would make per_supp feed two plan branches, and Catalyst
+    # duplicates shared subtrees — compiling to TWO full aggregates over
+    # lineitem with no ReusedExchange (measured 2.2s vs 1.6s at sf0.1 in
+    # round 11; the window form was A/B-verified result-identical and no
+    # slower in round 13).  The window keeps ONE lineitem scan and drops
+    # the old plan's second filtered scan + orderkey join: the sole
+    # remaining full-table pass is the per_supp aggregation shuffle, and
+    # the window's exchange carries only (orderkey, suppkey, has_ret).
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_ret")
     )
-    order_stats = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"),
-        F.sum("has_ret").alias("n_ret_supp"),
+    w = Window.partitionBy("l_orderkey")
+    stats = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "has_ret",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("has_ret").over(w).alias("n_ret_supp"),
     )
-    sole = (
-        li.filter(F.col("l_returnflag") == "R")
-        # ~|orders| keys: no broadcast hint; AQE picks the strategy
-        .join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(
-            order_stats.filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)),
-            "l_orderkey",
-        )
-    )
+    # has_ret=1 & n_ret_supp=1 leaves exactly one row per qualifying order
+    # (the sole returning supplier), so the per-supplier count below equals
+    # the old formulation's countDistinct(l_orderkey).
+    sole = stats.filter(
+        (F.col("has_ret") == 1) & (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+    ).join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
     return (
         sole.groupBy("l_suppkey")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count("*").alias("numwait"))
         .join(broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")
