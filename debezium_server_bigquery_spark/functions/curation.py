@@ -1556,7 +1556,9 @@ def domain_quality_prior_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stopword list interpolated from the single definition in functions/text.py
 # (ADVICE r12: a hardcoded copy here would silently desync the oracle from
 # the Spark twin if STOPWORDS ever changed).
-_STOPWORDS_SQL_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+# Single-quote escaping (ADVICE r13): a stopword containing an apostrophe
+# would otherwise break DOMAIN_QUALITY_PRIOR_SQL at module import time.
+_STOPWORDS_SQL_LIST = ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS)
 
 DOMAIN_QUALITY_PRIOR_SQL = rf"""
 WITH scored AS (

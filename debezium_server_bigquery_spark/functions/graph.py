@@ -177,6 +177,18 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reliable scratch-parquet checkpoint, not localCheckpoint: the edge
     # list is data-sized, and a lost executor must mean a re-read, not a
     # failed query (sources/tables.py).
+    #
+    # Per-round materialization EXAMINED AND KEPT (round 14, guide §1.1
+    # measure-first): composing the linear rank chain and checkpointing
+    # only adj/stats/final would cut 3 of the 7 build barriers, but a
+    # 5-rep interleaved A/B at sf0.1 measured the composed build ~1.8x
+    # SLOWER (old med 5.8 s vs composed med 10.2 s): each round's
+    # checkpoint is what gives Catalyst an ACCURATE size for the
+    # node-sized rank table, keeping the adj ⋈ ranks join a broadcast of
+    # ranks — composed, the agg-subtree estimate flips it to a shuffle
+    # join of the adjacency every round.  A forced broadcast hint would
+    # restore it locally but OOM at 100 TB node counts, so the
+    # materialized per-round form stays (OPTIMIZATION_r14.md).
     from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
 
     edges = checkpoint_parquet(trade_edges(spark, sf_dir), "dsbq_pagerank_edges_")
@@ -353,7 +365,7 @@ LIMIT {COOC_TOP}
 TRI_MAX_ORDER_SUPPLIERS = 32  # orders touching more suppliers don't pair
 # Widest dense-path bitset (in 64-bit words) that unrolls to an explicit
 # codegen'd sum of bit_count terms; beyond it the HOF fold remains (a
-# words>256 dense graph needs >16M nodes at >=25% density — see the
+# words>256 dense graph needs >16K nodes (>33M edges at ≥25% density) — see the
 # dense-gate bound in supplier_triangle_census).
 _EXPAND_CAP = 256
 
@@ -626,7 +638,7 @@ def supplier_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.lit(0).cast("long"),
             )
-        else:  # pragma: no cover - words>256 needs a >16M-node dense graph
+        else:  # pragma: no cover - words>256 needs a >16K-node dense graph
             per_edge = F.expr(
                 "aggregate(zip_with(bits_u, bits_v, (x, y) -> bit_count(x & y)),"
                 " 0L, (a, c) -> a + c)"
@@ -745,7 +757,25 @@ def graph_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     reliable scratch-parquet checkpoint (``checkpoint_parquet``), never
     ``localCheckpoint`` — a lost executor must cost a re-read, not the
     whole 6-round build (sources/tables.py states the scale argument).
-    Counts are exact integers."""
+    Counts are exact integers.
+
+    Checkpoint batching (round 14, VERDICT r13 ask #3, guide §5 — serial
+    job barriers): the r13 build issued 14 SEQUENTIAL checkpoint write
+    jobs (edges + cur0 + 2/round: active set, induced edges), each a
+    full job barrier whose fixed cost (schedule, write, commit,
+    read-back — measured a uniform ~0.47 s/call at sf0.1 regardless of
+    row count) dominates the tiny per-round data; at 100 TB each
+    barrier is a serial write/read round-trip.  Now (1) the shuffle-free
+    ``both`` union is composed directly over the edges substrate instead
+    of being copied to its own checkpoint, and (2) the induced edge
+    list is checkpointed every SECOND round: the odd round's ``cur``
+    stays composed (two broadcast semi-joins against the adjacent
+    checkpointed active sets — replayed at most twice, bounded), while
+    the ACTIVE set still checkpoints every round, so the returned
+    plan's per-round counts read exactly the same node-set scans as
+    before (warm shape unchanged).  10 write jobs instead of 14, and
+    the per-call read-back no longer pays schema inference
+    (sources/tables.py round-14 note)."""
     from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
 
     # Shared prefix with assortativity/triangle/modularity: the memo key is
@@ -761,7 +791,7 @@ def graph_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("round"), "n_active"
         )
     ]
-    cur = checkpoint_parquet(both, "dsbq_kcore_")
+    cur = both
     for i in range(1, KCORE_ROUNDS + 1):
         deg = cur.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("deg"))
         active = checkpoint_parquet(
@@ -769,12 +799,13 @@ def graph_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         av = active.select(F.col("v").alias("av"))
         aw = active.select(F.col("v").alias("aw"))
-        cur = checkpoint_parquet(
+        cur = (
             cur.join(av, cur["v"] == av["av"])
             .join(aw, F.col("w") == aw["aw"])
-            .select("v", "w"),
-            "dsbq_kcore_",
+            .select("v", "w")
         )
+        if i % 2 == 0:
+            cur = checkpoint_parquet(cur, "dsbq_kcore_")
         rows.append(
             active.agg(
                 F.count(F.lit(1)).cast("long").alias("n_active")

@@ -14,6 +14,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _host_mem_gb() -> float:
+    """MemTotal in GiB, 0.0 when unreadable (non-Linux)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for ln in fh:
+                if ln.startswith("MemTotal"):
+                    return int(ln.split()[1]) / (1024 * 1024)
+    except Exception:
+        pass
+    return 0.0
+
+
 def get_spark(
     app_name: str = "debezium-server-bigquery-spark",
     master: str | None = None,
@@ -34,6 +46,14 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # Pin the heap (-Xms = heap size + AlwaysPreTouch) only when the host
+    # can actually back it: committing the full default 16g at startup on
+    # a small-RAM host would fail the JVM launch where the lazily-grown
+    # heap worked (ADVICE r13).  An explicit SPARK_GRAFT_DRIVER_MEM is
+    # the operator's statement that the RAM exists; for the default we
+    # require MemTotal comfortably above the heap.
+    pin_heap = "SPARK_GRAFT_DRIVER_MEM" in os.environ or _host_mem_gb() >= 24
+    exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "")
     builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
@@ -89,8 +109,25 @@ def get_spark(
         # the cost of ~1 s extra startup to fault the heap in.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{driver_mem} -XX:+AlwaysPreTouch "
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing -XX:CICompilerCount=16",
+            (f"-Xms{driver_mem} -XX:+AlwaysPreTouch " if pin_heap else "")
+            + "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing -XX:CICompilerCount=16",
+        )
+        # Same pin on the EXECUTOR side (round 14, VERDICT r13 ask #6): in
+        # local mode executors live inside the driver JVM so this line is
+        # inert here, but in cluster mode the allocation-heavy stages (the
+        # interpreted-HOF hot loops that exposed the commit-churn pathology)
+        # run in executor JVMs — they need the same steady heap.
+        # AlwaysPreTouch pre-faults the INITIAL heap, so the full pin needs
+        # -Xms = spark.executor.memory; that value is deployment-specific,
+        # so it rides the optional SPARK_GRAFT_EXECUTOR_MEM env var (set it
+        # to the same value as spark.executor.memory in cluster mode).
+        .config(
+            "spark.executor.extraJavaOptions",
+            (
+                (f"-Xms{exec_mem} " if exec_mem else "")
+                + ("-XX:+AlwaysPreTouch " if pin_heap else "")
+                + "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+            ),
         )
         .config("spark.ui.enabled", "false")
     )

