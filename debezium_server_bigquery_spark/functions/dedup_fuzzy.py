@@ -68,14 +68,26 @@ def words(col: Column) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (1-based element_at to mirror DuckDB
-    list indexing)."""
+    """Distinct word n-gram shingles (1-based indexing to mirror DuckDB
+    list semantics).
+
+    Round 14 (guide §4.1, VERDICT r13 ask #8): the per-gram lambda is
+    ``array_join(slice(toks, i, n))`` instead of the previous n
+    ``element_at`` lookups fed to ``concat_ws`` — one bounds-checked
+    copy per gram instead of n interpreted array probes.  The transform
+    itself stays an interpreted HOF (no codegen for lambda bodies), but
+    the cheaper body measured 1.65x on the shingle corpus pass at sf0.1
+    (interleaved 8-rep A/B: med 1.09 s -> 0.65 s, identical 260 388-row
+    exploded output; OPTIMIZATION_r14.md).  ``array_join`` equals
+    ``concat_ws`` here because ``words()`` never yields null/empty
+    tokens, and ``slice(toks, i, n)`` is always a full window since i
+    stops at size-n+1.  Shuffle-free by design: a posexplode+lead-window
+    formulation was measured no faster locally and adds two shuffles of
+    the token table at scale."""
     toks = words(col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")

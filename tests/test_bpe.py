@@ -3,6 +3,8 @@ the oracle for the registry's one rows-only entry (see functions/bpe.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from pyspark.sql import functions as F
 from hypothesis import strategies as st
@@ -82,6 +84,7 @@ def test_bpe_on_documents_table(spark, sf_dir):
         max_size=8,
     )
 )
+@pytest.mark.heavy
 def test_bpe_property_matches_python(spark, wf):
     assert _spark_bpe(spark, wf, 4) == _py_bpe(wf, 4)
 

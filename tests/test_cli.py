@@ -60,6 +60,7 @@ def test_build_pipeline_rejects_unknown_sink(spark, tmp_path):
         )
 
 
+@pytest.mark.heavy
 def test_run_sf0001_pipeline_from_properties(spark, tmp_path):
     """The VERDICT's done-condition: launch the sf0.001 pipeline from a
     properties file."""
@@ -112,6 +113,7 @@ def test_build_pipeline_maps_max_staleness(spark, tmp_path):
     assert build_pipeline(spark, props).mode == "upsert"
 
 
+@pytest.mark.heavy
 def test_run_lazy_upsert_from_properties(spark, sf_dir, tmp_path):
     conf = tmp_path / "application.properties"
     conf.write_text(
@@ -133,6 +135,7 @@ def test_run_lazy_upsert_from_properties(spark, sf_dir, tmp_path):
         assert summary["rows"][t] > 0
 
 
+@pytest.mark.heavy
 def test_run_ndjson_route_rejects_from_properties(spark, tmp_path):
     """engine.on-error=route + engine.rejects-destination: a poisoned line
     lands in the dead-letter table, clean events replicate (beyond-reference;
@@ -200,6 +203,7 @@ def test_build_pipeline_maps_scd2_mode(spark, tmp_path):
         build_pipeline(spark, props3)
 
 
+@pytest.mark.heavy
 def test_run_scd2_from_properties(spark, sf_dir, tmp_path):
     conf = tmp_path / "application.properties"
     conf.write_text(
@@ -231,6 +235,7 @@ def test_run_scd2_from_properties(spark, sf_dir, tmp_path):
     assert {"valid_from", "valid_to", "is_current", "version_num"} <= cols
 
 
+@pytest.mark.heavy
 def test_optimize_compacts_and_zorders(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
@@ -296,6 +301,7 @@ def test_optimize_zorder_forces_rewrite_on_tidy_table(spark, sf_dir, tmp_path):
     assert t2.zorder_cols == ["user_id", "event_id"]  # override persisted
 
 
+@pytest.mark.heavy
 def test_open_restores_clustering_field_and_flags(spark, tmp_path):
     """open() must reconstruct clustering_field / allow_field_addition /
     create_if_needed — pre-fix they reverted to defaults, so optimize

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from debezium_server_bigquery_spark.functions.dedup_incremental import (
@@ -23,6 +25,7 @@ def _lsh_pairs(df):
     }
 
 
+@pytest.mark.heavy
 def test_inline_candidates_match_stored_index(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
@@ -39,6 +42,7 @@ def test_inline_candidates_match_stored_index(spark, tmp_path):
     assert stored_pairs, "fixture corpus must contain cross-split near-dups"
 
 
+@pytest.mark.heavy
 def test_match_shuffle_mode_parity(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     idx = MinHashBandIndex(spark, str(tmp_path / "mhidx"))
@@ -49,6 +53,7 @@ def test_match_shuffle_mode_parity(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.heavy
 def test_append_admits_new_signatures(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     idx = MinHashBandIndex(spark, str(tmp_path / "mhidx"))
@@ -63,6 +68,7 @@ def test_append_admits_new_signatures(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.heavy
 def test_duplicate_index_rows_do_not_inflate_band_counts(spark, tmp_path):
     """Crash-replay contract: re-appending the same signatures (the crash
     window in streaming/ingest.py) must not change any n_shared_bands —
@@ -104,6 +110,7 @@ def test_match_empty_probe_returns_empty(spark, tmp_path):
     assert idx.match(empty).count() == 0
 
 
+@pytest.mark.heavy
 def test_match_plan_prunes_and_never_cartesian(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     idx = MinHashBandIndex(spark, str(tmp_path / "mhidx"))
@@ -118,6 +125,7 @@ def test_match_plan_prunes_and_never_cartesian(spark, tmp_path):
     assert "sig_pre" in plan.split("PartitionFilters")[1][:600]
 
 
+@pytest.mark.heavy
 def test_null_text_docs_neither_crash_nor_escape_exact_dedup(spark, tmp_path):
     """NULL text hashes as the empty document: the probe must not crash the
     driver-side prefix collection, and two NULL/empty docs must collide on

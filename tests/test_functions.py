@@ -124,6 +124,7 @@ def test_cosine_identities(spark):
     assert sims[(1, 3)] == 1.0  # parallel
 
 
+@pytest.mark.heavy
 def test_multimodal_stub_contract(spark):
     from debezium_server_bigquery_spark.functions.multimodal import (
         FRAME_SIZE,
@@ -313,6 +314,7 @@ def test_k_anonymity_report_flags_small_groups(spark, sf_dir):
     assert counts == sorted(counts)
 
 
+@pytest.mark.heavy
 def test_stream_dedup_watermark_e2e_deterministic(spark, sf_dir):
     """The graded summary must be identical across runs (survivor identity
     may differ; the keep-count may not) and equal the batch distinct."""

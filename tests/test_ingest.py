@@ -16,6 +16,7 @@ def _batches(spark, n=3):
     return docs, [docs.filter(F.col("doc_id") % n == i) for i in range(n)]
 
 
+@pytest.mark.heavy
 def test_ingest_admits_once_across_batches(spark, tmp_path):
     docs, batches = _batches(spark)
     pipe = DedupIngestPipeline(spark, str(tmp_path / "ing"))
@@ -52,6 +53,7 @@ def test_ingest_admits_once_across_batches(spark, tmp_path):
     assert offenders == 0
 
 
+@pytest.mark.heavy
 def test_ingest_epoch_replay_is_noop(spark, tmp_path):
     _, batches = _batches(spark)
     pipe = DedupIngestPipeline(spark, str(tmp_path / "ing"))
@@ -61,6 +63,7 @@ def test_ingest_epoch_replay_is_noop(spark, tmp_path):
     assert pipe.corpus().count() == n
 
 
+@pytest.mark.heavy
 def test_ingest_reingest_same_docs_rejected(spark, tmp_path):
     _, batches = _batches(spark)
     pipe = DedupIngestPipeline(spark, str(tmp_path / "ing"))
@@ -108,6 +111,7 @@ def test_ingest_all_short_doc_batch_does_not_crash(spark, tmp_path):
     assert admitted == {1, 2}
 
 
+@pytest.mark.heavy
 def test_ingest_run_stream_availablenow(spark, tmp_path):
     """The streaming entry drains a file source through the same dedup
     body; the drained corpus matches the batch-mode result."""
@@ -130,6 +134,7 @@ def test_ingest_run_stream_availablenow(spark, tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_ingest_crash_between_index_and_rows_replays_cleanly(
     spark, tmp_path, monkeypatch
 ):

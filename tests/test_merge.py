@@ -4,6 +4,8 @@ fallback, empty-bucket cleanup, and epoch idempotency."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from debezium_server_bigquery_spark.operators.merge import merge_upsert
@@ -30,6 +32,7 @@ def _table(spark, tmp_path, name, **kw):
     return ParquetTable(spark, str(tmp_path / name), **kw)
 
 
+@pytest.mark.heavy
 def test_upsert_convergence_script(spark, tmp_path):
     t = _table(spark, tmp_path, "t1")
     ins = _batch(spark, [(i, i, f"v{i}", "c", 100 + i) for i in range(4)])

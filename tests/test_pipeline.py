@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from debezium_server_bigquery_spark.sources.cdc import read_cdc_ndjson, synthesize_cdc_events
 from debezium_server_bigquery_spark.sources.tables import load_table
 from debezium_server_bigquery_spark.streaming.pipeline import CdcPipeline
+import pytest
 
 
 def _cdc_df(spark, sf_dir):
@@ -244,6 +245,7 @@ def test_heartbeat_skip_consuming_false_replicates_heartbeats(
     assert p.read_table("__debezium-heartbeat_testc").count() == n_hb
 
 
+@pytest.mark.heavy
 def test_pipeline_stream_e2e_converges_out_of_order(spark, sf_dir):
     """The streaming drain (multiple out-of-order micro-batches via
     maxFilesPerTrigger=1) must reach the same final state as the one-batch

@@ -11,6 +11,8 @@ the DuckDB twin pins the full query at fixed data.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T
@@ -48,6 +50,7 @@ def _sqdist(a, b):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(st.lists(_VEC, min_size=4, max_size=16))
+@pytest.mark.heavy
 def test_assignment_is_argmin_of_final_centroids(spark, vectors):
     k = 3
     emb = spark.createDataFrame(

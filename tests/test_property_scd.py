@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 import tempfile
 
@@ -91,6 +93,7 @@ def test_scd2_matches_python_oracle(spark, events):
     max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
 )
 @given(_STREAM, st.lists(st.integers(min_value=0, max_value=2), min_size=14, max_size=14))
+@pytest.mark.heavy
 def test_scd2_sink_converges_under_any_split(spark, events, epoch_of):
     """Assign each event to one of three epochs arbitrarily (so epochs can
     be wildly out of time order) — the merged table must equal the one-shot

@@ -3,6 +3,8 @@ plus watermarked tumbling windows."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from debezium_server_bigquery_spark.sources.tables import load_table
@@ -32,6 +34,7 @@ def test_batch_sessionize_shapes(spark, sf_dir):
             assert r["n_events"] >= 1
 
 
+@pytest.mark.heavy
 def test_streaming_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_path):
     """Run the stateful operator over the same events as a stream; every
     session it closes must exist in the batch result with identical stats."""

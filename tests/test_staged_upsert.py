@@ -8,6 +8,8 @@ produced, regardless of where the compaction boundary falls; after
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from debezium_server_bigquery_spark.operators.merge import merge_upsert
@@ -50,6 +52,7 @@ def _eager(spark, tmp_path, batches, upto, **kw):
     return t.read()
 
 
+@pytest.mark.heavy
 def test_lazy_matches_eager_at_every_point(spark, tmp_path):
     batches = _batches(spark)
     base = ParquetTable(
@@ -66,6 +69,7 @@ def test_lazy_matches_eager_at_every_point(spark, tmp_path):
     assert _snap(lazy.read_stale()) == _snap(_eager(spark, tmp_path, batches, 4))
 
 
+@pytest.mark.heavy
 def test_lazy_keep_deletes(spark, tmp_path):
     batches = _batches(spark)
     base = ParquetTable(
@@ -92,6 +96,7 @@ def test_lazy_epoch_replay_is_idempotent(spark, tmp_path):
     assert _snap(lazy.read_current()) == before
 
 
+@pytest.mark.heavy
 def test_lazy_stage_counter_recovers_after_restart(spark, tmp_path):
     batches = _batches(spark)
     base = ParquetTable(
@@ -109,6 +114,7 @@ def test_lazy_stage_counter_recovers_after_restart(spark, tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_pipeline_upsert_lazy_mode(spark, sf_dir, tmp_path):
     from debezium_server_bigquery_spark.sources.cdc import synthesize_cdc_events
     from debezium_server_bigquery_spark.sources.tables import load_table
@@ -143,6 +149,7 @@ def test_pipeline_upsert_lazy_mode(spark, sf_dir, tmp_path):
         assert e == s, dest
 
 
+@pytest.mark.heavy
 def test_streaming_lazy_upsert_with_checkpoint_restart(spark, sf_dir, tmp_path):
     """Lazy mode under Structured Streaming: staged appends are
     epoch-guarded, so a checkpoint restart that replays nothing leaves the
@@ -207,6 +214,7 @@ def test_epoch_replay_protection_survives_compaction(spark, tmp_path):
     assert lazy.staging.read_raw() is None
 
 
+@pytest.mark.heavy
 def test_compaction_merge_is_epoch_marked(spark, tmp_path):
     """A crash between the compaction MERGE and the staging truncation
     replays as a no-op: the MERGE carries a deterministic epoch id derived
