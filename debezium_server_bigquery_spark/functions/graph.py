@@ -374,25 +374,41 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (a < b) distinct edge set of the co-supply graph:
     suppliers adjacent when they ship lines of the same order.  Pairing
     is confined within an order (C(order size, 2)) with a df cap on
-    giant orders — the quadratic guard both graph stats share."""
+    giant orders — the quadratic guard both graph stats share.
+
+    Round 14 (guide §2.3/§2.4 — aggregate before you shuffle, remove
+    shuffles outright): the r13 chain ``distinct → groupBy(count) →
+    join → self-join → distinct`` planned 10 Exchange nodes; ONE
+    map-side-combined ``collect_set`` per order now performs the
+    per-order distinct, the supplier-set build, AND the size cap in a
+    single shuffle, and the order-local pair fan-out (the old shuffle
+    self-join) becomes an in-memory HOF expansion over the per-order
+    set — bounded at C(cap, 2) pairs per order by the same cap.  2
+    Exchange nodes: the per-order set aggregation and the final edge
+    distinct.  Measured interleaved A/B at sf0.1 (identical 453 588
+    edges): old min 6.29 s vs new min 5.39 s under contention, with the
+    scale-dominant win the 8 eliminated exchanges of the (order,
+    supplier) pair table — at 100 TB every one of those is a full
+    network pass over the fact-table key set (OPTIMIZATION_r14.md)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    os_pairs = li.distinct().select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_suppkey").alias("ss"))
+        .filter(F.size("ss") <= TRI_MAX_ORDER_SUPPLIERS)
     )
-    small = (
-        os_pairs.groupBy("o")
-        .agg(F.count(F.lit(1)).alias("n_sup"))
-        .filter(F.col("n_sup") <= TRI_MAX_ORDER_SUPPLIERS)
-        .select("o")
-    )
-    kept = os_pairs.join(small, "o")
-    ka = kept.select("o", F.col("s").alias("a"))
-    kb = kept.select(F.col("o").alias("o2"), F.col("s").alias("b"))
     return (
-        ka.join(kb, (ka["o"] == kb["o2"]) & (ka["a"] < kb["b"]))
-        .select("a", "b")
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, x ->"
+                    " transform(filter(ss, y -> y > x),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
 

@@ -105,6 +105,31 @@ def test_census_dense_path_reads_bitset_substrate(spark):
         )
 
 
+def test_cosupply_edge_builder_is_two_exchange_no_join(spark):
+    """Round-14 pin: the co-supply edge builder (the shared cold-build
+    substrate of census/k-core/assortativity/modularity) must stay the
+    single-aggregation form — one map-side-combined ``collect_set`` per
+    order plus the final edge distinct (2 Exchange nodes), with the
+    order-local pair fan-out done by HOF expansion, NOT the r13
+    ``distinct → groupBy → join → self-join`` chain (10 Exchange nodes,
+    incl. a shuffle self-join of the (order, supplier) pair table that
+    at 100 TB re-shuffles the fact-table key set)."""
+    from debezium_server_bigquery_spark.functions.graph import _cosupply_edges
+
+    plan = _physical(_cosupply_edges(spark, SF_DIR))
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 2, (
+        f"_cosupply_edges plans {n_exchange} Exchange nodes (expected 2: "
+        "per-order set aggregation + edge distinct) — the round-14 "
+        "single-shuffle builder has been undone (OPTIMIZATION_r14.md)"
+    )
+    assert "Join" not in plan, (
+        "_cosupply_edges plans a join — the order-local pair fan-out "
+        "must be the in-memory HOF expansion over the per-order "
+        "supplier set, not a shuffle self-join"
+    )
+
+
 def test_cooccurrence_substrate_write_is_repartitioned():
     """The `kept` substrate write must fan out across the session's
     parallelism before hitting parquet, or the expensive pair self-join
