@@ -95,6 +95,57 @@ def test_bpe_symbols_with_quotes_and_backslashes(spark):
     assert _spark_bpe(spark, wf, 3) == _py_bpe(wf, 3)
 
 
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    """Round-14 pin for the separator-string merge (_merge_expr): a
+    symbol that merely ENDS with the pair's left element (or starts with
+    its right element) must not merge, across rounds where multi-char
+    symbols exist.  Crafted so round 1 merges (a, b) — producing 'ab'
+    symbols adjacent to single 'a'/'b' and to symbols with 'a'/'b' as
+    substrings — and later rounds merge multi-char pairs."""
+    wf = {"xab": 5, "ab": 4, "xa": 2, "xaab": 3, "aab": 2, "abab": 2}
+    assert _spark_bpe(spark, wf, 4) == _py_bpe(wf, 4)
+
+
+def test_bpe_merge_expr_matches_fold_form(spark):
+    """The separator-string _merge_expr must be pointwise identical to
+    the r13 aggregate-fold form on adversarial symbol arrays (runs of
+    the pair, boundary suffix/prefix collisions, multi-char symbols)."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_bigquery_spark.functions.bpe import _merge_expr, _sq
+
+    def fold_expr(a: str, b: str, col: str = "syms") -> str:
+        a, b, ab = _sq(a), _sq(b), _sq(a + b)
+        return f"""
+        aggregate({col}, cast(array() as array<string>),
+          (acc, x) -> case
+            when size(acc) > 0 and element_at(acc, -1) = '{a}' and x = '{b}'
+            then concat(slice(acc, 1, size(acc) - 1), array('{ab}'))
+            else concat(acc, array(x)) end)
+        """
+
+    arrays = [
+        ["a", "a", "a", "a"],          # greedy run: [aa, aa]
+        ["a", "a", "a"],               # odd run: [aa, a]
+        ["x", "a", "b"],               # plain adjacent merge
+        ["xa", "a", "b"],              # left symbol ends with 'a'
+        ["a", "bc"],                   # right symbol starts with 'b'
+        ["ab", "a", "b", "ab"],        # merged symbol already present
+        ["b", "a"],                    # reversed — no merge
+        [],                            # empty word
+        ["a"],                         # single symbol
+        ["a", "b", "a", "b", "a"],     # alternating: [ab, ab, a]
+    ]
+    df = spark.createDataFrame([(v,) for v in arrays], "syms array<string>")
+    for pair in [("a", "b"), ("a", "a"), ("ab", "a"), ("a", "ab")]:
+        rows = df.select(
+            F.expr(_merge_expr(*pair)).alias("new"),
+            F.expr(fold_expr(*pair)).alias("old"),
+        ).collect()
+        for r in rows:
+            assert r.new == r.old, (pair, r.new, r.old)
+
+
 # -- encoding (applying a trained merge table) -----------------------------
 def _py_encode(word: str, merges) -> list[str]:
     s = list(word)
