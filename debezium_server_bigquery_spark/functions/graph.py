@@ -789,9 +789,10 @@ def graph_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed active sets — replayed at most twice, bounded), while
     the ACTIVE set still checkpoints every round, so the returned
     plan's per-round counts read exactly the same node-set scans as
-    before (warm shape unchanged).  10 write jobs instead of 14, and
-    the per-call read-back no longer pays schema inference
-    (sources/tables.py round-14 note)."""
+    before (warm shape unchanged); the FINAL round's induced edges are
+    never consumed at all, so they are not checkpointed.  9 write jobs
+    instead of 14, and the per-call read-back no longer pays schema
+    inference (sources/tables.py round-14 note)."""
     from debezium_server_bigquery_spark.sources.tables import checkpoint_parquet
 
     # Shared prefix with assortativity/triangle/modularity: the memo key is
@@ -820,7 +821,10 @@ def graph_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(aw, F.col("w") == aw["aw"])
             .select("v", "w")
         )
-        if i % 2 == 0:
+        if i % 2 == 0 and i < KCORE_ROUNDS:
+            # final round's induced edges are never consumed (the
+            # trajectory reads only the active sets) — checkpointing
+            # them was a pure-waste write barrier
             cur = checkpoint_parquet(cur, "dsbq_kcore_")
         rows.append(
             active.agg(
